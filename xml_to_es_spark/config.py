@@ -1,0 +1,59 @@
+"""Engine configuration.
+
+The reference carries all run state in a mutable ``config`` object
+(xml-to-es.js:701-748 resolveClOptions, deepExtend merge at 643-651).
+We use frozen dataclasses: input rules, analysis pins, build knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Pinned analysis chain (FIXTURES.md §5). BM25 rank-identity depends on
+# this exact tokenizer; the same regex is used by the Spark engine
+# (JVM regexp_extract_all), the pure-Python oracle (re.findall) and the
+# DuckDB oracle SQL (regexp_extract_all).
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """BM25 scoring parameters — pinned by BASELINE.json north_star."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Inverted-index build knobs.
+
+    ``n_groups``: number of checkpoint units (term-hash groups). Each
+    group is one independently-committable Spark job over the
+    tokenized intermediate — the resume granularity (north_rule:
+    "resumable from checkpoint with per-partition lineage").
+
+    ``salt_threshold``: a term whose document frequency exceeds this is
+    "hot" (Zipf head / stopword at Common-Crawl scale) and its posting
+    list is built as multiple doc_id-range "salt" segments that encode
+    independently and concatenate in salt order (delta chains restart
+    per segment). Prevents a single reducer from owning a posting list
+    with ~10^11 entries at the 10^12-doc design scale.
+
+    ``block_size``: postings per block-max block (WAND skipping unit).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    n_groups: int = 8
+    salt_threshold: int = 100_000
+    n_salts: int = 16
+    block_size: int = 128
+    shuffle_partitions: int | None = None
+    index_langs: tuple[str, ...] = ("en",)
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def bm25(self) -> BM25Config:
+        return BM25Config(k1=self.k1, b=self.b)
