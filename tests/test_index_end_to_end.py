@@ -1,0 +1,152 @@
+"""End-to-end: pages → extract → index build → BM25 top-k,
+rank-identical to the pyref oracle on the reference query set
+(BASELINE.json north_star)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xml_to_es_spark import fixtures
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.functions.extract import extract_fields
+from xml_to_es_spark.operators.index_build import IndexBuilder
+from xml_to_es_spark.operators.query_engine import QueryEngine, bm25_topk_dataframe
+from xml_to_es_spark.pyref import PyRefIndex, extract_text
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = fixtures.generate_pages(N_DOCS)
+    # oracle extraction, driver-side
+    texts = {
+        i: extract_text(pages["html"].iat[i].decode("utf-8"))
+        for i in range(len(pages))
+    }
+    return pages, texts
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    pages, texts = corpus
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    pages_df = spark.createDataFrame(pages)
+    fields = extract_fields(pages_df)
+    # deterministic doc_id = the page's own id field (stable key);
+    # urls are example-{i:08d} so id == i
+    docs = fields.selectExpr("cast(id as long) as doc_id", "text", "url")
+    cfg = IndexConfig(n_groups=4, salt_threshold=50, n_salts=4, block_size=64)
+    IndexBuilder(spark, cfg).build(docs, out)
+    return out
+
+
+def test_extraction_byte_identity(spark, corpus):
+    """input_hint invariant: byte-identical extracted text per url
+    between the Spark Arrow UDF and the pure-Python oracle."""
+    pages, texts = corpus
+    fields = extract_fields(spark.createDataFrame(pages))
+    got = {int(r["id"]): r["text"] for r in fields.collect()}
+    assert len(got) == N_DOCS
+    mismatches = [i for i in range(N_DOCS) if got[i] != texts[i]]
+    assert mismatches == []
+
+
+def test_index_stats_match_pyref(spark, corpus, index_dir):
+    _, texts = corpus
+    ref = PyRefIndex(texts)
+    st = spark.read.parquet(f"{index_dir}/stats").first()
+    assert st["n_docs"] == ref.n_docs
+    assert abs(float(st["avgdl"]) - ref.avgdl) < 1e-9
+    terms = spark.read.parquet(f"{index_dir}/terms")
+    got_df = {r["term"]: r["df"] for r in terms.collect()}
+    ref_df = {t: len(p) for t, p in ref.postings.items()}
+    assert got_df == ref_df
+
+
+def test_salting_applied_to_hot_terms(spark, index_dir):
+    p = spark.read.parquet(f"{index_dir}/postings")
+    seg_counts = (
+        p.groupBy("term").count().filter("count > 1").count()
+    )
+    assert seg_counts > 0  # Zipf head got split into salt segments
+    # salt segments must partition doc_id ranges in salt order
+    import pyspark.sql.functions as F
+
+    hot_term = (
+        p.groupBy("term").count().orderBy(F.desc("count")).first()["term"]
+    )
+    segs = sorted(
+        p.filter(F.col("term") == hot_term).select(
+            "salt", "block_last_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+        ).collect(),
+        key=lambda r: r["salt"],
+    )
+    assert len(segs) > 1
+    from xml_to_es_spark.operators.postings import decode_segment
+
+    prev_last = -1
+    for s in segs:
+        d, _, _ = decode_segment(s.asDict())
+        assert d[0] > prev_last  # ordered concat across salts
+        prev_last = int(d[-1])
+
+
+def test_rank_identity_vs_pyref(spark, corpus, index_dir):
+    """The north-star check: rank-identical docIDs + scores on the
+    25-query reference set."""
+    _, texts = corpus
+    ref = PyRefIndex(texts)
+    queries = fixtures.generate_queries()
+    qlist = list(zip(queries["query_id"], queries["query_text"]))
+    eng = QueryEngine(spark, index_dir)
+    got = eng.topk(qlist, k=10).toPandas()
+    n_nonempty = 0
+    for qid, qtext in qlist:
+        expect = ref.topk(qtext, k=10)
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(g["doc_id"]) == [d for d, _ in expect], f"q{qid}: {qtext}"
+        if expect:
+            n_nonempty += 1
+            np.testing.assert_allclose(
+                g["score"].to_numpy(),
+                np.array([s for _, s in expect]),
+                rtol=0, atol=1e-9,
+            )
+    assert n_nonempty >= 20  # query set is mostly non-empty
+
+
+def test_distributed_topk_agrees_on_ranks(spark, corpus, index_dir):
+    _, texts = corpus
+    queries = fixtures.generate_queries()
+    qlist = list(zip(queries["query_id"], queries["query_text"]))
+    eng = QueryEngine(spark, index_dir)
+    a = eng.topk(qlist, k=10).toPandas().sort_values(["query_id", "rank"])
+    b = eng.topk_distributed(qlist, k=10).toPandas().sort_values(["query_id", "rank"])
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True)[["query_id", "rank", "doc_id"]],
+        b.reset_index(drop=True)[["query_id", "rank", "doc_id"]],
+    )
+
+
+def test_dataframe_bm25_agrees_with_codec_engine(spark, corpus, index_dir):
+    """The SQL-expressible DataFrame BM25 (oracle twin) must produce
+    the same ranking as the compressed-postings engine."""
+    pages, texts = corpus
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    )
+    queries = fixtures.generate_queries()
+    qlist = list(zip(queries["query_id"], queries["query_text"]))[:8]
+    a = (
+        bm25_topk_dataframe(docs, qlist, k=10, score_decimals=None)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    eng = QueryEngine(spark, index_dir)
+    b = eng.topk(qlist, k=10).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "doc_id"]],
+        b[["query_id", "rank", "doc_id"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)

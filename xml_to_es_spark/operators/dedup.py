@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM built-ins (md5 / explode / groupBy — whole-stage
+codegen'd); the constructions are chosen to be ANSI-SQL-expressible so
+every operator has a DuckDB oracle twin (driver correctness gate):
+
+- exact dedup: md5(text) hash-groupBy, keep min doc_id;
+- MinHash + LSH: word-shingles → P permutations as min(md5(shingle ∥
+  seed)) (string-min MinHash — md5 is identical in Spark, DuckDB and
+  Python, so oracle parity is exact) → bands → bucket self-join →
+  verified Jaccard;
+- n-gram Jaccard: exact pairwise similarity on candidate pairs;
+- SimHash: 64-bit weighted-bit fingerprint (numpy pandas_udf — the
+  bit arithmetic is not reasonably SQL-expressible, rows-only check);
+- embedding-cosine near-dup over `embeddings(vec_id, embedding)`.
+
+Scale notes (10^12 docs): every self-join here is bucketed (LSH band
+key or hash prefix) — never a cross join; exact dedup is one shuffle
+on an md5 key (AQE handles the empty-text hot key via skew split);
+MinHash signature agg is a single groupBy with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xml_to_es_spark.functions.analysis import tokens_col
+
+DEFAULT_N_PERM = 16
+DEFAULT_BAND_SIZE = 4
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, n_dups, keep_id).
+    Returns one row per text with n_dups ≥ 2."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(key_col))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(key_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Docs surviving exact dedup (min doc_id per distinct text)."""
+    keep = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(key_col).alias(key_col))
+        .select(key_col)
+    )
+    return docs.join(keep, key_col, "left_semi")
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """Word k-shingles as an array column, all JVM (expr so the same
+    text appears verbatim in the DuckDB oracle)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({text_col}),"
+        f" '[a-z0-9]+', 0)) - {k - 1}, 0)), i -> concat_ws(' ',"
+        f" slice(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), i, {k})))"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_perm: int = DEFAULT_N_PERM,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, h0..h{n_perm-1}): string-min MinHash over md5-salted
+    shingles. One explode + one groupBy (map-side partial min)."""
+    sh = docs.select(
+        F.col(key_col), F.explode(shingles_col(text_col, shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy(key_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_perm: int = DEFAULT_N_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) that collide in ≥1 LSH
+    band. The self-join is on the band bucket key — co-partitioned,
+    never a cross join."""
+    sig = minhash_signatures(docs, text_col, key_col, n_perm, shingle_k)
+    n_bands = n_perm // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sig.select(
+                F.col(key_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a = all_bands.alias("a")
+    bb = all_bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("a_id"), F.col(f"b.{key_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (a_id, b_id) pairs:
+    explode distinct shingles per side, equi-join on shingle within
+    pair, count intersection/union. All set math via groupBys."""
+    sh = docs.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(shingles_col(text_col, shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
+    a_sh = sh.withColumnRenamed(key_col, "a_id")
+    b_sh = sh.withColumnRenamed(key_col, "b_id").withColumnRenamed("sh", "sh_b")
+    inter = (
+        pairs.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(key_col, "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed(key_col, "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprints via a vectorized Arrow kernel:
+    per-token md5-derived bit patterns weighted by tf; sign of each
+    bit-sum forms the fingerprint. Near-dups = small Hamming distance
+    (pair via 16-bit chunk buckets at scale)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from xml_to_es_spark.pyref import tokenize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].to_numpy()):
+                toks = tokenize(text or "")
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                hs = np.array(
+                    [
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                        for t in uniq
+                    ],
+                    dtype=np.uint64,
+                )
+                bitmat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+                weights = np.where(bitmat == 1, counts[:, None], -counts[:, None])
+                fp_bits = (weights.sum(axis=0) > 0).astype(np.uint64)
+                fps[i] = int((fp_bits << np.arange(bits, dtype=np.uint64)).sum() & np.uint64(2**63 - 1))
+            yield pd.DataFrame({key_col: pdf[key_col], "simhash": fps})
+
+    return docs.select(key_col, text_col).mapInPandas(
+        run, schema=f"{key_col} long, simhash long"
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, key_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Scale path: bucket by each of four 16-bit chunks (a pair within
+    distance 3 must agree exactly on ≥1 chunk — pigeonhole), join per
+    chunk, verify with bit_count(xor)."""
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            fps.select(
+                F.col(key_col),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+        )
+    all_c = chunks[0]
+    for c in chunks[1:]:
+        all_c = all_c.unionByName(c)
+    a, b = all_c.alias("a"), all_c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("a_id"),
+            F.col(f"b.{key_col}").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Test scale: blocked
+    self-join; at scale, pre-bucket by random-hyperplane LSH (see
+    similarity.lsh_buckets) and join within buckets."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = emb.select(
+        F.col(key_col), F.col(vec_col), norm.alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{key_col}").alias("a_id"),
+            F.col(f"b.{key_col}").alias("b_id"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,308 @@
+"""Distributed inverted-index build: the half the reference delegates
+to ElasticSearch (ElasticIndexer.js:76 — one HTTP PUT per document;
+Lucene builds the index), re-expressed as a checkpoint-resumable
+Spark job per BASELINE.json north_rule.
+
+Physical plan (designed for 10^12 docs / 1000 executors; tested on
+local[32]):
+
+  stage 0  docs+stats     docs_df → (doc_id, doc_len) side table +
+                          (N, avgdl, input_snapshot) — one scan, one
+                          tiny agg.
+  stage 1  tokens         tokenize (JVM regexp) → explode →
+                          groupBy(doc_id, term).count() (map-side
+                          partial agg) → written partitioned by
+                          group = pmod(xxhash64(term), n_groups).
+                          ONE shuffle; the parquet write IS the
+                          checkpoint.
+  stage 2  per group      read tokens/group=g (partition-pruned) →
+                          hot-term detection → salt assignment →
+                          repartition(term) + sortWithinPartitions
+                          (term, salt, doc_id) → streaming varbyte
+                          encode in mapInPandas (cross-batch carry —
+                          a posting list never has to fit in one
+                          Arrow batch) → postings/group=g + terms
+                          dictionary + _manifest row.
+
+Skew (north_rule "salted skew handling for hot terms"): a term with
+df > salt_threshold (the Zipf head — at CC scale a stopword's posting
+list has ~10^11 entries) is split into n_salts doc_id-RANGE segments
+(salt = doc_id * n_salts // N). Each segment delta-encodes
+independently; because salts partition the doc_id space in order, the
+full posting list is the ordered concatenation of its salt segments —
+merge is free at query time, and no single reducer ever materializes
+the whole list.
+
+Resume (north_rule "resumable from checkpoint with per-partition
+lineage + metrics"): _manifest records (stage, group, input_snapshot,
+metrics, status); a re-run with resume=True skips groups whose
+manifest row is done for the same input_snapshot — the anti-join
+resume of SURVEY.md §4.2.5.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
+from xml_to_es_spark.operators.postings import encode_segment
+
+POSTINGS_SCHEMA = (
+    "term string, salt int, n_docs long, max_tf long, "
+    "block_last_doc array<long>, block_max_tf array<long>, "
+    "block_min_dl array<long>, docs_bin binary, tfs_bin binary, dls_bin binary"
+)
+
+MANIFEST_SCHEMA = (
+    "stage string, group int, term_lo string, term_hi string, n_terms long, "
+    "n_postings long, bytes long, wall_ms long, input_snapshot string, status string"
+)
+
+
+def _encode_stream(cfg_block: int):
+    """mapInPandas kernel: partition sorted by (term, salt, doc_id) →
+    one output row per (term, salt) segment. Carries the trailing
+    (possibly incomplete) group across Arrow batches so posting lists
+    larger than a batch encode correctly."""
+
+    def groups_to_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        # boundaries where (term, salt) changes
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+        starts = np.concatenate([[0], change + 1])
+        ends = np.concatenate([change + 1, [len(pdf)]])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        rows = []
+        for s, e in zip(starts, ends):
+            seg = encode_segment(doc_ids[s:e], tfs[s:e], dls[s:e], cfg_block)
+            seg["term"] = terms[s]
+            seg["salt"] = int(salts[s])
+            rows.append(seg)
+        cols = [
+            "term", "salt", "n_docs", "max_tf", "block_last_doc",
+            "block_max_tf", "block_min_dl", "docs_bin", "tfs_bin", "dls_bin",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            last_t, last_s = terms[-1], salts[-1]
+            tail_mask = (terms == last_t) & (salts == last_s)
+            # the last group may continue into the next batch — hold it
+            tail_start = (
+                int(np.flatnonzero(~tail_mask)[-1] + 1) if not tail_mask.all() else 0
+            )
+            head, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:].copy()
+            if len(head):
+                yield groups_to_rows(head)
+        if carry is not None and len(carry):
+            yield groups_to_rows(carry)
+
+    return run
+
+
+class IndexBuilder:
+    """Build the inverted index for a (doc_id, text) DataFrame."""
+
+    def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+
+    # -- inputs ------------------------------------------------------------
+
+    def tokenized(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, text) → (doc_id, term, tf, dl, group). All JVM:
+        regexp tokenize, explode, hash-agg with map-side partials."""
+        toks = docs.select(
+            "doc_id", tokens_col("text").alias("toks")
+        ).withColumn("dl", doc_len_col("toks"))
+        exploded = toks.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        )
+        tf = exploded.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"), F.first("dl").alias("dl")
+        )
+        return tf.withColumn(
+            "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
+        )
+
+    def _snapshot(self, docs: DataFrame) -> str:
+        """Cheap deterministic input lineage key (Iceberg snapshot id
+        stand-in at test scale): count + xor-ish hash aggregate."""
+        row = docs.select(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string), text))").alias("h1"),
+            F.sum(F.length("text")).alias("h2"),
+        ).first()
+        return f"{row['n']}-{row['h1']}-{row['h2']}"
+
+    # -- build -------------------------------------------------------------
+
+    def build(
+        self,
+        docs: DataFrame,
+        out_dir: str,
+        resume: bool = False,
+        fail_after_groups: int | None = None,
+    ) -> dict:
+        """Full build. ``fail_after_groups`` injects a crash after K
+        committed groups (resume tests). Returns summary metrics."""
+        out = Path(out_dir)
+        # docs is consumed by three jobs (snapshot, docs/stats, tokens);
+        # when it is the output of an extraction UDF, recomputing it per
+        # job triples the most expensive stage — cache it once
+        docs = docs.persist()
+        try:
+            return self._build_inner(docs, out, resume, fail_after_groups)
+        finally:
+            docs.unpersist()
+
+    def _build_inner(
+        self,
+        docs: DataFrame,
+        out: Path,
+        resume: bool,
+        fail_after_groups: int | None,
+    ) -> dict:
+        snapshot = self._snapshot(docs)
+        done: set[tuple[str, int]] = set()
+        if resume and (out / "_manifest").exists():
+            man = self.spark.read.parquet(str(out / "_manifest"))
+            done = {
+                (r["stage"], r["group"])
+                for r in man.filter(
+                    (F.col("status") == "done")
+                    & (F.col("input_snapshot") == snapshot)
+                ).collect()
+            }
+        elif out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True, exist_ok=True)
+
+        t0 = time.time()
+        if ("docs", -1) not in done:
+            self._build_docs_and_stats(docs, out, snapshot)
+        if ("tokens", -1) not in done:
+            tok = self.tokenized(docs)
+            # ONE shuffle (the groupBy); written partitioned by group so
+            # stage-2 reads are partition-pruned per checkpoint unit
+            tok.write.mode("overwrite").partitionBy("group").parquet(
+                str(out / "tokens")
+            )
+            self._manifest_row(
+                out, stage="tokens", group=-1, snapshot=snapshot,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        n_docs = self.spark.read.parquet(str(out / "stats")).first()["n_docs"]
+
+        built = 0
+        for g in range(self.cfg.n_groups):
+            if ("postings", g) in done:
+                continue
+            if fail_after_groups is not None and built >= fail_after_groups:
+                raise RuntimeError(f"injected failure after {built} groups")
+            self._build_group(out, g, n_docs, snapshot)
+            built += 1
+        return {
+            "groups_built": built,
+            "snapshot": snapshot,
+            "wall_s": time.time() - t0,
+            "n_docs": int(n_docs),
+        }
+
+    def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
+        d = docs.select(
+            "doc_id",
+            *(["url"] if "url" in docs.columns else []),
+            doc_len_col(tokens_col("text")).alias("doc_len"),
+        )
+        d.write.mode("overwrite").parquet(str(out / "docs"))
+        dd = self.spark.read.parquet(str(out / "docs"))
+        stats = dd.select(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).withColumn("input_snapshot", F.lit(snapshot))
+        stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
+        self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
+
+    def _build_group(self, out: Path, g: int, n_docs: int, snapshot: str):
+        t0 = time.time()
+        cfg = self.cfg
+        tok = self.spark.read.parquet(str(out / "tokens")).filter(F.col("group") == g)
+        # hot-term detection: the salting pre-pass (SURVEY §4.2.2)
+        hot = (
+            tok.groupBy("term")
+            .count()
+            .filter(F.col("count") > cfg.salt_threshold)
+            .select("term")
+        )
+        # doc_id-RANGE salt: ordered segments concatenate for free
+        salt_expr = (
+            F.col("doc_id") * cfg.n_salts / F.lit(max(n_docs, 1))
+        ).cast("int")
+        salted = tok.join(
+            F.broadcast(hot.withColumn("is_hot", F.lit(True))), "term", "left"
+        ).withColumn(
+            "salt",
+            F.when(F.col("is_hot"), salt_expr).otherwise(F.lit(0)).cast("int"),
+        ).drop("is_hot")
+
+        part = salted.repartition(F.col("term")).sortWithinPartitions(
+            "term", "salt", "doc_id"
+        )
+        postings = part.mapInPandas(
+            _encode_stream(cfg.block_size), schema=POSTINGS_SCHEMA
+        )
+        # sort by term → parquet min/max row-group stats make the query
+        # engine's term filter prune at scan time
+        postings.sortWithinPartitions("term", "salt").write.mode("overwrite").parquet(
+            str(out / "postings" / f"group={g}")
+        )
+        pb = self.spark.read.parquet(str(out / "postings" / f"group={g}"))
+        terms = pb.groupBy("term").agg(
+            F.sum("n_docs").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.count("*").alias("n_segments"),
+        )
+        terms.write.mode("overwrite").parquet(str(out / "terms" / f"group={g}"))
+        m = pb.select(
+            F.min("term").alias("lo"), F.max("term").alias("hi"),
+            F.count("*").alias("nseg"), F.sum("n_docs").alias("np"),
+            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin")) + F.sum(F.length("dls_bin"))).alias("bytes"),
+        ).first()
+        self._manifest_row(
+            out, stage="postings", group=g, snapshot=snapshot,
+            term_lo=m["lo"], term_hi=m["hi"], n_terms=m["nseg"],
+            n_postings=m["np"], nbytes=m["bytes"],
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+
+    def _manifest_row(
+        self, out: Path, *, stage: str, group: int, snapshot: str,
+        term_lo: str | None = None, term_hi: str | None = None,
+        n_terms: int | None = None, n_postings: int | None = None,
+        nbytes: int | None = None, wall_ms: int = 0,
+    ):
+        row = [(stage, group, term_lo, term_hi, n_terms, n_postings, nbytes, wall_ms, snapshot, "done")]
+        df = self.spark.createDataFrame(row, schema=MANIFEST_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))

@@ -1,0 +1,51 @@
+"""Plan-inspection helpers: assert the physical plan is the one we
+want (pushdown reached the scan, the join went broadcast, codegen
+spans the hot path) — used in tests so plan regressions fail CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """The scan node must show ``fragment`` in PushedFilters — i.e.
+    the predicate reached parquet, it is not a post-scan Filter."""
+    plan = explain_str(df)
+    assert "PushedFilters" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(fragment.lower() in l.lower() for l in pushed), (
+        f"filter {fragment!r} not pushed to scan:\n" + "\n".join(pushed)
+    )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def assert_read_schema_only(df: DataFrame, cols: set[str]) -> None:
+    """Column pruning check: the parquet ReadSchema must contain only
+    ``cols`` (a 2-column projection must not scan all columns)."""
+    plan = explain_str(df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+    assert read <= cols, f"scan reads {read - cols} beyond {cols}"
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    plan = explain_str(df, "simple")
+    return plan.count("WholeStageCodegen")

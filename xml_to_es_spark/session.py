@@ -40,4 +40,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of the
+    driver's cwd — the programmatic equivalent of
+    ``spark-submit --py-files xml_to_es_spark.zip`` (north_rule launch
+    mode). Idempotent per session."""
+    if getattr(spark, "_xml_to_es_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "xml_to_es_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in pkg_dir.rglob("*.py"):
+            z.write(p, arcname=str(Path("xml_to_es_spark") / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(str(zpath))
+    spark._xml_to_es_shipped = True

@@ -1,0 +1,89 @@
+"""Page-table sources: the engine's primary input per BASELINE.json
+input_hint — an Iceberg table of Common-Crawl-style pages
+(url, warc_ts, html binary, text, lang).
+
+``TableFormat`` seam (SURVEY.md §7): the sandbox has no Iceberg
+runtime jar and no network, so `read_pages` activates the Iceberg
+catalog path only when the runtime is on the classpath and falls back
+to a Parquet directory-table otherwise. All downstream code is
+format-agnostic (it sees a DataFrame).
+
+Reference parity: this replaces collectFiles/processFiles/gunzip/unzip
+(xml-to-es.js:660-699, 452-639, 398-435) — the catalog does directory
+drilling; Spark reads .gz transparently; the table is pre-split one
+page per row so the streaming splitter disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(
+    spark: SparkSession,
+    table_or_path: str,
+    langs: tuple[str, ...] | None = ("en",),
+    min_text_len: int = 1,
+) -> DataFrame:
+    """Read the pages table, with the predicate set every index build
+    wants pushed into the scan: lang whitelist + non-empty content.
+    Catalyst pushes both to Iceberg/Parquet (check .explain for
+    PushedFilters)."""
+    if "/" not in table_or_path and iceberg_available(spark):
+        df = spark.read.format("iceberg").load(table_or_path)
+    else:
+        df = spark.read.schema(PAGES_SCHEMA).parquet(table_or_path)
+    if langs:
+        df = df.filter(F.col("lang").isin(list(langs)))
+    if min_text_len:
+        # empty/whitespace-only docs skipped (reference
+        # xml-to-es.js:518-521)
+        df = df.filter(F.length(F.col("html")) >= min_text_len)
+    return df
+
+
+def write_pages(df: DataFrame, table_or_path: str, mode: str = "overwrite") -> None:
+    if "/" not in table_or_path and iceberg_available(df.sparkSession):
+        df.writeTo(table_or_path).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(table_or_path)
+
+
+def read_raw_files(
+    spark: SparkSession, path_glob: str, suffix: str | None = None
+) -> DataFrame:
+    """Corpus-prep source for file-shaped input (the reference's native
+    mode): whole files as (file, content) rows via binaryFile — the
+    splitter then runs distributed (one file per task). Suffix filter
+    ≙ the reference's `satisfies` extension predicate
+    (xml-to-es.js:677-681), pushed down via pathGlobFilter."""
+    reader = spark.read.format("binaryFile")
+    if suffix:
+        reader = reader.option("pathGlobFilter", f"*{suffix}")
+    df = reader.load(path_glob)
+    return df.select(
+        F.col("path").alias("file"),
+        F.decode(F.col("content"), "utf-8").alias("content"),
+    )
