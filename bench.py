@@ -1,0 +1,145 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Extra keys (informational): index_docs_per_sec, n_docs.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+    from xml_to_es_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .persist()
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. full inverted-index build (tokenize → salted varbyte postings)
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
+    cfg = IndexConfig(n_groups=4, salt_threshold=2000, n_salts=8)
+    timed("index_build", lambda: IndexBuilder(spark, cfg).build(docs, idx_dir))
+
+    # 2. BM25 top-10 over the compressed postings (batch of 6 queries)
+    eng = QueryEngine(spark, idx_dir)
+    timed(
+        "bm25_codec_topk",
+        lambda: eng.topk_distributed(entry.BM25_QUERIES, k=10).collect(),
+    )
+    # p50-ish single-query latency: median of the query set, one at a time
+    lat = []
+    for q in entry.BM25_QUERIES:
+        t0 = time.time()
+        eng.topk_distributed([q], k=10).collect()
+        lat.append(time.time() - t0)
+    timings["bm25_single_query_p50"] = round(sorted(lat)[len(lat) // 2], 3)
+
+    # 3. pure-DataFrame BM25 (the SQL-expressible twin)
+    from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
+
+    timed(
+        "bm25_dataframe",
+        lambda: bm25_topk_dataframe(docs, entry.BM25_QUERIES, k=10).collect(),
+    )
+
+    # 4. HTML extraction throughput (Arrow UDF over synthesized pages)
+    from xml_to_es_spark.functions.extract import extract_fields
+
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<HTML><head></head><body>"), F.col("text"), F.lit("</body></HTML>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+    timed("extract_fields", lambda: extract_fields(pages).count())
+
+    # 5. dedup: MinHash-LSH candidate pairs
+    from xml_to_es_spark.operators.dedup import minhash_lsh_pairs
+
+    full_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(full_docs).count())
+
+    # 6. ANN: brute-force cosine top-10 for 5 query vectors
+    from xml_to_es_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, q, k=10).collect())
+
+    # 7. text-quality scan (lang id + quality + fingerprint, one pass)
+    from xml_to_es_spark.functions.text_quality import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    timed(
+        "text_quality_scan",
+        lambda: full_docs.select(
+            "doc_id", lang_id("text").alias("l"), quality_score("text").alias("q"),
+            fingerprint("text").alias("f"),
+        ).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
