@@ -1,0 +1,90 @@
+"""Structured Streaming: incremental index deltas via foreachBatch and
+watermarked windowed metrics, driven synchronously with the memory
+sink / processAllAvailable pattern."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.query_engine import QueryEngine
+from xml_to_es_spark.streaming.incremental import (
+    crawl_rate_metrics,
+    incremental_index_query,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_incremental_index_foreachbatch(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "inc_index")
+    ck = str(tmp_path / "ck")
+
+    batch1 = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["spark shuffle join", "hash join batch"]}
+    )
+    spark.createDataFrame(batch1, DOCS_SCHEMA).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(src))
+    q = incremental_index_query(
+        spark, stream, out, IndexConfig(n_groups=1), checkpoint=ck
+    ).start()
+    q.processAllAvailable()
+
+    batch2 = pd.DataFrame({"doc_id": [2], "text": ["window agg stream join"]})
+    spark.createDataFrame(batch2, DOCS_SCHEMA).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+
+    import glob
+
+    deltas = sorted(glob.glob(f"{out}/delta_batch=*"))
+    assert len(deltas) >= 2
+    # each delta is a complete queryable index of its batch
+    eng = QueryEngine(spark, deltas[0])
+    res = eng.topk([(1, "join")], k=10).collect()
+    assert {r["doc_id"] for r in res} == {0, 1}
+
+
+def test_crawl_rate_metrics_watermarked(spark, tmp_path):
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:30", "2026-01-01 00:01:30", "2026-01-01 00:01:45"]
+            ),
+            "event_type": ["fetch", "fetch", "parse"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    spark.createDataFrame(pdf, schema).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = crawl_rate_metrics(stream, window="1 minute", slide="1 minute")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rates")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from rates").collect()
+    assert len(rows) >= 2
+    fetched = [r for r in rows if r["event_type"] == "fetch"]
+    assert sum(r["n"] for r in fetched) == 2

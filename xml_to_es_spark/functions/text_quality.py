@@ -105,11 +105,12 @@ def fingerprint(text_col: str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text_col)))))
 
 
-def rolling_hash(text_col: str, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash(text_col: str, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash over token md5s — a content-defined
     fingerprint with positional sensitivity, via aggregate (fold).
-    JVM-side; not oracle-checked (DuckDB lacks 64-bit modmul), kept
-    rows-only."""
+    JVM-side. Modulus is the Mersenne prime 2^31-1 so the fold's
+    ``acc*base + x`` stays within int64 under ANSI arithmetic
+    (acc < 2^31, base 257, x < 2^32 → < 2^41)."""
     toks = tokens_col(text_col)
     # per-token 32-bit value from md5 hex prefix
     tok_vals = F.transform(

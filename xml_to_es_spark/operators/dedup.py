@@ -97,19 +97,21 @@ def minhash_lsh_pairs(
     never a cross join."""
     sig = minhash_signatures(docs, text_col, key_col, n_perm, shingle_k)
     n_bands = n_perm // band_size
-    bands = []
+    # ONE pass over the signatures: inline an array of (band, bucket)
+    # structs instead of unioning n_bands re-computations of sig
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            sig.select(
-                F.col(key_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+    all_bands = sig.select(F.col(key_col), F.inline(F.array(*band_structs)))
+    # the self-join's two sides share this subplan; persist so the
+    # signature aggregation runs once (at scale: write sig to a table)
+    all_bands = all_bands.persist()
     a = all_bands.alias("a")
     bb = all_bands.alias("b")
     pairs = (

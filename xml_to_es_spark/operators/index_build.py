@@ -57,7 +57,7 @@ from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
 from xml_to_es_spark.operators.postings import encode_segment
 
 POSTINGS_SCHEMA = (
-    "term string, salt int, n_docs long, max_tf long, "
+    "group int, term string, salt int, n_docs long, max_tf long, "
     "block_last_doc array<long>, block_max_tf array<long>, "
     "block_min_dl array<long>, docs_bin binary, tfs_bin binary, dls_bin binary"
 )
@@ -84,14 +84,16 @@ def _encode_stream(cfg_block: int):
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        groups = pdf["group"].to_numpy()
         rows = []
         for s, e in zip(starts, ends):
             seg = encode_segment(doc_ids[s:e], tfs[s:e], dls[s:e], cfg_block)
             seg["term"] = terms[s]
             seg["salt"] = int(salts[s])
+            seg["group"] = int(groups[s])
             rows.append(seg)
         cols = [
-            "term", "salt", "n_docs", "max_tf", "block_last_doc",
+            "group", "term", "salt", "n_docs", "max_tf", "block_last_doc",
             "block_max_tf", "block_min_dl", "docs_bin", "tfs_bin", "dls_bin",
         ]
         return pd.DataFrame(rows, columns=cols)
@@ -215,6 +217,19 @@ class IndexBuilder:
         n_docs = self.spark.read.parquet(str(out / "stats")).first()["n_docs"]
 
         built = 0
+        per_group = resume or fail_after_groups is not None
+        if not per_group:
+            # fast path: all groups in ONE shuffle+encode job; the
+            # per-group path below exists for checkpoint-resume, where
+            # each group is an independently committed unit
+            self._build_all_groups(out, n_docs, snapshot)
+            built = self.cfg.n_groups
+            return {
+                "groups_built": built,
+                "snapshot": snapshot,
+                "wall_s": time.time() - t0,
+                "n_docs": int(n_docs),
+            }
         for g in range(self.cfg.n_groups):
             if ("postings", g) in done:
                 continue
@@ -245,18 +260,20 @@ class IndexBuilder:
         stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
 
-    def _build_group(self, out: Path, g: int, n_docs: int, snapshot: str):
-        t0 = time.time()
+    def _encode_postings(self, tok: DataFrame, n_docs: int) -> DataFrame:
+        """(doc_id, term, tf, dl, group) → encoded segments DataFrame.
+
+        Hot-term detection (the salting pre-pass, SURVEY §4.2.2) +
+        doc_id-RANGE salt (ordered segments concatenate for free) +
+        hash repartition on term + in-partition sort + streaming
+        varbyte encode."""
         cfg = self.cfg
-        tok = self.spark.read.parquet(str(out / "tokens")).filter(F.col("group") == g)
-        # hot-term detection: the salting pre-pass (SURVEY §4.2.2)
         hot = (
             tok.groupBy("term")
             .count()
             .filter(F.col("count") > cfg.salt_threshold)
             .select("term")
         )
-        # doc_id-RANGE salt: ordered segments concatenate for free
         salt_expr = (
             F.col("doc_id") * cfg.n_salts / F.lit(max(n_docs, 1))
         ).cast("int")
@@ -266,15 +283,55 @@ class IndexBuilder:
             "salt",
             F.when(F.col("is_hot"), salt_expr).otherwise(F.lit(0)).cast("int"),
         ).drop("is_hot")
-
         part = salted.repartition(F.col("term")).sortWithinPartitions(
             "term", "salt", "doc_id"
         )
-        postings = part.mapInPandas(
-            _encode_stream(cfg.block_size), schema=POSTINGS_SCHEMA
+        # in-partition sort by term → parquet min/max row-group stats
+        # let the query engine's term filter prune at scan time
+        return part.mapInPandas(_encode_stream(cfg.block_size), schema=POSTINGS_SCHEMA)
+
+    def _terms_and_manifest(
+        self, out: Path, pb: DataFrame, snapshot: str, wall_ms_total: int
+    ) -> None:
+        terms = pb.groupBy("group", "term").agg(
+            F.sum("n_docs").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.count("*").alias("n_segments"),
         )
-        # sort by term → parquet min/max row-group stats make the query
-        # engine's term filter prune at scan time
+        terms.write.mode("overwrite").partitionBy("group").parquet(str(out / "terms"))
+        stats = pb.groupBy("group").agg(
+            F.min("term").alias("lo"), F.max("term").alias("hi"),
+            F.count("*").alias("nseg"), F.sum("n_docs").alias("np"),
+            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))
+             + F.sum(F.length("dls_bin"))).alias("bytes"),
+        ).collect()
+        rows = [
+            ("postings", int(r["group"]), r["lo"], r["hi"], r["nseg"], r["np"],
+             r["bytes"], wall_ms_total, snapshot, "done")
+            for r in stats
+        ]
+        df = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+
+    def _build_all_groups(self, out: Path, n_docs: int, snapshot: str) -> None:
+        """Single-job stage 2: every group in one shuffle; postings land
+        partitioned by group so the on-disk layout (and any later
+        per-group rebuild/resume) is identical to the per-group path."""
+        t0 = time.time()
+        tok = self.spark.read.parquet(str(out / "tokens"))
+        postings = self._encode_postings(tok, n_docs)
+        postings.sortWithinPartitions("term", "salt").write.mode(
+            "overwrite"
+        ).partitionBy("group").parquet(str(out / "postings"))
+        pb = self.spark.read.parquet(str(out / "postings"))
+        self._terms_and_manifest(
+            out, pb, snapshot, int((time.time() - t0) * 1000)
+        )
+
+    def _build_group(self, out: Path, g: int, n_docs: int, snapshot: str):
+        t0 = time.time()
+        tok = self.spark.read.parquet(str(out / "tokens")).filter(F.col("group") == g)
+        postings = self._encode_postings(tok, n_docs).drop("group")
         postings.sortWithinPartitions("term", "salt").write.mode("overwrite").parquet(
             str(out / "postings" / f"group={g}")
         )
