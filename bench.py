@@ -93,8 +93,15 @@ def main():
     # 5. dedup: MinHash-LSH candidate pairs
     from xml_to_es_spark.operators.dedup import minhash_lsh_pairs
 
+    # band_size=8: the sf corpus has a ~31-word vocabulary, so docs are
+    # genuinely similar — 4-row bands would make candidate pairs explode
+    # (that is LSH semantics, not engine cost); 8-row bands keep the
+    # candidate set at the intended near-dup level
     full_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(full_docs).count())
+    timed(
+        "minhash_lsh_pairs",
+        lambda: minhash_lsh_pairs(full_docs, n_perm=16, band_size=8).count(),
+    )
 
     # 6. ANN: brute-force cosine top-10 for 5 query vectors
     from xml_to_es_spark.operators.similarity import cosine_topk

@@ -116,6 +116,27 @@ def test_rank_identity_vs_pyref(spark, corpus, index_dir):
     assert n_nonempty >= 20  # query set is mostly non-empty
 
 
+def test_wand_rank_identity(spark, corpus, index_dir):
+    """Block-max WAND over the real index: rank- and score-identical
+    to pyref on the reference query set."""
+    _, texts = corpus
+    ref = PyRefIndex(texts)
+    queries = fixtures.generate_queries()
+    qlist = list(zip(queries["query_id"], queries["query_text"]))
+    eng = QueryEngine(spark, index_dir)
+    got = eng.topk_wand(qlist, k=10).toPandas()
+    for qid, qtext in qlist:
+        expect = ref.topk(qtext, k=10)
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(g["doc_id"]) == [d for d, _ in expect], f"q{qid}: {qtext}"
+        if expect:
+            np.testing.assert_allclose(
+                g["score"].to_numpy(),
+                np.array([s for _, s in expect]),
+                rtol=0, atol=1e-9,
+            )
+
+
 def test_distributed_topk_agrees_on_ranks(spark, corpus, index_dir):
     _, texts = corpus
     queries = fixtures.generate_queries()

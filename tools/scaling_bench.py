@@ -6,7 +6,12 @@ same input; efficiency = (rate_32 / rate_8) / 4.
 Each level runs in a fresh subprocess (one JVM per master setting).
 Writes BENCH/scaling.json and prints a summary line.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage:
+    python tools/scaling_bench.py prep [n_docs]   # build the corpus once
+    python tools/scaling_bench.py run 8           # one parallelism level
+    python tools/scaling_bench.py run 32
+    python tools/scaling_bench.py report          # efficiency + BENCH/scaling.json
+(or `all [n_docs]` to do everything in one long process)
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ import subprocess
 import sys
 import tempfile
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+WORKDIR = os.environ.get("SCALING_WORKDIR", "/tmp/xml_to_es_scaling")
 
 CHILD = r"""
 import json, sys, tempfile, time
@@ -62,6 +67,7 @@ for c in chunks[1:]:
 docs = extract_fields(pages).selectExpr(
     "xxhash64(url) as doc_id", "text")
 docs.write.mode("overwrite").parquet(out)
+print("prep-done")
 spark.stop()
 """
 
@@ -71,28 +77,46 @@ def run_py(code: str, *args: str) -> str:
         [sys.executable, "-c", code, *args],
         capture_output=True, text=True, timeout=3600,
     )
-    if r.returncode != 0:
+    if r.returncode != 0 or not r.stdout.strip():
         sys.stderr.write(r.stderr[-4000:])
         raise SystemExit(f"child failed: {args}")
     return r.stdout.strip().splitlines()[-1]
 
 
-def main():
-    pages_path = tempfile.mkdtemp(prefix="scaling_corpus_") + "/docs"
-    print(f"preparing {N_DOCS} docs → {pages_path}", file=sys.stderr)
-    run_py(PREP, str(N_DOCS), pages_path)
+def _paths():
+    os.makedirs(WORKDIR, exist_ok=True)
+    return f"{WORKDIR}/docs", f"{WORKDIR}/meta.json"
 
-    results = {}
-    for cores in (8, 32):
-        print(f"running index build at local[{cores}]", file=sys.stderr)
-        results[cores] = json.loads(run_py(CHILD, str(cores), str(N_DOCS), pages_path))
 
-    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+def do_prep(n_docs: int):
+    pages_path, meta = _paths()
+    print(f"preparing {n_docs} docs → {pages_path}", file=sys.stderr)
+    run_py(PREP, str(n_docs), pages_path)
+    with open(meta, "w") as f:
+        json.dump({"n_docs": n_docs}, f)
+    print(json.dumps({"prep": n_docs}))
+
+
+def do_run(cores: int):
+    pages_path, meta = _paths()
+    n_docs = json.load(open(meta))["n_docs"]
+    res = json.loads(run_py(CHILD, str(cores), str(n_docs), pages_path))
+    with open(f"{WORKDIR}/run{cores}.json", "w") as f:
+        json.dump(res, f)
+    print(json.dumps(res))
+
+
+def do_report():
+    _, meta = _paths()
+    n_docs = json.load(open(meta))["n_docs"]
+    r8 = json.load(open(f"{WORKDIR}/run8.json"))
+    r32 = json.load(open(f"{WORKDIR}/run32.json"))
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
     out = {
-        "n_docs": N_DOCS,
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(results[32]["docs_per_sec"] / results[8]["docs_per_sec"], 3),
+        "n_docs": n_docs,
+        "local8": r8,
+        "local32": r32,
+        "speedup_8_to_32": round(r32["docs_per_sec"] / r8["docs_per_sec"], 3),
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "criterion": ">= 0.8",
         "passes": eff >= 0.8,
@@ -101,6 +125,23 @@ def main():
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd == "prep":
+        do_prep(int(sys.argv[2]) if len(sys.argv) > 2 else 60_000)
+    elif cmd == "run":
+        do_run(int(sys.argv[2]))
+    elif cmd == "report":
+        do_report()
+    elif cmd == "all":
+        do_prep(int(sys.argv[2]) if len(sys.argv) > 2 else 60_000)
+        do_run(8)
+        do_run(32)
+        do_report()
+    else:
+        raise SystemExit(f"unknown command {cmd}")
 
 
 if __name__ == "__main__":

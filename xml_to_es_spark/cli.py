@@ -1,0 +1,127 @@
+"""Command-line entry points, launched locally or via
+``spark-submit --py-files xml_to_es_spark.zip -m`` (north_rule launch
+mode). Mirrors the reference's two executables plus the query surface
+it delegates to ES:
+
+    convert.js  → python -m xml_to_es_spark.cli convert ...
+    indexFiles.js → python -m xml_to_es_spark.cli build ...
+    ES match query → python -m xml_to_es_spark.cli query ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from xml_to_es_spark.session import get_spark
+
+    return get_spark(app=f"xml_to_es_spark.{args.cmd}", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from pyspark.sql import functions as F
+
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.functions.extract import extract_fields
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.sources.pages import read_pages
+
+    spark = _spark(args)
+    cfg = IndexConfig(
+        n_groups=args.groups,
+        salt_threshold=args.salt_threshold,
+        n_salts=args.salts,
+    )
+    if args.input_format == "pages":
+        pages = read_pages(spark, args.input, langs=tuple(args.langs.split(",")))
+        docs = extract_fields(pages).select(
+            F.abs(F.xxhash64("url")).alias("doc_id"), "text", "url"
+        )
+    else:  # docs: (doc_id, text[, url]) parquet
+        docs = spark.read.parquet(args.input)
+    res = IndexBuilder(spark, cfg).build(docs, args.output, resume=args.resume)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    spark = _spark(args)
+    eng = QueryEngine(spark, args.index)
+    queries = [(i + 1, q) for i, q in enumerate(args.query)]
+    fn = eng.topk_distributed if args.distributed else eng.topk
+    for r in fn(queries, k=args.k).orderBy("query_id", "rank").collect():
+        print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "score")}))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """Reference convert pipeline: files of 1..N SGML/HTML docs →
+    mapped field documents → json/html/text sink."""
+    from xml_to_es_spark.functions.extract import extract_reuters
+    from xml_to_es_spark.sources import sinks
+    from xml_to_es_spark.sources.pages import read_raw_files
+
+    spark = _spark(args)
+    raw = read_raw_files(spark, args.input, suffix=args.ext)
+    docs = extract_reuters(raw)
+    sinks.write(docs.drop("date_raw"), args.fmt, args.output, n_files=args.n_files)
+    print(json.dumps({"docs": docs.count(), "output": args.output, "fmt": args.fmt}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Reference getDocumentCount parity: recount the index tables."""
+    spark = _spark(args)
+    stats = spark.read.parquet(f"{args.index}/stats").first().asDict()
+    man = spark.read.parquet(f"{args.index}/_manifest")
+    done = man.filter("stage = 'postings' and status = 'done'").count()
+    print(json.dumps({**{k: str(v) for k, v in stats.items()}, "groups_done": done}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="xml_to_es_spark")
+    p.add_argument("--cores", default="32")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--input-format", choices=["pages", "docs"], default="pages")
+    b.add_argument("--output", required=True)
+    b.add_argument("--langs", default="en")
+    b.add_argument("--groups", type=int, default=8)
+    b.add_argument("--salt-threshold", type=int, default=100_000)
+    b.add_argument("--salts", type=int, default=16)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--distributed", action="store_true")
+    q.add_argument("query", nargs="+")
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("convert", help="SGML/HTML files → mapped docs")
+    c.add_argument("--input", required=True)
+    c.add_argument("--ext", default=None)
+    c.add_argument("--fmt", choices=["json", "html", "text"], default="json")
+    c.add_argument("--output", required=True)
+    c.add_argument("--n-files", type=int, default=None)
+    c.set_defaults(fn=cmd_convert)
+
+    v = sub.add_parser("verify", help="recount index tables")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

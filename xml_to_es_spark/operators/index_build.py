@@ -59,7 +59,9 @@ from xml_to_es_spark.operators.postings import encode_segment
 POSTINGS_SCHEMA = (
     "group int, term string, salt int, n_docs long, max_tf long, "
     "block_last_doc array<long>, block_max_tf array<long>, "
-    "block_min_dl array<long>, docs_bin binary, tfs_bin binary, dls_bin binary"
+    "block_min_dl array<long>, block_doc_off array<long>, "
+    "block_tf_off array<long>, block_dl_off array<long>, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
 MANIFEST_SCHEMA = (
@@ -94,7 +96,8 @@ def _encode_stream(cfg_block: int):
             rows.append(seg)
         cols = [
             "group", "term", "salt", "n_docs", "max_tf", "block_last_doc",
-            "block_max_tf", "block_min_dl", "docs_bin", "tfs_bin", "dls_bin",
+            "block_max_tf", "block_min_dl", "block_doc_off", "block_tf_off",
+            "block_dl_off", "docs_bin", "tfs_bin", "dls_bin",
         ]
         return pd.DataFrame(rows, columns=cols)
 
@@ -146,6 +149,13 @@ class IndexBuilder:
         return tf.withColumn(
             "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
         )
+
+    def new_docs_only(self, docs: DataFrame, index_dir: str) -> DataFrame:
+        """Incremental-build filter: docs not yet in the index (anti
+        join on doc_id against the docs side table — SURVEY §2.4;
+        the reference gets this by PUT-by-id idempotence, ES side)."""
+        existing = self.spark.read.parquet(f"{index_dir}/docs").select("doc_id")
+        return docs.join(existing, "doc_id", "left_anti")
 
     def _snapshot(self, docs: DataFrame) -> str:
         """Cheap deterministic input lineage key (Iceberg snapshot id
@@ -214,7 +224,9 @@ class IndexBuilder:
                 out, stage="tokens", group=-1, snapshot=snapshot,
                 wall_ms=int((time.time() - t0) * 1000),
             )
-        n_docs = self.spark.read.parquet(str(out / "stats")).first()["n_docs"]
+        st = self.spark.read.parquet(str(out / "stats")).first()
+        n_docs = st["n_docs"]
+        id_range = (int(st["min_doc"]), int(st["max_doc"]))
 
         built = 0
         per_group = resume or fail_after_groups is not None
@@ -222,7 +234,7 @@ class IndexBuilder:
             # fast path: all groups in ONE shuffle+encode job; the
             # per-group path below exists for checkpoint-resume, where
             # each group is an independently committed unit
-            self._build_all_groups(out, n_docs, snapshot)
+            self._build_all_groups(out, id_range, snapshot)
             built = self.cfg.n_groups
             return {
                 "groups_built": built,
@@ -235,7 +247,7 @@ class IndexBuilder:
                 continue
             if fail_after_groups is not None and built >= fail_after_groups:
                 raise RuntimeError(f"injected failure after {built} groups")
-            self._build_group(out, g, n_docs, snapshot)
+            self._build_group(out, g, id_range, snapshot)
             built += 1
         return {
             "groups_built": built,
@@ -252,15 +264,23 @@ class IndexBuilder:
         )
         d.write.mode("overwrite").parquet(str(out / "docs"))
         dd = self.spark.read.parquet(str(out / "docs"))
-        stats = dd.select(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
-        ).withColumn("input_snapshot", F.lit(snapshot))
+        stats = (
+            dd.select(
+                F.count("*").alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total_tokens"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .withColumn("input_snapshot", F.lit(snapshot))
+            .withColumn("block_size", F.lit(self.cfg.block_size))
+        )
         stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
 
-    def _encode_postings(self, tok: DataFrame, n_docs: int) -> DataFrame:
+    def _encode_postings(
+        self, tok: DataFrame, min_doc: int, max_doc: int
+    ) -> DataFrame:
         """(doc_id, term, tf, dl, group) → encoded segments DataFrame.
 
         Hot-term detection (the salting pre-pass, SURVEY §4.2.2) +
@@ -274,8 +294,13 @@ class IndexBuilder:
             .filter(F.col("count") > cfg.salt_threshold)
             .select("term")
         )
-        salt_expr = (
-            F.col("doc_id") * cfg.n_salts / F.lit(max(n_docs, 1))
+        # doc_id-range bucket, overflow-free for arbitrary int64 ids
+        # (e.g. xxhash64(url)): monotone double math → floor, so salt
+        # segments stay ordered, disjoint doc ranges
+        span = float(max_doc) - float(min_doc) + 1.0
+        salt_expr = F.floor(
+            (F.col("doc_id").cast("double") - F.lit(float(min_doc)))
+            * F.lit(float(cfg.n_salts) / span)
         ).cast("int")
         salted = tok.join(
             F.broadcast(hot.withColumn("is_hot", F.lit(True))), "term", "left"
@@ -313,13 +338,13 @@ class IndexBuilder:
         df = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
 
-    def _build_all_groups(self, out: Path, n_docs: int, snapshot: str) -> None:
+    def _build_all_groups(self, out: Path, id_range: tuple, snapshot: str) -> None:
         """Single-job stage 2: every group in one shuffle; postings land
         partitioned by group so the on-disk layout (and any later
         per-group rebuild/resume) is identical to the per-group path."""
         t0 = time.time()
         tok = self.spark.read.parquet(str(out / "tokens"))
-        postings = self._encode_postings(tok, n_docs)
+        postings = self._encode_postings(tok, *id_range)
         postings.sortWithinPartitions("term", "salt").write.mode(
             "overwrite"
         ).partitionBy("group").parquet(str(out / "postings"))
@@ -328,10 +353,10 @@ class IndexBuilder:
             out, pb, snapshot, int((time.time() - t0) * 1000)
         )
 
-    def _build_group(self, out: Path, g: int, n_docs: int, snapshot: str):
+    def _build_group(self, out: Path, g: int, id_range: tuple, snapshot: str):
         t0 = time.time()
         tok = self.spark.read.parquet(str(out / "tokens")).filter(F.col("group") == g)
-        postings = self._encode_postings(tok, n_docs).drop("group")
+        postings = self._encode_postings(tok, *id_range).drop("group")
         postings.sortWithinPartitions("term", "salt").write.mode("overwrite").parquet(
             str(out / "postings" / f"group={g}")
         )

@@ -23,15 +23,22 @@ DEFAULT_BLOCK_SIZE = 128
 _MAX_VARBYTE_LEN = 10  # 64 bits / 7
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (for block offset tables)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for j in range(1, _MAX_VARBYTE_LEN):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    return nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode non-negative int64/uint64 values, 7 bits per byte,
     little-endian groups, high bit = continuation."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for j in range(1, _MAX_VARBYTE_LEN):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    nbytes = varbyte_lengths(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -100,16 +107,36 @@ def encode_segment(
     li = np.pad(dls, (0, pad), constant_values=np.iinfo(np.int64).max).reshape(
         nblocks, block_size
     )
+    # per-block byte offsets → blocks decode independently (lazy
+    # block-max WAND skipping never touches skipped bytes)
+    def block_offsets(vals: np.ndarray) -> list[int]:
+        ends = np.cumsum(varbyte_lengths(vals))
+        starts = np.concatenate([[0], ends[:-1]])
+        return starts[::block_size].astype(np.int64).tolist()
+
     return {
         "n_docs": int(n),
         "max_tf": int(tfs.max()),
         "block_last_doc": di[:, -1].astype(np.int64).tolist(),
         "block_max_tf": ti.max(axis=1).astype(np.int64).tolist(),
         "block_min_dl": li.min(axis=1).astype(np.int64).tolist(),
+        "block_doc_off": block_offsets(deltas),
+        "block_tf_off": block_offsets(tfs.astype(np.uint64)),
+        "block_dl_off": block_offsets(dls.astype(np.uint64)),
         "docs_bin": varbyte_encode(deltas),
         "tfs_bin": varbyte_encode(tfs.astype(np.uint64)),
         "dls_bin": varbyte_encode(dls.astype(np.uint64)),
     }
+
+
+def decode_block(
+    data: bytes, offsets: list[int], b: int, n_total: int, block_size: int
+) -> np.ndarray:
+    """Decode one block's values without touching other blocks."""
+    start = offsets[b]
+    end = offsets[b + 1] if b + 1 < len(offsets) else len(data)
+    n = min(block_size, n_total - b * block_size)
+    return varbyte_decode(data[start:end], n)
 
 
 def decode_segment(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -127,6 +127,8 @@ class QueryEngine:
         st = spark.read.parquet(f"{index_dir}/stats").first()
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
+        d = st.asDict()
+        self.block_size = int(d.get("block_size") or 128)
 
     # -- term metadata -----------------------------------------------------
 
@@ -151,24 +153,9 @@ class QueryEngine:
         pinned deterministic summation order (rank-identical and
         score-bit-equal to pyref).
         """
-        qterms = []  # (query_id, term)
-        for qid, text in queries:
-            for t in sorted(set(tokenize(text))):
-                qterms.append((qid, t))
-        if not qterms:
+        matched = self._matched_segments(queries)
+        if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        all_terms = sorted({t for _, t in qterms})
-        dfs = self.term_stats(all_terms)
-        present = [(qid, t, _idf(self.n_docs, dfs[t])) for qid, t in qterms if t in dfs]
-        if not present:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        qdf = self.spark.createDataFrame(
-            present, schema="query_id long, term string, idf double"
-        )
-        postings = self.spark.read.parquet(f"{self.dir}/postings").filter(
-            F.col("term").isin([t for t in dfs])
-        )
-        matched = postings.join(F.broadcast(qdf), "term")
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self.avgdl),
             schema=CONTRIB_SCHEMA,
@@ -176,6 +163,73 @@ class QueryEngine:
         return contribs.groupBy("query_id").applyInPandas(
             _topk_reduce(k), schema=TOPK_SCHEMA
         )
+
+    def topk_wand(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+        """Block-max WAND path: one doc-at-a-time evaluation per query
+        (queries parallelize across tasks), skipping blocks whose
+        upper bound cannot beat the running threshold — skipped blocks
+        are never decompressed. Rank-identical to topk()."""
+        matched = self._matched_segments(queries)
+        if matched is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        k1, b, avgdl, bs = self.cfg.k1, self.cfg.b, self.avgdl, self.block_size
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            from xml_to_es_spark.operators.wand import wand_topk
+
+            entries: dict[str, dict] = {}
+            for r in pdf.itertuples(index=False):
+                e = entries.setdefault(
+                    r.term, {"term": r.term, "idf": float(r.idf), "segments": []}
+                )
+                e["segments"].append(
+                    {
+                        "salt": int(r.salt),
+                        "n_docs": int(r.n_docs),
+                        "block_last_doc": list(r.block_last_doc),
+                        "block_max_tf": list(r.block_max_tf),
+                        "block_min_dl": list(r.block_min_dl),
+                        "block_doc_off": list(r.block_doc_off),
+                        "block_tf_off": list(r.block_tf_off),
+                        "block_dl_off": list(r.block_dl_off),
+                        "docs_bin": r.docs_bin,
+                        "tfs_bin": r.tfs_bin,
+                        "dls_bin": r.dls_bin,
+                    }
+                )
+            hits = wand_topk(list(entries.values()), k, k1, b, avgdl, bs)
+            qid = int(pdf["query_id"].iat[0])
+            return pd.DataFrame(
+                {
+                    "query_id": np.full(len(hits), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
+                    "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+                    "score": np.array([s for _, s in hits], dtype=np.float64),
+                }
+            )
+
+        return matched.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)
+
+    def _matched_segments(self, queries: list[tuple[int, str]]) -> DataFrame | None:
+        """Shared front half: postings segments term-pruned and joined
+        to the broadcast (query_id, term, idf) table."""
+        qterms = []
+        for qid, text in queries:
+            for t in sorted(set(tokenize(text))):
+                qterms.append((qid, t))
+        if not qterms:
+            return None
+        dfs = self.term_stats(sorted({t for _, t in qterms}))
+        present = [(qid, t, _idf(self.n_docs, dfs[t])) for qid, t in qterms if t in dfs]
+        if not present:
+            return None
+        qdf = self.spark.createDataFrame(
+            present, schema="query_id long, term string, idf double"
+        )
+        postings = self.spark.read.parquet(f"{self.dir}/postings").filter(
+            F.col("term").isin(list(dfs))
+        )
+        return postings.join(F.broadcast(qdf), "term")
 
     def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
@@ -186,23 +240,10 @@ class QueryEngine:
         throughput, topk() for rank-audits."""
         from pyspark.sql import Window as W
 
-        qterms = []
-        for qid, text in queries:
-            for t in sorted(set(tokenize(text))):
-                qterms.append((qid, t))
-        if not qterms:
+        matched = self._matched_segments(queries)
+        if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        dfs = self.term_stats(sorted({t for _, t in qterms}))
-        present = [(qid, t, _idf(self.n_docs, dfs[t])) for qid, t in qterms if t in dfs]
-        if not present:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        qdf = self.spark.createDataFrame(
-            present, schema="query_id long, term string, idf double"
-        )
-        postings = self.spark.read.parquet(f"{self.dir}/postings").filter(
-            F.col("term").isin([t for t in dfs])
-        )
-        contribs = postings.join(F.broadcast(qdf), "term").mapInPandas(
+        contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self.avgdl),
             schema=CONTRIB_SCHEMA,
         )
