@@ -149,6 +149,51 @@ def _q_extract_roundtrip(spark, sf):
     )
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _codec_index(spark, sf):
+    """Build (once per sf per process) the real compressed-postings
+    index for the codec/WAND query entries."""
+    if sf not in _INDEX_CACHE:
+        import tempfile
+
+        from xml_to_es_spark.config import IndexConfig
+        from xml_to_es_spark.operators.index_build import IndexBuilder
+
+        out = tempfile.mkdtemp(prefix="entry_idx_") + "/index"
+        docs = _docs(spark, sf).select("doc_id", "text")
+        IndexBuilder(
+            spark, IndexConfig(n_groups=2, salt_threshold=200, n_salts=4)
+        ).build(docs, out)
+        _INDEX_CACHE[sf] = out
+    return _INDEX_CACHE[sf]
+
+
+def _q_bm25_wand(spark, sf):
+    """The flagship codec path: delta+varbyte postings + block-max
+    WAND — same oracle SQL as the DataFrame BM25 (rank identity)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.topk_wand(BM25_QUERIES, k=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_doc_id_assignment(spark, sf):
+    from xml_to_es_spark.operators.doc_ids import assign_doc_ids
+
+    docs = _docs(spark, sf).select("doc_id", F.md5("text").alias("k"))
+    return assign_doc_ids(docs, key="k", out_col="rank_id").select(
+        "doc_id", "rank_id"
+    )
+
+
 def _q_exact_dedup(spark, sf):
     from xml_to_es_spark.operators.dedup import exact_dedup
 
@@ -309,6 +354,41 @@ def _q_events_daily(spark, sf):
     )
 
 
+def _q_events_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+def _q_sessionize(spark, sf):
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def _q_events_pivot(spark, sf):
+    e = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -316,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_top100": _q_term_df,
         "term_tf_top100": _q_term_tf,
         "bm25_topk": _q_bm25,
+        "bm25_wand_codec_topk": _q_bm25_wand,
+        "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
         "exact_dedup": _q_exact_dedup,
         "fingerprints": _q_fingerprints,
@@ -333,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "events_daily": _q_events_daily,
+        "events_json_extract": _q_events_json,
+        "sessionize": _q_sessionize,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -440,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": f"""
 SELECT count(*) AS n_docs, round(avg(len({TOK})), 6) AS avgdl,
-       sum(len({TOK})) AS total_tokens FROM documents
+       sum(len({TOK}))::BIGINT AS total_tokens FROM documents
 """,
         "token_counts": f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df_top100": f"""
@@ -454,6 +539,11 @@ SELECT term, count(*) AS tf FROM (
 GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_wand_codec_topk": _bm25_sql(),
+        "doc_id_assignment": """
+SELECT doc_id, row_number() OVER (ORDER BY md5(text)) - 1 AS rank_id
+FROM documents
+""",
         "extract_roundtrip": "SELECT doc_id, text AS extracted_text FROM documents",
         "exact_dedup": """
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
@@ -542,5 +632,28 @@ WHERE rank <= 3
 SELECT date_trunc('day', ts)::DATE AS day, event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_json_extract": """
+SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "sessionize": """
+SELECT user_id,
+       sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events)
+GROUP BY user_id
+""",
+        "events_pivot": """
+SELECT date_trunc('day', ts)::DATE AS day,
+  round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+  round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+  round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+  round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+  round(sum(value) FILTER (event_type = 'view'), 4) AS view
+FROM events GROUP BY 1
 """,
     }

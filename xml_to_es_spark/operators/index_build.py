@@ -211,8 +211,6 @@ class IndexBuilder:
         out.mkdir(parents=True, exist_ok=True)
 
         t0 = time.time()
-        if ("docs", -1) not in done:
-            self._build_docs_and_stats(docs, out, snapshot)
         if ("tokens", -1) not in done:
             tok = self.tokenized(docs)
             # ONE shuffle (the groupBy); written partitioned by group so
@@ -224,6 +222,10 @@ class IndexBuilder:
                 out, stage="tokens", group=-1, snapshot=snapshot,
                 wall_ms=int((time.time() - t0) * 1000),
             )
+        if ("docs", -1) not in done:
+            # doc lengths come from the tokens table — text is
+            # tokenized exactly ONCE per build
+            self._build_docs_and_stats(docs, out, snapshot)
         st = self.spark.read.parquet(str(out / "stats")).first()
         n_docs = st["n_docs"]
         id_range = (int(st["min_doc"]), int(st["max_doc"]))
@@ -257,11 +259,19 @@ class IndexBuilder:
         }
 
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
-        d = docs.select(
-            "doc_id",
-            *(["url"] if "url" in docs.columns else []),
-            doc_len_col(tokens_col("text")).alias("doc_len"),
+        # doc_len from the already-written tokens table (no second
+        # tokenize pass); left join keeps zero-token docs at length 0,
+        # and the docs scan here prunes to (doc_id[, url]) — the text
+        # column is never read again
+        dl = (
+            self.spark.read.parquet(str(out / "tokens"))
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("doc_len"))
         )
+        base = docs.select(
+            "doc_id", *(["url"] if "url" in docs.columns else [])
+        )
+        d = base.join(dl, "doc_id", "left").fillna({"doc_len": 0})
         d.write.mode("overwrite").parquet(str(out / "docs"))
         dd = self.spark.read.parquet(str(out / "docs"))
         stats = (
