@@ -6,28 +6,31 @@ Spark job per BASELINE.json north_rule.
 Physical plan (designed for 10^12 docs / 1000 executors; tested on
 local[32]):
 
-  stage 0  docs+stats     docs_df → (doc_id, doc_len) side table +
-                          (N, avgdl, input_snapshot) — one scan, one
-                          tiny agg.
-  stage 1  tokens         tokenize (JVM regexp) → explode →
-                          groupBy(doc_id, term).count() (map-side
-                          partial agg) → written partitioned by
-                          group = pmod(xxhash64(term), n_groups).
-                          ONE shuffle; the parquet write IS the
-                          checkpoint.
-  stage 2  per group      read tokens/group=g (partition-pruned) →
-                          hot-term detection → salt assignment →
+  stage 1  tokens         tokenize (JVM regexp, the ONLY pass over
+                          text) → explode → groupBy(doc_id, term)
+                          .count() (map-side partial agg) → written
+                          partitioned by group = pmod(xxhash64(term),
+                          n_groups). ONE shuffle; the parquet write
+                          IS the checkpoint.
+  stage 2  docs+stats     doc lengths derived from the tokens table
+                          (left join keeps zero-token docs); stats =
+                          (N, avgdl, min/max doc, input_snapshot).
+  stage 3  encode         default: ALL groups in one job — hot-term
+                          detection → salt assignment →
                           repartition(term) + sortWithinPartitions
                           (term, salt, doc_id) → streaming varbyte
                           encode in mapInPandas (cross-batch carry —
                           a posting list never has to fit in one
                           Arrow batch) → postings/group=g + terms
-                          dictionary + _manifest row.
+                          dictionary + per-group _manifest rows.
+                          Resume runs group-at-a-time instead (each
+                          group an independently committed unit).
 
 Skew (north_rule "salted skew handling for hot terms"): a term with
 df > salt_threshold (the Zipf head — at CC scale a stopword's posting
 list has ~10^11 entries) is split into n_salts doc_id-RANGE segments
-(salt = doc_id * n_salts // N). Each segment delta-encodes
+(overflow-free double bucketing over [min_doc, max_doc], so hashed
+int64 doc ids work). Each segment delta-encodes
 independently; because salts partition the doc_id space in order, the
 full posting list is the ordered concatenation of its salt segments —
 merge is free at query time, and no single reducer ever materializes
@@ -57,7 +60,7 @@ from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
 from xml_to_es_spark.operators.postings import encode_segment
 
 POSTINGS_SCHEMA = (
-    "group int, term string, salt int, n_docs long, max_tf long, "
+    "group int, term string, salt int, n_docs long, max_tf long, seg_bytes long, "
     "block_last_doc array<long>, block_max_tf array<long>, "
     "block_min_dl array<long>, block_doc_off array<long>, "
     "block_tf_off array<long>, block_dl_off array<long>, "
@@ -95,9 +98,10 @@ def _encode_stream(cfg_block: int):
             seg["group"] = int(groups[s])
             rows.append(seg)
         cols = [
-            "group", "term", "salt", "n_docs", "max_tf", "block_last_doc",
-            "block_max_tf", "block_min_dl", "block_doc_off", "block_tf_off",
-            "block_dl_off", "docs_bin", "tfs_bin", "dls_bin",
+            "group", "term", "salt", "n_docs", "max_tf", "seg_bytes",
+            "block_last_doc", "block_max_tf", "block_min_dl",
+            "block_doc_off", "block_tf_off", "block_dl_off",
+            "docs_bin", "tfs_bin", "dls_bin",
         ]
         return pd.DataFrame(rows, columns=cols)
 
@@ -195,7 +199,15 @@ class IndexBuilder:
         resume: bool,
         fail_after_groups: int | None,
     ) -> dict:
+        phases: dict[str, float] = {}
+        # single-pass builds buffer manifest rows and write once (each
+        # tiny parquet write costs ~1.3s of fixed committer latency);
+        # per-group resume builds keep durable per-unit writes
+        self._defer_manifest = not (resume or fail_after_groups is not None)
+        self._pending_manifest = []
+        t_snap = time.time()
         snapshot = self._snapshot(docs)
+        phases["snapshot_s"] = round(time.time() - t_snap, 2)
         done: set[tuple[str, int]] = set()
         if resume and (out / "_manifest").exists():
             man = self.spark.read.parquet(str(out / "_manifest"))
@@ -212,6 +224,7 @@ class IndexBuilder:
 
         t0 = time.time()
         if ("tokens", -1) not in done:
+            t_tok = time.time()
             tok = self.tokenized(docs)
             # ONE shuffle (the groupBy); written partitioned by group so
             # stage-2 reads are partition-pruned per checkpoint unit
@@ -222,10 +235,13 @@ class IndexBuilder:
                 out, stage="tokens", group=-1, snapshot=snapshot,
                 wall_ms=int((time.time() - t0) * 1000),
             )
+            phases["tokens_s"] = round(time.time() - t_tok, 2)
         if ("docs", -1) not in done:
             # doc lengths come from the tokens table — text is
             # tokenized exactly ONCE per build
+            t_ds = time.time()
             self._build_docs_and_stats(docs, out, snapshot)
+            phases["docs_stats_s"] = round(time.time() - t_ds, 2)
         st = self.spark.read.parquet(str(out / "stats")).first()
         n_docs = st["n_docs"]
         id_range = (int(st["min_doc"]), int(st["max_doc"]))
@@ -236,13 +252,17 @@ class IndexBuilder:
             # fast path: all groups in ONE shuffle+encode job; the
             # per-group path below exists for checkpoint-resume, where
             # each group is an independently committed unit
+            t_g = time.time()
             self._build_all_groups(out, id_range, snapshot)
+            phases["groups_s"] = round(time.time() - t_g, 2)
+            self._flush_manifest(out)
             built = self.cfg.n_groups
             return {
                 "groups_built": built,
                 "snapshot": snapshot,
                 "wall_s": time.time() - t0,
                 "n_docs": int(n_docs),
+                "phases": phases,
             }
         for g in range(self.cfg.n_groups):
             if ("postings", g) in done:
@@ -328,23 +348,30 @@ class IndexBuilder:
     def _terms_and_manifest(
         self, out: Path, pb: DataFrame, snapshot: str, wall_ms_total: int
     ) -> None:
+        # ONE narrow scan of the postings (seg_bytes is a column, so
+        # the binary payloads are never re-read): terms dictionary,
+        # then per-group manifest stats from the terms table itself
         terms = pb.groupBy("group", "term").agg(
             F.sum("n_docs").alias("df"),
             F.max("max_tf").alias("max_tf"),
             F.count("*").alias("n_segments"),
+            F.sum("seg_bytes").alias("bytes"),
         )
         terms.write.mode("overwrite").partitionBy("group").parquet(str(out / "terms"))
-        stats = pb.groupBy("group").agg(
+        td = self.spark.read.parquet(str(out / "terms"))
+        stats = td.groupBy("group").agg(
             F.min("term").alias("lo"), F.max("term").alias("hi"),
-            F.count("*").alias("nseg"), F.sum("n_docs").alias("np"),
-            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))
-             + F.sum(F.length("dls_bin"))).alias("bytes"),
+            F.sum("n_segments").alias("nseg"), F.sum("df").alias("np"),
+            F.sum("bytes").alias("bytes"),
         ).collect()
         rows = [
             ("postings", int(r["group"]), r["lo"], r["hi"], r["nseg"], r["np"],
              r["bytes"], wall_ms_total, snapshot, "done")
             for r in stats
         ]
+        if getattr(self, "_defer_manifest", False):
+            self._pending_manifest.extend(rows)
+            return
         df = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
 
@@ -358,10 +385,15 @@ class IndexBuilder:
         postings.sortWithinPartitions("term", "salt").write.mode(
             "overwrite"
         ).partitionBy("group").parquet(str(out / "postings"))
+        t_enc = time.time()
         pb = self.spark.read.parquet(str(out / "postings"))
         self._terms_and_manifest(
             out, pb, snapshot, int((time.time() - t0) * 1000)
         )
+        self.last_group_timings = {
+            "encode_write_s": round(t_enc - t0, 2),
+            "terms_manifest_s": round(time.time() - t_enc, 2),
+        }
 
     def _build_group(self, out: Path, g: int, id_range: tuple, snapshot: str):
         t0 = time.time()
@@ -375,12 +407,14 @@ class IndexBuilder:
             F.sum("n_docs").alias("df"),
             F.max("max_tf").alias("max_tf"),
             F.count("*").alias("n_segments"),
+            F.sum("seg_bytes").alias("bytes"),
         )
         terms.write.mode("overwrite").parquet(str(out / "terms" / f"group={g}"))
-        m = pb.select(
+        td = self.spark.read.parquet(str(out / "terms" / f"group={g}"))
+        m = td.select(
             F.min("term").alias("lo"), F.max("term").alias("hi"),
-            F.count("*").alias("nseg"), F.sum("n_docs").alias("np"),
-            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin")) + F.sum(F.length("dls_bin"))).alias("bytes"),
+            F.sum("n_segments").alias("nseg"), F.sum("df").alias("np"),
+            F.sum("bytes").alias("bytes"),
         ).first()
         self._manifest_row(
             out, stage="postings", group=g, snapshot=snapshot,
@@ -395,6 +429,16 @@ class IndexBuilder:
         n_terms: int | None = None, n_postings: int | None = None,
         nbytes: int | None = None, wall_ms: int = 0,
     ):
-        row = [(stage, group, term_lo, term_hi, n_terms, n_postings, nbytes, wall_ms, snapshot, "done")]
-        df = self.spark.createDataFrame(row, schema=MANIFEST_SCHEMA)
+        row = (stage, group, term_lo, term_hi, n_terms, n_postings, nbytes, wall_ms, snapshot, "done")
+        if getattr(self, "_defer_manifest", False):
+            self._pending_manifest.append(row)
+            return
+        df = self.spark.createDataFrame([row], schema=MANIFEST_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+
+    def _flush_manifest(self, out: Path):
+        if not getattr(self, "_pending_manifest", None):
+            return
+        df = self.spark.createDataFrame(self._pending_manifest, schema=MANIFEST_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+        self._pending_manifest = []

@@ -114,18 +114,22 @@ def encode_segment(
         starts = np.concatenate([[0], ends[:-1]])
         return starts[::block_size].astype(np.int64).tolist()
 
+    docs_bin = varbyte_encode(deltas)
+    tfs_bin = varbyte_encode(tfs.astype(np.uint64))
+    dls_bin = varbyte_encode(dls.astype(np.uint64))
     return {
         "n_docs": int(n),
         "max_tf": int(tfs.max()),
+        "seg_bytes": len(docs_bin) + len(tfs_bin) + len(dls_bin),
         "block_last_doc": di[:, -1].astype(np.int64).tolist(),
         "block_max_tf": ti.max(axis=1).astype(np.int64).tolist(),
         "block_min_dl": li.min(axis=1).astype(np.int64).tolist(),
         "block_doc_off": block_offsets(deltas),
         "block_tf_off": block_offsets(tfs.astype(np.uint64)),
         "block_dl_off": block_offsets(dls.astype(np.uint64)),
-        "docs_bin": varbyte_encode(deltas),
-        "tfs_bin": varbyte_encode(tfs.astype(np.uint64)),
-        "dls_bin": varbyte_encode(dls.astype(np.uint64)),
+        "docs_bin": docs_bin,
+        "tfs_bin": tfs_bin,
+        "dls_bin": dls_bin,
     }
 
 
