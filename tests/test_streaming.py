@@ -54,6 +54,43 @@ def test_incremental_index_foreachbatch(spark, tmp_path):
     assert {r["doc_id"] for r in res} == {0, 1}
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    from xml_to_es_spark.streaming.stateful import running_source_totals
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    b1 = pd.DataFrame({"source": ["a", "a", "b"], "n_tokens": [10, 20, 5]})
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        running_source_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals")
+        .option("checkpointLocation", str(tmp_path / "st_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = pd.DataFrame({"source": ["a"], "n_tokens": [7]})
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from totals").collect()
+    a_rows = sorted(
+        [r for r in rows if r["source"] == "a"], key=lambda r: r["total_docs"]
+    )
+    # state carried across micro-batches: totals accumulate
+    assert a_rows[-1]["total_docs"] == 3 and a_rows[-1]["total_tokens"] == 37
+    b_rows = [r for r in rows if r["source"] == "b"]
+    assert b_rows[-1]["total_tokens"] == 5
+
+
 def test_crawl_rate_metrics_watermarked(spark, tmp_path):
     src = tmp_path / "ev_src"
     src.mkdir()

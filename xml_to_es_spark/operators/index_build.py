@@ -304,6 +304,7 @@ class IndexBuilder:
             )
             .withColumn("input_snapshot", F.lit(snapshot))
             .withColumn("block_size", F.lit(self.cfg.block_size))
+            .withColumn("n_groups", F.lit(self.cfg.n_groups))
         )
         stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)

@@ -129,19 +129,37 @@ class QueryEngine:
         self.avgdl = float(st["avgdl"])
         d = st.asDict()
         self.block_size = int(d.get("block_size") or 128)
+        self.n_groups = int(d.get("n_groups") or 0)
 
     # -- term metadata -----------------------------------------------------
 
+    def term_groups(self, terms: list[str]) -> dict[str, int]:
+        """term → checkpoint group (same hash the build used) — lets
+        every index read prune to the group partition DIRECTORIES the
+        query terms live in, not just parquet row groups. One tiny
+        Spark job (the hash must be Spark's xxhash64, computed where
+        the build computed it)."""
+        if not terms or not self.n_groups:
+            return {}
+        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = df.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(self.n_groups)).cast("int").alias("g")
+        ).collect()
+        return {r["term"]: int(r["g"]) for r in rows}
+
+    def _pruned(self, path: str, terms: list[str]) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        groups = self.term_groups(terms)
+        if groups:
+            df = df.filter(F.col("group").isin(sorted(set(groups.values()))))
+        return df.filter(F.col("term").isin(terms))
+
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """term → df, via a pruned scan of the terms dictionary."""
+        """term → df, via a group- and term-pruned scan of the terms
+        dictionary."""
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(f"{self.dir}/terms")
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
+        rows = self._pruned(f"{self.dir}/terms", terms).select("term", "df").collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
     # -- query -------------------------------------------------------------
@@ -226,9 +244,7 @@ class QueryEngine:
         qdf = self.spark.createDataFrame(
             present, schema="query_id long, term string, idf double"
         )
-        postings = self.spark.read.parquet(f"{self.dir}/postings").filter(
-            F.col("term").isin(list(dfs))
-        )
+        postings = self._pruned(f"{self.dir}/postings", list(dfs))
         return postings.join(F.broadcast(qdf), "term")
 
     def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
