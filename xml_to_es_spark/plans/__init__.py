@@ -47,5 +47,10 @@ def assert_read_schema_only(df: DataFrame, cols: set[str]) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    plan = explain_str(df, "simple")
-    return plan.count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans (formatted plan shows them
+    as 'WholeStageCodegen (N)'; simple mode only marks them '*(N)')."""
+    plan = explain_str(df, "formatted")
+    import re
+
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)
