@@ -339,9 +339,13 @@ class IndexBuilder:
             "salt",
             F.when(F.col("is_hot"), salt_expr).otherwise(F.lit(0)).cast("int"),
         ).drop("is_hot")
-        part = salted.repartition(F.col("term")).sortWithinPartitions(
-            "term", "salt", "doc_id"
-        )
+        # explicit width when configured (e.g. cluster builds sized to
+        # executor memory); session shuffle partitions otherwise
+        if cfg.shuffle_partitions:
+            part = salted.repartition(cfg.shuffle_partitions, F.col("term"))
+        else:
+            part = salted.repartition(F.col("term"))
+        part = part.sortWithinPartitions("term", "salt", "doc_id")
         # in-partition sort by term → parquet min/max row-group stats
         # let the query engine's term filter prune at scan time
         return part.mapInPandas(_encode_stream(cfg.block_size), schema=POSTINGS_SCHEMA)
