@@ -268,6 +268,22 @@ def _q_ann_topk_lsh(spark, sf):
     return ann_topk_lsh(emb, q, planes, k=10)
 
 
+def _q_ann_topk_ivf(spark, sf):
+    from xml_to_es_spark.operators.similarity import (
+        ann_topk_ivf,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    C = kmeans_centroids(emb, k=8, iters=3)
+    return ann_topk_ivf(emb, q, C, k=10, nprobe=3)
+
+
 def _q_lang_id(spark, sf):
     from xml_to_es_spark.functions.text_quality import lang_id
 
@@ -408,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_topk_lsh,             # rows-only (approx)
+        "ann_ivf_topk": _q_ann_topk_ivf,             # rows-only (approx)
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count_two_ways": _q_ws_tokens,

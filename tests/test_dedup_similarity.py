@@ -87,6 +87,33 @@ def test_embedding_near_dups_and_ann(spark):
     assert got[0] == 0 and 1 in got  # near-dup lands in same/adjacent bucket
 
 
+def test_ivf_ann_recall(spark):
+    rng = np.random.RandomState(9)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.normal(size=(4, 12)) * 5
+    vecs = np.vstack([c + rng.normal(size=(50, 12)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    C = similarity.kmeans_centroids(emb, k=4, iters=4)
+    assert C.shape == (4, 12)
+    # assignment is deterministic
+    a1 = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, C).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, C).collect()}
+    assert a1 == a2 and len(set(a1.values())) == 4
+    q = emb.filter(F.col("vec_id").isin([0, 60, 120])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = similarity.cosine_topk(emb, q, k=5).toPandas()
+    approx = similarity.ann_topk_ivf(emb, q, C, k=5, nprobe=2).toPandas()
+    # recall@5 vs exact with nprobe=2 on a 4-cell clustered corpus
+    hits = 0
+    for qid in (0, 60, 120):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 12  # ≥0.8 recall
+
+
 def test_lsh_buckets_deterministic(spark):
     rng = np.random.RandomState(5)
     pdf = pd.DataFrame(

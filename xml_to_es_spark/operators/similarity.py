@@ -90,6 +90,103 @@ def lsh_buckets(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic mini-kmeans for IVF coarse quantization. The
+    model is tiny (k × dim floats), so Lloyd iterations run in numpy
+    on a deterministic sample — at 10^12 vectors you train on a
+    sample anyway; only ASSIGNMENT is distributed."""
+    pdf = emb.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell id per vector (vectorized Arrow kernel,
+    one matmul per batch). The cell id is the IVF shuffle/storage key."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    C = centroids
+    Cn = (C**2).sum(axis=1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = Cn[None, :] - 2.0 * (M @ C.T)  # ||c||² - 2x·c (+‖x‖² const)
+            yield pd.DataFrame(
+                {key_col: pdf[key_col], "cell": d.argmin(axis=1).astype(np.int32)}
+            )
+
+    return emb.select(key_col, vec_col).mapInPandas(
+        run, schema=f"{key_col} long, cell int"
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_key: str = "query_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF search: candidates come only from each query's ``nprobe``
+    nearest centroid cells, then exact cosine re-rank. At scale the
+    corpus is stored partitioned by cell, so a query touches nprobe/k
+    of the data; the probe list is computed driver-side (tiny) and
+    broadcast."""
+    from pyspark.sql import Window as W
+
+    base = ivf_assign(emb, centroids, key_col, vec_col).join(emb, key_col)
+    qp = queries.toPandas()
+    Q = np.stack(qp[q_vec].to_numpy()).astype(np.float64)
+    d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qp[q_key].iat[i]), int(c)) for i in range(len(qp)) for c in probes[i]
+    ]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, schema=f"{q_key} long, cell int")
+    q = queries.join(probe_df, q_key)
+    cand = base.join(F.broadcast(q), "cell").withColumn(
+        "cosine",
+        F.round(_dot(F.col(vec_col), F.col(q_vec)) / (_norm(vec_col) * _norm(q_vec)), 6),
+    )
+    w = W.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, F.col("rank").cast("long").alias("rank"), key_col, "cosine")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
