@@ -133,34 +133,31 @@ class QueryEngine:
 
     # -- term metadata -----------------------------------------------------
 
-    def term_groups(self, terms: list[str]) -> dict[str, int]:
-        """term → checkpoint group (same hash the build used) — lets
-        every index read prune to the group partition DIRECTORIES the
-        query terms live in, not just parquet row groups. One tiny
-        Spark job (the hash must be Spark's xxhash64, computed where
-        the build computed it)."""
-        if not terms or not self.n_groups:
-            return {}
-        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = df.select(
-            "term", F.pmod(F.xxhash64("term"), F.lit(self.n_groups)).cast("int").alias("g")
-        ).collect()
-        return {r["term"]: int(r["g"]) for r in rows}
-
-    def _pruned(self, path: str, terms: list[str]) -> DataFrame:
-        df = self.spark.read.parquet(path)
-        groups = self.term_groups(terms)
-        if groups:
-            df = df.filter(F.col("group").isin(sorted(set(groups.values()))))
-        return df.filter(F.col("term").isin(terms))
-
-    def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """term → df, via a group- and term-pruned scan of the terms
-        dictionary."""
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, group), via a term-pruned scan of the terms
+        dictionary (term-sorted files → parquet min/max row-group
+        pruning). The group partition column rides along for free and
+        drives partition-DIRECTORY pruning of the much larger postings
+        scan — no extra job to recompute the build's term hash."""
         if not terms:
             return {}
-        rows = self._pruned(f"{self.dir}/terms", terms).select("term", "df").collect()
-        return {r["term"]: int(r["df"]) for r in rows}
+        rows = (
+            self.spark.read.parquet(f"{self.dir}/terms")
+            .filter(F.col("term").isin(terms))
+            .select("term", "df", "group")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["group"])) for r in rows}
+
+    def term_groups(self, terms: list[str]) -> dict[str, int]:
+        return {t: g for t, (df, g) in self.term_stats(terms).items()}
+
+    def _pruned_postings(self, stats: dict[str, tuple[int, int]]) -> DataFrame:
+        df = self.spark.read.parquet(f"{self.dir}/postings")
+        groups = sorted({g for _, g in stats.values()})
+        if groups:
+            df = df.filter(F.col("group").isin(groups))
+        return df.filter(F.col("term").isin(list(stats)))
 
     # -- query -------------------------------------------------------------
 
@@ -237,15 +234,18 @@ class QueryEngine:
                 qterms.append((qid, t))
         if not qterms:
             return None
-        dfs = self.term_stats(sorted({t for _, t in qterms}))
-        present = [(qid, t, _idf(self.n_docs, dfs[t])) for qid, t in qterms if t in dfs]
+        stats = self.term_stats(sorted({t for _, t in qterms}))
+        present = [
+            (qid, t, _idf(self.n_docs, stats[t][0]))
+            for qid, t in qterms
+            if t in stats
+        ]
         if not present:
             return None
         qdf = self.spark.createDataFrame(
             present, schema="query_id long, term string, idf double"
         )
-        postings = self._pruned(f"{self.dir}/postings", list(dfs))
-        return postings.join(F.broadcast(qdf), "term")
+        return self._pruned_postings(stats).join(F.broadcast(qdf), "term")
 
     def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
