@@ -68,6 +68,18 @@ def test_extract_text_strips_entities_and_comments():
     assert ec.extract_text(html) == "hello <world> two&three\nfour"
 
 
+def test_pages_fixture_text_bytematches_reextraction():
+    """BASELINE input_hint: when the pages table carries a non-null
+    ``text``, the engine still re-extracts from html and the result
+    must byte-match. The fixture populates text for ~70% of rows."""
+    pages = fixtures.generate_pages(60)
+    non_null = pages[pages["text"].notna()]
+    assert len(non_null) >= 20  # the 70% draw is actually exercised
+    assert pages["text"].isna().sum() >= 5
+    for _, r in non_null.iterrows():
+        assert ec.extract_text(r["html"].decode("utf-8")) == r["text"]
+
+
 def test_mapping_algebra_order_and_ops():
     raw = {
         "REUTERS": {

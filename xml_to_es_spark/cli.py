@@ -37,9 +37,31 @@ def cmd_build(args) -> int:
     )
     if args.input_format == "pages":
         pages = read_pages(spark, args.input, langs=tuple(args.langs.split(",")))
+        # full 64-bit hash space (no abs(): halving the space doubles
+        # collision odds at 10^12 docs, and abs(Long.MIN_VALUE) is
+        # broken under ANSI); the codec round-trips negative ids
         docs = extract_fields(pages).select(
-            F.abs(F.xxhash64("url")).alias("doc_id"), "text", "url"
+            F.xxhash64("url").alias("doc_id"), "text", "url"
         )
+        # cheap collision gate before committing a build: a hash
+        # collision would silently merge two urls into one doc
+        chk = docs.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        ).first()
+        if chk["n"] != chk["n_ids"]:
+            print(
+                json.dumps(
+                    {
+                        "error": "doc_id_collision",
+                        "n_rows": chk["n"],
+                        "n_distinct_ids": chk["n_ids"],
+                        "hint": "use operators.doc_ids.assign_doc_ids for collision-free ids",
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return 2
     else:  # docs: (doc_id, text[, url]) parquet
         docs = spark.read.parquet(args.input)
     res = IndexBuilder(spark, cfg).build(docs, args.output, resume=args.resume)

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from xml_to_es_spark.functions.extract_core import extract_text
+
 SEED = 42
 VOCAB_SIZE = 10_000
 ZIPF_S = 1.07
@@ -89,12 +91,19 @@ def generate_pages(
             '<META name="source" content="synthetic">\n'
             "</head>\n<body>{noise}{title}\n{body}\n</body>\n</HTML>"
         ).format(title=title, i=i, body=body, noise=noise)
+        if text_null[i]:
+            text = None  # 30%: text column absent, engine must extract
+        else:
+            # 70%: text pre-populated with the canonical extraction —
+            # the engine re-extracts from html and must byte-match
+            # (BASELINE input_hint), covered by test_extract_parity
+            text = extract_text(html)
         rows.append(
             {
                 "url": f"https://example-{i:08d}.test/p",
                 "warc_ts": base_ts + pd.Timedelta(seconds=int(i)),
                 "html": html.encode("utf-8"),
-                "text": None if text_null[i] else None,  # engine always re-extracts
+                "text": text,
                 "lang": langs[i],
             }
         )

@@ -97,12 +97,15 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     sample: int = 4096,
+    key_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic mini-kmeans for IVF coarse quantization. The
     model is tiny (k × dim floats), so Lloyd iterations run in numpy
     on a deterministic sample — at 10^12 vectors you train on a
-    sample anyway; only ASSIGNMENT is distributed."""
-    pdf = emb.select(vec_col).limit(sample).toPandas()
+    sample anyway; only ASSIGNMENT is distributed. The sample is
+    pinned by a key-ordered TakeOrderedAndProject (a bare limit()'s
+    row choice is partition-order-dependent on a real cluster)."""
+    pdf = emb.orderBy(key_col).limit(sample).select(vec_col).toPandas()
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]

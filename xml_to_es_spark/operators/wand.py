@@ -9,9 +9,13 @@ running k-th-best threshold are skipped without decompressing a byte.
 
 Exactness: upper bounds are evaluated with the same float expression
 as true contributions at the dominating inputs, plus an epsilon slack
-on every skip test, so the returned top-k (scores summed in the
-pinned term-lexicographic order) is rank-identical to exhaustive
-evaluation — asserted in tests against pyref.
+applied on the CONSERVATIVE side of every skip test (a candidate is
+considered when its bound exceeds threshold - eps, and a block is
+skipped only when its bound is <= threshold - eps), so near-threshold
+docs — including exact-score ties that win on the doc_id asc
+tie-break — are scored rather than pruned. The returned top-k (scores
+summed in the pinned term-lexicographic order) is rank-identical to
+exhaustive evaluation — asserted in tests against pyref.
 
 A term whose posting list is salted arrives as multiple (salt)
 segments covering disjoint ascending doc_id ranges; a cursor simply
@@ -171,7 +175,7 @@ def wand_topk(
         acc, pivot = 0.0, -1
         for i, c in enumerate(live):
             acc += c.max_ub
-            if acc > threshold() + _EPS:
+            if acc > threshold() - _EPS:
                 pivot = i
                 break
         if pivot < 0:
@@ -184,7 +188,7 @@ def wand_topk(
         if live[0].cur_doc == pivot_doc:
             # block-max check across the lists at/ahead of the pivot
             bub = sum(c.block_ub() for c in live[: pivot + 1])
-            if bub <= threshold() + _EPS:
+            if bub <= threshold() - _EPS:
                 # skip past the nearest block boundary, capped at the
                 # next list's current doc (pivot set changes there)
                 target = min(c.block_last() for c in live[: pivot + 1]) + 1

@@ -45,22 +45,30 @@ def read_pages(
     spark: SparkSession,
     table_or_path: str,
     langs: tuple[str, ...] | None = ("en",),
-    min_text_len: int = 1,
+    min_html_len: int = 1,
 ) -> DataFrame:
     """Read the pages table, with the predicate set every index build
-    wants pushed into the scan: lang whitelist + non-empty content.
+    wants pushed into the scan: lang whitelist + non-empty html.
     Catalyst pushes both to Iceberg/Parquet (check .explain for
-    PushedFilters)."""
+    PushedFilters).
+
+    ``min_html_len`` filters on the html BYTE length, explicitly
+    treating NULL html as length 0 (dropped): the engine always
+    re-extracts text from html (BASELINE input_hint), so a NULL-html
+    row yields no text downstream regardless of its ``text`` column —
+    and filtering on html only keeps the scan pruned to the columns
+    the extraction pipeline actually reads."""
     if "/" not in table_or_path and iceberg_available(spark):
         df = spark.read.format("iceberg").load(table_or_path)
     else:
         df = spark.read.schema(PAGES_SCHEMA).parquet(table_or_path)
     if langs:
         df = df.filter(F.col("lang").isin(list(langs)))
-    if min_text_len:
-        # empty/whitespace-only docs skipped (reference
-        # xml-to-es.js:518-521)
-        df = df.filter(F.length(F.col("html")) >= min_text_len)
+    if min_html_len:
+        # empty-content docs skipped (reference xml-to-es.js:518-521)
+        df = df.filter(
+            F.coalesce(F.length(F.col("html")), F.lit(0)) >= min_html_len
+        )
     return df
 
 
