@@ -41,6 +41,39 @@ def test_convert_directory(spark, tmp_path):
     assert back.count() == 13
 
 
+def test_convert_gz_and_zip(spark, tmp_path):
+    """Compressed convert inputs (reference corpus goodTagsTest.sgm.gz
+    and .sgm.zip, FileSpecPage.js:113-119): each must yield the same
+    6 docs as the plain file; a multi-entry zip is rejected/skipped
+    (xml-to-es.js:410-416)."""
+    import gzip
+    import zipfile
+
+    content = fixtures.sgml_good_file()
+    d = tmp_path / "comp"
+    d.mkdir()
+    (d / "good.sgm").write_text(content)
+    (d / "good.sgm.gz").write_bytes(gzip.compress(content.encode("utf-8")))
+    with zipfile.ZipFile(d / "good.sgm.zip", "w") as zf:
+        zf.writestr("good.sgm", content)
+    with zipfile.ZipFile(d / "multi.sgm.zip", "w") as zf:
+        zf.writestr("a.sgm", content)
+        zf.writestr("b.sgm", content)
+
+    plain = extract_reuters(read_raw_files(spark, str(d / "good.sgm"))).collect()
+    gz = extract_reuters(read_raw_files(spark, str(d / "good.sgm.gz"))).collect()
+    zp = extract_reuters(read_raw_files(spark, str(d / "good.sgm.zip"))).collect()
+    assert len(plain) == 6
+    key = lambda r: r["id"]  # noqa: E731
+    for variant in (gz, zp):
+        assert sorted((r["id"], r["title"], r["body"]) for r in variant) == sorted(
+            (r["id"], r["title"], r["body"]) for r in plain
+        )
+    # multi-entry zip: file skipped, no rows, no crash
+    multi = read_raw_files(spark, str(d / "multi.sgm.zip"))
+    assert multi.count() == 0
+
+
 def test_assign_doc_ids_deterministic(spark):
     pdf = pd.DataFrame({"url": [f"u{i:03d}" for i in [5, 2, 9, 0, 7, 3, 1]]})
     df = spark.createDataFrame(pdf)

@@ -60,6 +60,28 @@ def test_html_extraction_goldens():
         assert "\n" in j["body"]  # newlines preserved
 
 
+def test_meta_attribute_order_and_quoting_variants():
+    """cheerio accepts any attribute order/quoting (xml-to-es.js:292-312);
+    the parser must not require double-quoted name-then-content."""
+    doc = (
+        "<HTML><head>"
+        '<META content="123" name="id">'              # reversed order
+        "<META name='title' content='Single Quoted'>"  # single quotes
+        "<meta name=places content=usa>"               # unquoted
+        '<META NAME="Mixed" CONTENT="case kept in value">'  # case-insens attrs
+        '<meta charset="utf-8">'                       # no name/content: ignored
+        '<meta name="orphan">'                         # missing content: ignored
+        "</head><body>B</body></HTML>"
+    )
+    j = ec.html_to_fields(doc)
+    assert j["id"] == "123"
+    assert j["title"] == "Single Quoted"
+    assert j["places"] == "usa"
+    assert j["Mixed"] == "case kept in value"
+    assert "charset" not in j and "orphan" not in j
+    assert j["body"] == "B"
+
+
 def test_extract_text_strips_entities_and_comments():
     html = (
         "<HTML><head></head><body>&#5;hello &lt;world&gt;"

@@ -256,15 +256,31 @@ def sgml_bad_file() -> str:
 
 
 def html_multi_doc(n: int = 3) -> list[str]:
-    """HTML docs with META heads (shape of test/data/multi-doc.html)."""
+    """HTML docs with META heads (shape of test/data/multi-doc.html).
+    META attribute order/quoting rotates per doc — cheerio accepts all
+    of these (xml-to-es.js:292-312), so the parser must too."""
+    metas = [
+        # canonical double-quoted, name first
+        '<META name="id" content="{id}">\n'
+        '<META name="title" content="HTML DOC {i} TITLE">\n'
+        '<META name="places" content="usa,uk">\n',
+        # reversed attribute order
+        '<META content="{id}" name="id">\n'
+        '<META content="HTML DOC {i} TITLE" name="title">\n'
+        '<META content="usa,uk" name="places">\n',
+        # single quotes
+        "<META name='id' content='{id}'>\n"
+        "<META name='title' content='HTML DOC {i} TITLE'>\n"
+        "<META name='places' content='usa,uk'>\n",
+    ]
     docs = []
     for i in range(n):
         docs.append(
-            "<HTML>\n<head><title>{id}</title>\n"
-            '<META name="id" content="{id}">\n'
-            '<META name="title" content="HTML DOC {i} TITLE">\n'
-            '<META name="places" content="usa,uk">\n'
-            "</head>\n<body>\nBody text of html document number {i}.\n"
-            "With a second line.\n</body>\n</HTML>".format(id=40000 + i, i=i)
+            (
+                "<HTML>\n<head><title>{id}</title>\n"
+                + metas[i % len(metas)]
+                + "</head>\n<body>\nBody text of html document number {i}.\n"
+                "With a second line.\n</body>\n</HTML>"
+            ).format(id=40000 + i, i=i)
         )
     return docs

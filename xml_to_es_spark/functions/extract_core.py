@@ -42,9 +42,13 @@ NUMERIC_ENTITY_RE = re.compile(r"&#[0-9]+;")
 COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 PROLOG_RE = re.compile(r"^\s*<\?xml[^>]*>\s*|^\s*<!DOCTYPE[^>]*>\s*", re.IGNORECASE)
 TAG_RE = re.compile(r"<[^>]*>")
-META_RE = re.compile(
-    r"<meta\s+name\s*=\s*\"([^\"]*)\"\s+content\s*=\s*\"([^\"]*)\"\s*/?>",
-    re.IGNORECASE,
+# META tags parsed in two steps (tag, then attributes) so attribute
+# ORDER and QUOTING are both free, matching cheerio's attr() semantics
+# (reference xml-to-es.js:292-312): <meta content='x' name=id> is as
+# valid as <meta name="id" content="x">.
+META_TAG_RE = re.compile(r"<meta\b([^>]*)>", re.IGNORECASE)
+ATTR_RE = re.compile(
+    r"([a-zA-Z_][\w:.-]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'<>`]+)"
 )
 TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 BODY_RE = re.compile(r"<body[^>]*>(.*?)</body\s*>", re.IGNORECASE | re.DOTALL)
@@ -233,6 +237,17 @@ def _unescape(s: str) -> str:
     return _htmllib.unescape(s)
 
 
+def _meta_attrs(attr_text: str) -> dict[str, str]:
+    """Attribute dict of one META tag: any order, double/single/no
+    quotes (cheerio-equivalent leniency)."""
+    out: dict[str, str] = {}
+    for key, val in ATTR_RE.findall(attr_text):
+        if val[:1] in ("'", '"') and val[-1:] == val[:1]:
+            val = val[1:-1]
+        out[key.lower()] = val
+    return out
+
+
 def html_to_fields(doc: str) -> dict:
     """Every ``<META name content>`` becomes a field; ``body`` = text
     content of ``<body>`` with tags stripped and entities decoded,
@@ -240,8 +255,10 @@ def html_to_fields(doc: str) -> dict:
     doc = strip_comments(doc)
     doc = strip_numeric_entities(doc)
     j: dict[str, Any] = {}
-    for name, content in META_RE.findall(doc):
-        j[name] = _unescape(content)
+    for m in META_TAG_RE.finditer(doc):
+        attrs = _meta_attrs(m.group(1))
+        if "name" in attrs and "content" in attrs:
+            j[attrs["name"]] = _unescape(attrs["content"])
     bm = BODY_RE.search(doc)
     body_html = bm.group(1) if bm else ""
     j["body"] = _unescape(TAG_RE.sub("", body_html))

@@ -79,6 +79,33 @@ def write_pages(df: DataFrame, table_or_path: str, mode: str = "overwrite") -> N
         df.write.mode(mode).parquet(table_or_path)
 
 
+def decompress_file_bytes(path: str, raw: bytes) -> str | None:
+    """Whole-file bytes → text, honouring the reference's compressed
+    inputs: ``.gz`` gunzipped (xml-to-es.js:417-426), ``.zip`` unzipped
+    with multi-entry archives rejected (xml-to-es.js:398-416 errors on
+    >1 entry; the file is skipped). Returns None for a rejected file.
+
+    Spark's native .gz handling only covers line-based text sources;
+    binaryFile content arrives compressed, so the convert path must
+    decompress here (reference corpus: goodTagsTest.sgm.gz / .sgm.zip,
+    test/FileSpecPage.js:113-119)."""
+    low = path.lower()
+    if low.endswith(".gz"):
+        import gzip
+
+        raw = gzip.decompress(raw)
+    elif low.endswith(".zip"):
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            names = zf.namelist()
+            if len(names) != 1:
+                return None  # "too many entries in zipfile" → skip
+            raw = zf.read(names[0])
+    return raw.decode("utf-8", errors="replace")
+
+
 def read_raw_files(
     spark: SparkSession, path_glob: str, suffix: str | None = None
 ) -> DataFrame:
@@ -86,12 +113,31 @@ def read_raw_files(
     mode): whole files as (file, content) rows via binaryFile — the
     splitter then runs distributed (one file per task). Suffix filter
     ≙ the reference's `satisfies` extension predicate
-    (xml-to-es.js:677-681), pushed down via pathGlobFilter."""
+    (xml-to-es.js:677-681), pushed down via pathGlobFilter. Content is
+    decoded — and .gz/.zip files decompressed — in an Arrow-batched
+    kernel (one file per row; the whole-file grain matches binaryFile's)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     reader = spark.read.format("binaryFile")
     if suffix:
         reader = reader.option("pathGlobFilter", f"*{suffix}")
     df = reader.load(path_glob)
-    return df.select(
-        F.col("path").alias("file"),
-        F.decode(F.col("content"), "utf-8").alias("content"),
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_f, out_c = [], []
+            for p, raw in zip(pdf["path"], pdf["content"]):
+                text = decompress_file_bytes(p, bytes(raw))
+                if text is None:
+                    continue
+                out_f.append(p)
+                out_c.append(text)
+            yield pd.DataFrame({"file": out_f, "content": out_c})
+
+    return df.select("path", "content").mapInPandas(
+        run, schema="file string, content string"
     )
