@@ -523,6 +523,36 @@ FROM base
 """
 
 
+def _minhash_lsh_sql(shingle3: str, n_perm: int = 16, band_size: int = 4) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: same string-min MinHash
+    (md5 is identical across engines), same band buckets (md5 of the
+    '|'-joined band hashes), same bucket self-join."""
+    aggs = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(n_perm)
+    )
+    n_bands = n_perm // band_size
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({concat})".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{i}" for i in range(b * band_size, (b + 1) * band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents),
+sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, CASE b.band {band_cases} END AS bucket
+  FROM sig, (SELECT unnest(range(0, {n_bands})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 def _emb_cte() -> str:
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
@@ -575,6 +605,29 @@ FROM documents
 SELECT doc_id, {minhash_aggs} FROM (
   SELECT doc_id, unnest({shingle3}) AS shingle FROM documents)
 GROUP BY doc_id
+""",
+        "minhash_lsh_pairs": _minhash_lsh_sql(shingle3),
+        "simhash64": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), bits AS (
+  SELECT doc_id, p.pos,
+         CASE WHEN ((instr('0123456789abcdef',
+                           substr(md5(term), 16 - (p.pos // 4), 1)) - 1)
+                    >> (p.pos % 4)) & 1 = 1
+              THEN tf ELSE -tf END AS w
+  FROM tf, (SELECT unnest(range(0, 63)) AS pos) p
+), sums AS (
+  SELECT doc_id, pos, sum(w) AS s FROM bits GROUP BY doc_id, pos
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """,
         "jaccard_unigram_pairs": f"""
 WITH sh AS (

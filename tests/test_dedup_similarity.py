@@ -64,6 +64,34 @@ def test_simhash_hamming(spark, docs):
     assert (0, 1) in got
 
 
+def _simhash_py(text: str) -> int:
+    """Pinned SimHash semantics, independently re-derived: tf-weighted
+    md5 bit votes over bits 0..62 (the operator's contract)."""
+    import hashlib
+    from collections import Counter
+
+    from xml_to_es_spark.pyref import tokenize
+
+    votes = [0] * 63
+    for tok, tf in Counter(tokenize(text or "")).items():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for p in range(63):
+            votes[p] += tf if (h >> p) & 1 else -tf
+    return sum(1 << p for p in range(63) if votes[p] > 0)
+
+
+def test_simhash_matches_pinned_python_semantics(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, t in texts.items():
+        assert got[i] == _simhash_py(t), f"doc {i}"
+    # empty doc fingerprints to 0
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": [""]})
+    )
+    assert dedup.simhash(empty).first()["simhash"] == 0
+
+
 def test_embedding_near_dups_and_ann(spark):
     rng = np.random.RandomState(3)
     vecs = rng.normal(size=(40, 16))

@@ -167,47 +167,59 @@ def ngram_jaccard(
     return out
 
 
+SIMHASH_BITS = 63  # bits 0..62: bit 63 would collide with the sign bit
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
-    bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash fingerprints via a vectorized Arrow kernel:
-    per-token md5-derived bit patterns weighted by tf; sign of each
-    bit-sum forms the fingerprint. Near-dups = small Hamming distance
-    (pair via 16-bit chunk buckets at scale)."""
-    import hashlib
-    from collections.abc import Iterator
+    """63-bit SimHash fingerprints, pure JVM (whole-stage codegen'd,
+    ANSI-SQL-expressible → DuckDB oracle twin):
 
-    import numpy as np
-    import pandas as pd
+      tf per (doc, token) → per token the md5-derived bit pattern
+      (bit p of the uint64 from the first 8 md5 bytes, big-endian) →
+      weight +tf/-tf per (doc, bit) → sign of the per-bit sum forms
+      the fingerprint. Docs with no tokens fingerprint to 0.
 
-    from xml_to_es_spark.pyref import tokenize
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fps = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].to_numpy()):
-                toks = tokenize(text or "")
-                if not toks:
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                hs = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                        for t in uniq
-                    ],
-                    dtype=np.uint64,
-                )
-                bitmat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-                weights = np.where(bitmat == 1, counts[:, None], -counts[:, None])
-                fp_bits = (weights.sum(axis=0) > 0).astype(np.uint64)
-                fps[i] = int((fp_bits << np.arange(bits, dtype=np.uint64)).sum() & np.uint64(2**63 - 1))
-            yield pd.DataFrame({key_col: pdf[key_col], "simhash": fps})
-
-    return docs.select(key_col, text_col).mapInPandas(
-        run, schema=f"{key_col} long, simhash long"
+    Physical shape at 10^12 docs: two hash-aggs with map-side partial
+    combine — (doc, term) tf, then (doc, pos) weight sums (the 63×
+    fan-out rows are three longs each and partially aggregated before
+    the shuffle); near-dup pairing is the 16-bit-chunk bucketing in
+    :func:`simhash_near_pairs`, never all-pairs."""
+    tf = (
+        docs.select(F.col(key_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(key_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # bit p of the token hash, from md5 hex: hex char 16 - p div 4
+    # (1-based from the left, big-endian), then bit p mod 4 of that
+    # nibble — instr against the hex alphabet avoids conv()'s
+    # unsigned-string round-trip and is identical in DuckDB
+    bits = tf.select(
+        F.col(key_col),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 62), p -> CASE WHEN ("
+                "shiftright(instr('0123456789abcdef',"
+                " substring(md5(term), 16 - (p div 4), 1)) - 1, pmod(p, 4)) & 1"
+                ") = 1 THEN tf ELSE -tf END)"
+            )
+        ).alias("pos", "w"),
+    )
+    sums = bits.groupBy(key_col, "pos").agg(F.sum("w").alias("s"))
+    fp = sums.groupBy(key_col).agg(
+        F.expr(
+            "sum(CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), pos)"
+            " ELSE cast(0 as bigint) END)"
+        ).alias("simhash")
+    )
+    return (
+        docs.select(key_col)
+        .join(fp, key_col, "left")
+        .fillna({"simhash": 0})
+        .select(key_col, "simhash")
     )
 
 
