@@ -234,13 +234,47 @@ def _q_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
 
+# pinned ANN/near-dup models (seeded → reproducible as SQL literals)
+NEARDUP_PLANES = ("projection_matrix", 64, 32, 42)   # dim, n_planes, seed
+NEARDUP_BAND_SIZE = 4
+LSH_PLANES = ("projection_matrix", 64, 8, 42)
+IVF_CENTROIDS = ("fixed_centroids", 64, 8, 7)        # dim, k, seed
+IVF_NPROBE = 3
+
+
+def _neardup_planes():
+    from xml_to_es_spark.operators.similarity import projection_matrix
+
+    _, dim, n, seed = NEARDUP_PLANES
+    return projection_matrix(dim, n, seed)
+
+
+def _lsh_planes():
+    from xml_to_es_spark.operators.similarity import projection_matrix
+
+    _, dim, n, seed = LSH_PLANES
+    return projection_matrix(dim, n, seed)
+
+
+def _ivf_centroids():
+    from xml_to_es_spark.operators.similarity import fixed_centroids
+
+    _, dim, k, seed = IVF_CENTROIDS
+    return fixed_centroids(dim, k, seed)
+
+
 def _q_embedding_near_dups(spark, sf):
+    """Default = the scale path: banded sign-LSH candidates (8 bands ×
+    4 planes), then exact-cosine verify — the oracle replicates the
+    banding, so the hash-match checks the bucketed semantics."""
     from xml_to_es_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return embedding_near_dups(emb, threshold=0.45)
+    return embedding_near_dups(
+        emb, threshold=0.45, planes=_neardup_planes(), band_size=NEARDUP_BAND_SIZE
+    )
 
 
 def _q_ann_topk(spark, sf):
@@ -256,7 +290,7 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_ann_topk_lsh(spark, sf):
-    from xml_to_es_spark.operators.similarity import ann_topk_lsh, projection_matrix
+    from xml_to_es_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -264,15 +298,15 @@ def _q_ann_topk_lsh(spark, sf):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    planes = projection_matrix(dim=64, n_planes=8)
-    return ann_topk_lsh(emb, q, planes, k=10)
+    return ann_topk_lsh(emb, q, _lsh_planes(), k=10)
 
 
 def _q_ann_topk_ivf(spark, sf):
-    from xml_to_es_spark.operators.similarity import (
-        ann_topk_ivf,
-        kmeans_centroids,
-    )
+    """IVF with the pinned data-independent centroid model so the
+    whole approximate path (cell argmin, probe ranking, cell-pruned
+    re-rank) has an exact SQL twin; trained-kmeans IVF is covered by
+    the pytest recall suite."""
+    from xml_to_es_spark.operators.similarity import ann_topk_ivf
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -280,8 +314,7 @@ def _q_ann_topk_ivf(spark, sf):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    C = kmeans_centroids(emb, k=8, iters=3)
-    return ann_topk_ivf(emb, q, C, k=10, nprobe=3)
+    return ann_topk_ivf(emb, q, _ivf_centroids(), k=10, nprobe=IVF_NPROBE)
 
 
 def _q_lang_id(spark, sf):
@@ -418,13 +451,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "fingerprints": _q_fingerprints,
         "minhash_signatures": _q_minhash,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,   # rows-only
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_unigram_pairs": _q_jaccard_sample,
-        "simhash64": _q_simhash,                     # rows-only
+        "simhash64": _q_simhash,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_topk_lsh,             # rows-only (approx)
-        "ann_ivf_topk": _q_ann_topk_ivf,             # rows-only (approx)
+        "ann_lsh_topk": _q_ann_topk_lsh,
+        "ann_ivf_topk": _q_ann_topk_ivf,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count_two_ways": _q_ws_tokens,
@@ -560,6 +593,135 @@ def _emb_cte() -> str:
     )
 
 
+def _sql_bucket(vec: str, planes) -> str:
+    """DuckDB twin of similarity.bucket_col: per plane j the sign of a
+    LEFT-FOLD dot chain (bit-identical to Spark's aggregate fold),
+    shifted into bit j."""
+    from xml_to_es_spark.operators.similarity import sql_dot_chain
+
+    terms = [
+        f"(CASE WHEN (0.0 + {sql_dot_chain(vec, p)}) > 0"
+        f" THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_dists(vec: str, centroids) -> str:
+    """Distance-surrogate list ||c||² − 2·(v·c) per centroid, same
+    literals and fold order as similarity.cell_col/query_probes."""
+    from xml_to_es_spark.operators.similarity import sql_dot_chain
+
+    elems = [
+        f"(({float((c * c).sum())!r}) - 2.0*(0.0 + {sql_dot_chain(vec, c)}))"
+        for c in centroids
+    ]
+    return "[" + ", ".join(elems) + "]"
+
+
+def _neardup_sql(threshold: float) -> str:
+    planes = _neardup_planes()
+    r = NEARDUP_BAND_SIZE
+    n_bands = len(planes) // r
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_bucket('v', planes[b * r:(b + 1) * r])} AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return (
+        _emb_cte()
+        + f""",
+bands AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       round(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+FROM pairs
+JOIN n na ON na.vec_id = a_id
+JOIN n nb ON nb.vec_id = b_id
+WHERE round(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold}
+"""
+    )
+
+
+def _ann_lsh_sql(k: int = 10) -> str:
+    planes = _lsh_planes()
+    n_planes = len(planes)
+    probe_list = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << i}::BIGINT)" for i in range(n_planes)]
+    )
+    return (
+        _emb_cte()
+        + f""",
+base AS (SELECT vec_id, v, nrm, {_sql_bucket('v', planes)} AS bucket FROM n),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+         {_sql_bucket('v', planes)} AS q_bucket
+  FROM n WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, qv, qnrm, unnest([{probe_list}]) AS probe FROM q
+),
+cand AS (
+  SELECT p.query_id, b.vec_id,
+         round(list_inner_product(b.v, p.qv) / (b.nrm * p.qnrm), 6) AS cosine
+  FROM base b JOIN probes p ON b.bucket = p.probe
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+         vec_id, cosine
+  FROM cand)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+def _ann_ivf_sql(k: int = 10) -> str:
+    C = _ivf_centroids()
+    nprobe = IVF_NPROBE
+    return (
+        _emb_cte()
+        + f""",
+basel AS (SELECT vec_id, v, nrm, {_sql_dists('v', C)} AS dl FROM n),
+base AS (
+  SELECT vec_id, v, nrm,
+         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cell
+  FROM basel
+),
+qd AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+              {_sql_dists('v', C)} AS dl
+       FROM n WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, u.cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dl[u.cell + 1] ASC, u.cell ASC) AS pr
+    FROM qd, (SELECT unnest(range(0, {len(C)})) AS cell) u
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT qd.query_id, b.vec_id,
+         round(list_inner_product(b.v, qd.qv) / (b.nrm * qd.qnrm), 6) AS cosine
+  FROM base b
+  JOIN probes p ON b.cell = p.cell
+  JOIN qd ON qd.query_id = p.query_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+         vec_id, cosine
+  FROM cand)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     shingle3 = (
         f"list_transform(range(1, greatest(len({TOK})-2, 0)+1), "
@@ -646,12 +808,9 @@ JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
 """,
-        "embedding_near_dups": _emb_cte() + """
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
-""",
+        "embedding_near_dups": _neardup_sql(0.45),
+        "ann_lsh_topk": _ann_lsh_sql(10),
+        "ann_ivf_topk": _ann_ivf_sql(10),
         "ann_cosine_topk": _emb_cte() + """
 , q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
 scored AS (

@@ -100,8 +100,14 @@ def test_embedding_near_dups_and_ann(spark):
         {"vec_id": range(40), "embedding": [v.tolist() for v in vecs]}
     )
     emb = spark.createDataFrame(pdf)
-    dups = dedup.embedding_near_dups(emb, threshold=0.95).collect()
-    assert {(r["a_id"], r["b_id"]) for r in dups} == {(0, 1)}
+    # default = banded-LSH scale path: candidate join is bucketed,
+    # never a cartesian/nested-loop product
+    bucketed = dedup.embedding_near_dups(emb, threshold=0.95)
+    assert_no_cartesian(bucketed)
+    assert {(r["a_id"], r["b_id"]) for r in bucketed.collect()} == {(0, 1)}
+    # guarded test-scale exact mode agrees (recall 1.0 on the planted pair)
+    exact_pairs = dedup.embedding_near_dups(emb, threshold=0.95, exact=True).collect()
+    assert {(r["a_id"], r["b_id"]) for r in exact_pairs} == {(0, 1)}
 
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")

@@ -109,8 +109,10 @@ def minhash_lsh_pairs(
             )
         )
     all_bands = sig.select(F.col(key_col), F.inline(F.array(*band_structs)))
-    # the self-join's two sides share this subplan; persist so the
-    # signature aggregation runs once (at scale: write sig to a table)
+    # the self-join's two sides share this subplan; materialize it
+    # once (eager localCheckpoint) so the signature aggregation does
+    # not run twice, then release the cache — at cluster scale you
+    # would write sig to a table instead
     all_bands = all_bands.persist()
     a = all_bands.alias("a")
     bb = all_bands.alias("b")
@@ -126,6 +128,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    pairs = pairs.localCheckpoint(eager=True)
+    all_bands.unpersist()
     return pairs
 
 
@@ -261,32 +265,103 @@ def simhash_near_pairs(fps: DataFrame, key_col: str = "doc_id", max_hamming: int
     )
 
 
+def _pair_cosine(v: DataFrame, pairs: DataFrame, key_col: str, vec_col: str):
+    """Exact cosine for candidate (a_id, b_id) pairs: two hash joins
+    on the key to gather vectors, then the JVM fold dot product."""
+    a_side = v.select(
+        F.col(key_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b_side = v.select(
+        F.col(key_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .withColumn("cosine", F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 6))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
+    band_size: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Test scale: blocked
-    self-join; at scale, pre-bucket by random-hyperplane LSH (see
-    similarity.lsh_buckets) and join within buckets."""
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥
+    threshold).
+
+    Default (scale path): banded random-hyperplane LSH — candidates
+    are pairs colliding in ≥1 band of ``band_size`` sign bits, joined
+    on the (band, bucket) key (co-partitioned, never a cross join),
+    then exact-cosine verified. With B bands of r planes a pair at
+    angle θ is missed with probability (1-(1-θ/π)^r)^B — at the
+    default 8×4 and cosine 0.95 that is ~2e-4. ``planes`` is the
+    seeded model (similarity.projection_matrix, shape
+    (n_bands*band_size, dim)); inferred-dim default planes are
+    generated when omitted.
+
+    ``exact=True`` is the guarded test-scale mode: an all-pairs
+    self-join — O(n²), NEVER use beyond ~10^5 vectors."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    v = emb.select(
-        F.col(key_col), F.col(vec_col), norm.alias("nrm")
-    )
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    v = emb.select(F.col(key_col), F.col(vec_col), norm.alias("nrm"))
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        dot = F.aggregate(
+            F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+            .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col(f"a.{key_col}").alias("a_id"),
+                F.col(f"b.{key_col}").alias("b_id"),
+                "cosine",
+            )
+        )
+    from xml_to_es_spark.operators.similarity import bucket_col, projection_matrix
+
+    if planes is None:
+        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+        planes = projection_matrix(dim, n_planes=32, seed=42)
+    n_bands = len(planes) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            bucket_col(vec_col, planes[b * band_size : (b + 1) * band_size]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    bands = emb.select(F.col(key_col), F.inline(F.array(*band_structs)))
+    a, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(F.col(f"a.{key_col}").alias("a_id"), F.col(f"b.{key_col}").alias("b_id"))
+        .distinct()
     )
     return (
-        a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        _pair_cosine(v, pairs, key_col, vec_col)
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{key_col}").alias("a_id"),
-            F.col(f"b.{key_col}").alias("b_id"),
-            "cosine",
-        )
+        .select("a_id", "b_id", "cosine")
     )

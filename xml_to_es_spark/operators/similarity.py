@@ -5,17 +5,27 @@
   broadcast of the (small) query set; TakeOrderedAndProject per query.
 - :func:`lsh_buckets` / :func:`ann_topk_lsh` — the scale path: random
   hyperplane (sign) LSH with a deterministic seed; candidates only
-  from matching buckets (multi-probe via table count), then exact
+  from matching buckets (multi-probe via single-bit flips), then exact
   re-rank. At 10^12 vectors the bucket key is the shuffle key and no
   pair of buckets ever cross-joins.
+- :func:`ivf_assign` / :func:`ann_topk_ivf` — IVF coarse quantization:
+  nearest-centroid cell per vector; a query probes only its ``nprobe``
+  nearest cells.
+
+All model applications (LSH signs, IVF assignment, probe selection)
+are pure Catalyst expressions over LITERAL model vectors — whole-stage
+codegen'd JVM, no Python in the hot path, and every float is produced
+by a left-fold sum so the DuckDB oracle can reproduce it bit-exactly
+with an explicit left-associated ``v[1]*p1 + v[2]*p2 + …`` chain
+(DuckDB's ``list_inner_product`` uses a different summation order, so
+sign tests would not be reproducible through it).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _norm(vec_col: str):
@@ -24,6 +34,57 @@ def _norm(vec_col: str):
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_literal(vec_col, vals) -> Column:
+    """Left-fold dot product of a vector column against a LITERAL
+    vector: (((0 + v0*p0) + v1*p1) + …). Bit-identical to the same
+    left-associated sum chain in any engine — the oracle contract for
+    every sign/argmin decision below."""
+    lit = F.array(*[F.lit(float(x)) for x in vals])
+    return F.aggregate(
+        F.zip_with(_as_col(vec_col), lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dot_chain(vec_expr: str, vals) -> str:
+    """The DuckDB-side twin of :func:`dot_literal`: an explicit
+    left-associated product chain (1-based list indexing)."""
+    return " + ".join(f"{vec_expr}[{i + 1}]*({float(v)!r})" for i, v in enumerate(vals))
+
+
+def projection_matrix(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (the LSH 'model')."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def bucket_col(vec_col, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit j set iff vec · planes[j] > 0.
+    Pure column expression (codegen'd; literal planes ship in the
+    plan, not via Python closures)."""
+    b = F.lit(0).cast("long")
+    for j in range(len(planes)):
+        b = b + F.when(
+            dot_literal(vec_col, planes[j]) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return b
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    planes: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(key, bucket) per vector — see :func:`bucket_col`."""
+    return emb.select(F.col(key_col), bucket_col(vec_col, planes).alias("bucket"))
 
 
 def cosine_topk(
@@ -56,38 +117,20 @@ def cosine_topk(
     )
 
 
-def projection_matrix(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
-    """Deterministic random hyperplanes (the LSH 'model')."""
+# ---------------------------------------------------------------------------
+# IVF coarse quantization
+# ---------------------------------------------------------------------------
+
+
+def fixed_centroids(dim: int, k: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic data-independent centroids (seeded gaussians).
+    Gives worse cell balance than trained centroids but identical
+    search machinery — and, being a pure constant, the whole IVF path
+    (assignment, probe ranking, re-rank) is reproducible in the DuckDB
+    oracle as literals. Use :func:`kmeans_centroids` when balance
+    matters more than oracle-ability."""
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
-
-
-def lsh_buckets(
-    emb: DataFrame,
-    planes: np.ndarray,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-LSH bucket id per vector, computed by a vectorized Arrow
-    kernel (one matmul per batch)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    P = planes  # captured; shipped once per task via closure pickle
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
-            signs = (M @ P.T) > 0  # (n, planes)
-            bucket = signs @ (1 << np.arange(P.shape[0], dtype=np.int64))
-            yield pd.DataFrame({key_col: pdf[key_col], "bucket": bucket.astype(np.int64)})
-
-    return emb.select(key_col, vec_col).mapInPandas(
-        run, schema=f"{key_col} long, bucket long"
-    )
+    return rng.normal(size=(k, dim)).astype(np.float64)
 
 
 def kmeans_centroids(
@@ -119,33 +162,59 @@ def kmeans_centroids(
     return C
 
 
+def cell_col(vec_col, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id as a column expression: per centroid
+    the monotone distance surrogate ||c||² − 2·(v·c) (the +||v||²
+    constant cancels in argmin), argmin with ties to the LOWEST index
+    (array_position finds the first occurrence — same contract as
+    DuckDB's list_position)."""
+    dists = F.array(
+        *[
+            F.lit(float((c * c).sum())) - 2.0 * dot_literal(vec_col, c)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid cell id per vector (vectorized Arrow kernel,
-    one matmul per batch). The cell id is the IVF shuffle/storage key."""
-    from collections.abc import Iterator
+    """(key, cell) per vector — see :func:`cell_col`. The cell id is
+    the IVF shuffle/storage key."""
+    return emb.select(F.col(key_col), cell_col(vec_col, centroids).alias("cell"))
 
-    import pandas as pd
 
-    C = centroids
-    Cn = (C**2).sum(axis=1)
+def query_probes(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    q_key: str = "query_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """(query_id, cell) rows for each query's ``nprobe`` nearest cells,
+    ranked by the same distance surrogate as :func:`cell_col` with
+    ties to the lowest cell — computed distributed (no driver
+    collect), reproducible in SQL."""
+    from pyspark.sql import Window as W
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = Cn[None, :] - 2.0 * (M @ C.T)  # ||c||² - 2x·c (+‖x‖² const)
-            yield pd.DataFrame(
-                {key_col: pdf[key_col], "cell": d.argmin(axis=1).astype(np.int32)}
-            )
-
-    return emb.select(key_col, vec_col).mapInPandas(
-        run, schema=f"{key_col} long, cell int"
+    dists = F.array(
+        *[
+            F.lit(float((c * c).sum())) - 2.0 * dot_literal(q_vec, c)
+            for c in centroids
+        ]
+    )
+    exploded = queries.select(
+        F.col(q_key), F.posexplode(dists).alias("cell", "dist")
+    )
+    w = W.partitionBy(q_key).orderBy(F.asc("dist"), F.asc("cell"))
+    return (
+        exploded.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select(q_key, F.col("cell").cast("int").alias("cell"))
     )
 
 
@@ -163,20 +232,15 @@ def ann_topk_ivf(
     """IVF search: candidates come only from each query's ``nprobe``
     nearest centroid cells, then exact cosine re-rank. At scale the
     corpus is stored partitioned by cell, so a query touches nprobe/k
-    of the data; the probe list is computed driver-side (tiny) and
-    broadcast."""
+    of the data; the (query, cell) probe table is tiny and broadcast.
+    The vector rides through the cell assignment as a column — no
+    re-join of the corpus table."""
     from pyspark.sql import Window as W
 
-    base = ivf_assign(emb, centroids, key_col, vec_col).join(emb, key_col)
-    qp = queries.toPandas()
-    Q = np.stack(qp[q_vec].to_numpy()).astype(np.float64)
-    d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(d, axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(qp[q_key].iat[i]), int(c)) for i in range(len(qp)) for c in probes[i]
-    ]
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probe_rows, schema=f"{q_key} long, cell int")
+    base = emb.select(
+        F.col(key_col), F.col(vec_col), cell_col(vec_col, centroids).alias("cell")
+    )
+    probe_df = query_probes(queries, centroids, nprobe, q_key, q_vec)
     q = queries.join(probe_df, q_key)
     cand = base.join(F.broadcast(q), "cell").withColumn(
         "cosine",
@@ -204,16 +268,17 @@ def ann_topk_lsh(
     """Approximate top-k: candidates share the query's LSH bucket (or
     any bucket within Hamming distance ``probe_bits`` — multi-probe),
     then exact cosine re-rank. Recall/latency knob = n_planes ×
-    probe_bits."""
+    probe_bits. The bucket rides through as a column expression — no
+    re-join of the corpus table."""
     from pyspark.sql import Window as W
 
     n_planes = planes.shape[0]
-    base = lsh_buckets(emb, planes, key_col, vec_col).join(emb, key_col)
-    qb = lsh_buckets(
-        queries.withColumnRenamed(q_vec, vec_col).withColumnRenamed(q_key, key_col),
-        planes, key_col, vec_col,
-    ).withColumnRenamed(key_col, q_key).withColumnRenamed("bucket", "q_bucket")
-    q = queries.join(qb, q_key)
+    base = emb.select(
+        F.col(key_col), F.col(vec_col), bucket_col(vec_col, planes).alias("bucket")
+    )
+    q = queries.select(
+        F.col(q_key), F.col(q_vec), bucket_col(q_vec, planes).alias("q_bucket")
+    )
     # multi-probe: expand each query to its bucket + single-bit flips
     probes = [F.col("q_bucket")]
     if probe_bits >= 1:
