@@ -172,11 +172,13 @@ def _codec_index(spark, sf):
 
 def _q_bm25_wand(spark, sf):
     """The flagship codec path: delta+varbyte postings + block-max
-    WAND — same oracle SQL as the DataFrame BM25 (rank identity)."""
+    WAND in its DISTRIBUTED form (per doc-range local top-k, global
+    WindowGroupLimit merge — no single-task query scoring) — same
+    oracle SQL as the DataFrame BM25 (rank identity)."""
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
-    out = eng.topk_wand(BM25_QUERIES, k=BM25_K)
+    out = eng.topk_wand(BM25_QUERIES, k=BM25_K, n_ranges=4)
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),

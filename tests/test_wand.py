@@ -81,6 +81,41 @@ def test_wand_matches_bruteforce(seed, salted):
             )
 
 
+@pytest.mark.parametrize("seed", [0, 4])
+def test_wand_range_partition_merges_to_global(seed):
+    """The distributed contract: per-range local top-k lists over a
+    doc_id partition merge into exactly the global top-k (ranges
+    partition docs, so per-doc scores are complete per range)."""
+    rng = np.random.RandomState(seed)
+    entries, truth, avgdl = _make_corpus(rng, salted=True)
+    cfg = BM25Config()
+    k = 10
+    q = [e for e in entries if e["term"] in ("t000", "t003", "t007")]
+    t2 = {}
+    from xml_to_es_spark.operators.postings import decode_segment
+
+    for e in sorted(q, key=lambda e: e["term"]):
+        for seg in e["segments"]:
+            d, tf, dl = decode_segment(seg)
+            contrib = e["idf"] * tf * (cfg.k1 + 1) / (
+                tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
+            )
+            for doc, c in zip(d, contrib):
+                t2[int(doc)] = t2.get(int(doc), 0.0) + float(c)
+    expect = sorted(t2.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # 4 half-open ranges over [0, 600)
+    edges = [0, 150, 300, 450, 600]
+    partials = []
+    for lo, hi in zip(edges, edges[1:]):
+        partials += wand_topk(
+            q, k, cfg.k1, cfg.b, avgdl, block_size=32, doc_lo=lo, doc_hi=hi
+        )
+    merged = sorted(partials, key=lambda t: (-t[1], t[0]))[:k]
+    assert [d for d, _ in merged] == [d for d, _ in expect]
+    # scores are bit-equal: same per-doc summation, just located in one range
+    assert [s for _, s in merged] == [s for _, s in expect]
+
+
 def test_wand_empty_and_single():
     assert wand_topk([], 10, 1.2, 0.75, 100.0) == []
     seg = encode_segment(

@@ -75,8 +75,13 @@ def cmd_query(args) -> int:
     spark = _spark(args)
     eng = QueryEngine(spark, args.index)
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
-    fn = eng.topk_distributed if args.distributed else eng.topk
-    for r in fn(queries, k=args.k).orderBy("query_id", "rank").collect():
+    if args.wand:
+        out = eng.topk_wand(queries, k=args.k, n_ranges=args.wand_ranges)
+    elif args.distributed:
+        out = eng.topk_distributed(queries, k=args.k)
+    else:
+        out = eng.topk(queries, k=args.k)
+    for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "score")}))
     return 0
 
@@ -126,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--distributed", action="store_true")
+    q.add_argument("--wand", action="store_true", help="block-max WAND")
+    q.add_argument(
+        "--wand-ranges", type=int, default=32,
+        help="doc-range parallelism per query (WAND scale path)",
+    )
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
 

@@ -60,7 +60,8 @@ from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
 from xml_to_es_spark.operators.postings import encode_segment
 
 POSTINGS_SCHEMA = (
-    "group int, term string, salt int, n_docs long, max_tf long, seg_bytes long, "
+    "group int, term string, salt int, n_docs long, first_doc long, "
+    "max_tf long, seg_bytes long, "
     "block_last_doc array<long>, block_max_tf array<long>, "
     "block_min_dl array<long>, block_doc_off array<long>, "
     "block_tf_off array<long>, block_dl_off array<long>, "
@@ -98,7 +99,7 @@ def _encode_stream(cfg_block: int):
             seg["group"] = int(groups[s])
             rows.append(seg)
         cols = [
-            "group", "term", "salt", "n_docs", "max_tf", "seg_bytes",
+            "group", "term", "salt", "n_docs", "first_doc", "max_tf", "seg_bytes",
             "block_last_doc", "block_max_tf", "block_min_dl",
             "block_doc_off", "block_tf_off", "block_dl_off",
             "docs_bin", "tfs_bin", "dls_bin",

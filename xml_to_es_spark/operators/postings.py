@@ -119,6 +119,7 @@ def encode_segment(
     dls_bin = varbyte_encode(dls.astype(np.uint64))
     return {
         "n_docs": int(n),
+        "first_doc": int(doc_ids[0]),
         "max_tf": int(tfs.max()),
         "seg_bytes": len(docs_bin) + len(tfs_bin) + len(dls_bin),
         "block_last_doc": di[:, -1].astype(np.int64).tolist(),

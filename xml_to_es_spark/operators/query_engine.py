@@ -130,6 +130,8 @@ class QueryEngine:
         d = st.asDict()
         self.block_size = int(d.get("block_size") or 128)
         self.n_groups = int(d.get("n_groups") or 0)
+        self.min_doc = int(d.get("min_doc") or 0)
+        self.max_doc = int(d.get("max_doc") or 0)
 
     # -- term metadata -----------------------------------------------------
 
@@ -179,14 +181,43 @@ class QueryEngine:
             _topk_reduce(k), schema=TOPK_SCHEMA
         )
 
-    def topk_wand(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
-        """Block-max WAND path: one doc-at-a-time evaluation per query
-        (queries parallelize across tasks), skipping blocks whose
-        upper bound cannot beat the running threshold — skipped blocks
-        are never decompressed. Rank-identical to topk()."""
+    def topk_wand(
+        self, queries: list[tuple[int, str]], k: int = 10, n_ranges: int | None = None
+    ) -> DataFrame:
+        """Block-max WAND path: doc-at-a-time evaluation skipping
+        blocks whose upper bound cannot beat the running threshold —
+        skipped blocks are never decompressed. Rank-identical to
+        topk().
+
+        ``n_ranges=None``: one task per query (fine for query batches).
+        ``n_ranges=R``: the SCALE path — the doc_id space is split into
+        R ranges and WAND runs per (query, range): a Zipf-head term's
+        10^11-entry posting list is scored by R tasks instead of one.
+        Segments are range-pruned before the shuffle via their
+        (first_doc, last block_last_doc) span, so a salted hot term
+        ships only ~1/R of its bytes to each task. Per-doc scores are
+        complete within a range (ranges partition doc_ids), so the
+        global top-k is a WindowGroupLimit merge of the R local top-k
+        lists — no re-summation, bit-equal scores."""
         matched = self._matched_segments(queries)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if n_ranges and n_ranges > 1:
+            partials = self._wand_partials(matched, k, n_ranges)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score")
+            )
+        run = self._wand_group_kernel(k)
+        return matched.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)
+
+    def _wand_group_kernel(self, k: int, ranged: bool = False):
+        """applyInPandas kernel: one (query[, range]) group → local
+        block-max WAND top-k over that group's segments."""
         k1, b, avgdl, bs = self.cfg.k1, self.cfg.b, self.avgdl, self.block_size
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -212,18 +243,54 @@ class QueryEngine:
                         "dls_bin": r.dls_bin,
                     }
                 )
-            hits = wand_topk(list(entries.values()), k, k1, b, avgdl, bs)
-            qid = int(pdf["query_id"].iat[0])
-            return pd.DataFrame(
-                {
-                    "query_id": np.full(len(hits), qid, dtype=np.int64),
-                    "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
-                    "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
-                    "score": np.array([s for _, s in hits], dtype=np.float64),
-                }
+            lo = int(pdf["range_lo"].iat[0]) if ranged else None
+            hi = int(pdf["range_hi"].iat[0]) if ranged else None
+            hits = wand_topk(
+                list(entries.values()), k, k1, b, avgdl, bs, doc_lo=lo, doc_hi=hi
             )
+            qid = int(pdf["query_id"].iat[0])
+            out = {
+                "query_id": np.full(len(hits), qid, dtype=np.int64),
+                "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
+                "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+                "score": np.array([s for _, s in hits], dtype=np.float64),
+            }
+            if ranged:
+                out["range_id"] = np.full(
+                    len(hits), int(pdf["range_id"].iat[0]), dtype=np.int32
+                )
+            return pd.DataFrame(out)
 
-        return matched.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)
+        return run
+
+    def _doc_ranges(self, n_ranges: int) -> list[tuple[int, int, int]]:
+        """(range_id, lo, hi_exclusive) splits of [min_doc, max_doc] —
+        disjoint and covering, any int64 id domain."""
+        lo, hi = self.min_doc, self.max_doc + 1
+        span = hi - lo
+        edges = [lo + (span * r) // n_ranges for r in range(n_ranges)] + [hi]
+        return [
+            (r, edges[r], edges[r + 1])
+            for r in range(n_ranges)
+            if edges[r] < edges[r + 1]
+        ]
+
+    def _wand_partials(self, matched: DataFrame, k: int, n_ranges: int) -> DataFrame:
+        """Per-(query, range) local WAND top-k rows (pre-merge). The
+        broadcast range table joins on segment-span overlap, so a
+        segment's bytes only reach the ranges its docs can fall in."""
+        ranges = self.spark.createDataFrame(
+            self._doc_ranges(n_ranges), schema="range_id int, range_lo long, range_hi long"
+        )
+        seg_last = F.element_at("block_last_doc", -1)
+        ranged = matched.join(
+            F.broadcast(ranges),
+            (F.col("first_doc") < F.col("range_hi")) & (seg_last >= F.col("range_lo")),
+        )
+        run = self._wand_group_kernel(k, ranged=True)
+        return ranged.groupBy("query_id", "range_id").applyInPandas(
+            run, schema=TOPK_SCHEMA + ", range_id int"
+        )
 
     def _matched_segments(self, queries: list[tuple[int, str]]) -> DataFrame | None:
         """Shared front half: postings segments term-pruned and joined

@@ -150,15 +150,26 @@ def wand_topk(
     b: float,
     avgdl: float,
     block_size: int = 128,
+    doc_lo: int | None = None,
+    doc_hi: int | None = None,
 ) -> list[tuple[int, float]]:
     """term_entries: [{term, idf, segments: [segment rows]}]. Returns
     [(doc_id, score)] ranked by (score desc, doc_id asc); scores are
-    summed term-lexicographically (the pinned order)."""
+    summed term-lexicographically (the pinned order).
+
+    ``doc_lo``/``doc_hi`` (half-open) restrict evaluation to a doc_id
+    RANGE: the distributed path runs one local WAND per (query, range)
+    — a doc's contributions all live in its range, so per-range top-k
+    lists merge into the exact global top-k with no re-summation."""
     cursors = [
         TermCursor(e["term"], e["idf"], e["segments"], k1, b, avgdl, block_size)
         for e in sorted(term_entries, key=lambda e: e["term"])
         if e["segments"]
     ]
+    if doc_lo is not None:
+        for c in cursors:
+            c.advance_to(doc_lo)
+    hi = doc_hi if doc_hi is not None else _DONE
     if not cursors:
         return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap, size ≤ k
@@ -167,7 +178,7 @@ def wand_topk(
         return heap[0][0] if len(heap) == k else -np.inf
 
     while True:
-        live = [c for c in cursors if c.cur_doc != _DONE]
+        live = [c for c in cursors if c.cur_doc != _DONE and c.cur_doc < hi]
         if not live:
             break
         live.sort(key=lambda c: c.cur_doc)
