@@ -39,19 +39,28 @@ def test_incremental_index_foreachbatch(spark, tmp_path):
     ).start()
     q.processAllAvailable()
 
-    batch2 = pd.DataFrame({"doc_id": [2], "text": ["window agg stream join"]})
+    # batch 2: one NEW doc + one UPDATE of doc 1 (re-crawl)
+    batch2 = pd.DataFrame(
+        {"doc_id": [2, 1], "text": ["window agg stream join", "hash rewrite nochange"]}
+    )
     spark.createDataFrame(batch2, DOCS_SCHEMA).write.mode("append").parquet(str(src))
     q.processAllAvailable()
     q.stop()
 
     import glob
 
-    deltas = sorted(glob.glob(f"{out}/delta_batch=*"))
-    assert len(deltas) >= 2
-    # each delta is a complete queryable index of its batch
-    eng = QueryEngine(spark, deltas[0])
+    # batch 1 = base build; batch 2 = delta + tombstone for doc 1
+    assert glob.glob(f"{out}/deltas/delta=*")
+    assert glob.glob(f"{out}/tombstones/*")
+    # ONE logical index over base + deltas, corpus-wide stats
+    eng = QueryEngine(spark, out)
+    assert eng.n_docs == 3
     res = eng.topk([(1, "join")], k=10).collect()
-    assert {r["doc_id"] for r in res} == {0, 1}
+    # doc 1's updated text no longer contains "join" — its old version
+    # must be invisible
+    assert {r["doc_id"] for r in res} == {0, 2}
+    res2 = eng.topk([(2, "rewrite")], k=10).collect()
+    assert {r["doc_id"] for r in res2} == {1}
 
 
 def test_stateful_running_totals(spark, tmp_path):

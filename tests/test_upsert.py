@@ -1,0 +1,140 @@
+"""Changed-doc upsert (ES PUT-by-id semantics): delta indexes +
+tombstones must reproduce EXACTLY the ranking of a fresh full rebuild
+over the updated corpus — same doc ids, bit-equal scores — across the
+pinned-sum, WAND, distributed-WAND, and distributed-agg query paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.index_build import IndexBuilder, index_dirs, load_kills
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+CFG = IndexConfig(n_groups=2, salt_threshold=40, n_salts=3, block_size=32)
+
+QUERIES = [
+    (1, "alpha"),
+    (2, "beta gamma"),
+    (3, "omega"),          # term only in updated/new docs
+    (4, "alpha omega"),
+    (5, "zzzabsent"),
+]
+
+
+def _corpus_v1(n=120):
+    rows = []
+    for i in range(n):
+        words = ["alpha"] * (1 + i % 3) + [f"w{i}"] + (["beta"] if i % 2 else ["gamma"])
+        rows.append((i, " ".join(words)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _mutate(pdf, changes: dict, new: dict):
+    out = pdf.copy()
+    for i, t in changes.items():
+        out.loc[out.doc_id == i, "text"] = t
+    if new:
+        out = pd.concat(
+            [out, pd.DataFrame({"doc_id": list(new), "text": list(new.values())})],
+            ignore_index=True,
+        )
+    return out
+
+
+def _rankings(spark, idx, k=10):
+    eng = QueryEngine(spark, idx)
+    out = {}
+    out["topk"] = eng.topk(QUERIES, k=k).toPandas()
+    out["wand"] = eng.topk_wand(QUERIES, k=k).toPandas()
+    out["wand_r"] = eng.topk_wand(QUERIES, k=k, n_ranges=3).toPandas()
+    out["dist"] = eng.topk_distributed(QUERIES, k=k).toPandas()
+    return eng, out
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame, exact_scores=True):
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "doc_id"]], b[["query_id", "rank", "doc_id"]]
+    )
+    if exact_scores:
+        assert list(a["score"]) == list(b["score"])  # bit-equal
+    else:
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("upsert")
+    v1 = _corpus_v1()
+    idx = str(root / "idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v1), idx)
+    return root, v1, idx
+
+
+def test_upsert_noop_on_unchanged(spark, built):
+    root, v1, idx = built
+    res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(v1), idx)
+    assert res["mode"] == "noop"
+    assert len(index_dirs(idx)) == 1
+
+
+def test_upsert_matches_full_rebuild(spark, built):
+    root, v1, idx = built
+    # v2: doc 5 re-crawled with new text (omega enters, alpha leaves),
+    # doc 7 re-crawled unchanged, doc 200 brand new
+    v2 = _mutate(
+        v1,
+        {5: "omega beta fresh text", 7: str(v1[v1.doc_id == 7]["text"].iat[0])},
+        {200: "omega alpha brand new page"},
+    )
+    res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(v2), idx)
+    assert res["mode"] == "delta"
+    assert res["n_changed"] == 1 and res["n_new"] == 1
+    kills = load_kills(spark, idx)
+    assert kills == {5: 1}
+
+    rebuild = str(root / "rebuild_v2")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v2), rebuild)
+    eng_m, merged = _rankings(spark, idx)
+    eng_r, fresh = _rankings(spark, rebuild)
+    # corpus-wide stats are exact, not per-delta
+    assert eng_m.n_docs == eng_r.n_docs == 121
+    assert eng_m.avgdl == eng_r.avgdl
+    _assert_same(merged["topk"], fresh["topk"])
+    _assert_same(merged["wand"], fresh["topk"])
+    _assert_same(merged["wand_r"], fresh["topk"])
+    _assert_same(merged["dist"], fresh["dist"], exact_scores=False)
+    # the old version of doc 5 must be invisible: "alpha" hits exclude
+    # nothing ranked from its dead posting
+    got5 = merged["topk"][(merged["topk"].query_id == 3)]
+    assert set(got5["doc_id"]) == {5, 200}
+
+
+def test_second_upsert_supersedes_first(spark, built):
+    root, v1, idx = built
+    # doc 5 updated AGAIN: v3 kills the delta=1 version too
+    v3_doc5 = "totally different delta two text"
+    res = IndexBuilder(spark, CFG).upsert(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [5], "text": [v3_doc5]})), idx
+    )
+    assert res["mode"] == "delta" and res["n_changed"] == 1
+    assert load_kills(spark, idx) == {5: 2}
+
+    v3 = _mutate(
+        _corpus_v1(),
+        {5: v3_doc5},
+        {200: "omega alpha brand new page"},
+    )
+    rebuild = str(root / "rebuild_v3")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v3), rebuild)
+    _, merged = _rankings(spark, idx)
+    _, fresh = _rankings(spark, rebuild)
+    _assert_same(merged["topk"], fresh["topk"])
+    _assert_same(merged["wand"], fresh["topk"])
+    _assert_same(merged["wand_r"], fresh["topk"])
+    # omega now matches only doc 200 (doc 5's omega text was replaced)
+    got = merged["topk"][(merged["topk"].query_id == 3)]
+    assert set(got["doc_id"]) == {200}

@@ -73,6 +73,70 @@ MANIFEST_SCHEMA = (
     "n_postings long, bytes long, wall_ms long, input_snapshot string, status string"
 )
 
+TOMBSTONE_SCHEMA = "doc_id long, kill_ord int"
+
+
+def index_dirs(index_dir: str) -> list[tuple[int, str]]:
+    """All physical index directories under one logical index, in
+    version order: [(0, base), (1, deltas/delta=1), …]. An upsert or
+    streaming micro-batch adds a delta; a doc's LIVE version is the
+    one in the highest dir whose ord ≥ the doc's max tombstone
+    kill_ord (see :meth:`IndexBuilder.upsert`)."""
+    out = [(0, index_dir)]
+    droot = Path(index_dir) / "deltas"
+    if droot.exists():
+        deltas = sorted(
+            (int(p.name.split("=")[1]), str(p))
+            for p in droot.glob("delta=*")
+            if p.is_dir()
+        )
+        out += deltas
+    return out
+
+
+def load_kills(spark: SparkSession, index_dir: str) -> dict[int, int]:
+    """doc_id → max kill_ord from the tombstone log. A posting for doc
+    x stored in dir ord o is live iff o ≥ kills.get(x, 0). Tombstones
+    exist only for UPDATED docs (a re-crawl of an already-indexed
+    url), so between compactions this set stays small relative to the
+    corpus; the query engine broadcasts it."""
+    t = Path(index_dir) / "tombstones"
+    if not t.exists():
+        return {}
+    rows = (
+        spark.read.parquet(str(t))
+        .groupBy("doc_id")
+        .agg(F.max("kill_ord").alias("kill_ord"))
+        .collect()
+    )
+    return {int(r["doc_id"]): int(r["kill_ord"]) for r in rows}
+
+
+def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, text_md5, doc_len, ord) of each doc's LIVE version
+    across base + deltas (tombstoned versions dropped)."""
+    parts = []
+    for o, p in index_dirs(index_dir):
+        parts.append(
+            spark.read.parquet(f"{p}/docs")
+            .select("doc_id", "text_md5", "doc_len")
+            .withColumn("ord", F.lit(o))
+        )
+    all_docs = parts[0]
+    for part in parts[1:]:
+        all_docs = all_docs.unionByName(part)
+    t = Path(index_dir) / "tombstones"
+    if t.exists():
+        kills = (
+            spark.read.parquet(str(t))
+            .groupBy("doc_id")
+            .agg(F.max("kill_ord").alias("kill_ord"))
+        )
+        all_docs = all_docs.join(F.broadcast(kills), "doc_id", "left").filter(
+            F.col("kill_ord").isNull() | (F.col("ord") >= F.col("kill_ord"))
+        ).drop("kill_ord")
+    return all_docs
+
 
 def _encode_stream(cfg_block: int):
     """mapInPandas kernel: partition sorted by (term, salt, doc_id) →
@@ -279,18 +343,91 @@ class IndexBuilder:
             "n_docs": int(n_docs),
         }
 
+    # -- upsert ------------------------------------------------------------
+
+    def upsert(self, docs: DataFrame, index_dir: str) -> dict:
+        """ES PUT-by-id semantics (reference ElasticIndexer.js:68-97:
+        a re-PUT of an existing id overwrites the document) as an
+        LSM-style delta: given a (doc_id, text[, url]) snapshot or
+        patch,
+
+        - docs whose text_md5 matches their live indexed version are
+          SKIPPED (idempotent re-crawl),
+        - changed + brand-new docs are built into a self-contained
+          delta index at ``deltas/delta=<ord>``,
+        - changed docs get a tombstone (doc_id, kill_ord=<ord>) that
+          retires every older stored version.
+
+        QueryEngine reads base + deltas + tombstones transparently and
+        reproduces the exact ranking (bit-equal scores) of a fresh
+        full rebuild over the updated corpus — asserted in
+        tests/test_upsert.py. No input text is required for unchanged
+        docs, so a 10^12-doc index absorbs a small re-crawl without
+        touching the corpus."""
+        base = Path(index_dir)
+        if not (base / "stats").exists():
+            res = self.build(docs, index_dir)
+            return {"mode": "initial_build", **res}
+        docs = docs.persist()
+        try:
+            live = live_docs(self.spark, index_dir).select("doc_id", "text_md5")
+            patch = docs.select("doc_id", F.md5("text").alias("new_md5"))
+            joined = patch.join(live, "doc_id", "left")
+            delta_ids = joined.filter(
+                F.col("text_md5").isNull() | (F.col("text_md5") != F.col("new_md5"))
+            ).select(
+                "doc_id", F.col("text_md5").isNotNull().alias("is_update")
+            ).persist()
+            n_new = delta_ids.filter(~F.col("is_update")).count()
+            n_changed = delta_ids.filter(F.col("is_update")).count()
+            if n_new + n_changed == 0:
+                delta_ids.unpersist()
+                return {"mode": "noop", "n_new": 0, "n_changed": 0}
+            new_ord = max(o for o, _ in index_dirs(index_dir)) + 1
+            delta_docs = docs.join(
+                delta_ids.select("doc_id"), "doc_id", "left_semi"
+            )
+            delta_dir = str(base / "deltas" / f"delta={new_ord}")
+            res = IndexBuilder(self.spark, self.cfg).build(delta_docs, delta_dir)
+            tombs = (
+                delta_ids.filter(F.col("is_update"))
+                .select(
+                    F.col("doc_id").cast("long"),
+                    F.lit(new_ord).cast("int").alias("kill_ord"),
+                )
+            )
+            if n_changed:
+                tombs.coalesce(1).write.mode("append").parquet(
+                    str(base / "tombstones")
+                )
+            delta_ids.unpersist()
+            return {
+                "mode": "delta",
+                "ord": new_ord,
+                "n_new": int(n_new),
+                "n_changed": int(n_changed),
+                "delta_dir": delta_dir,
+                "delta_build": res,
+            }
+        finally:
+            docs.unpersist()
+
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
         # doc_len from the already-written tokens table (no second
-        # tokenize pass); left join keeps zero-token docs at length 0,
-        # and the docs scan here prunes to (doc_id[, url]) — the text
-        # column is never read again
+        # tokenize pass); left join keeps zero-token docs at length 0.
+        # text_md5 rides along for upsert change-detection (ES
+        # PUT-by-id semantics, ElasticIndexer.js:68-97) — it re-reads
+        # the text column once; at cluster scale fuse it into the
+        # tokenize projection if the second pass matters
         dl = (
             self.spark.read.parquet(str(out / "tokens"))
             .groupBy("doc_id")
             .agg(F.first("dl").alias("doc_len"))
         )
         base = docs.select(
-            "doc_id", *(["url"] if "url" in docs.columns else [])
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            *(["url"] if "url" in docs.columns else []),
         )
         d = base.join(dl, "doc_id", "left").fillna({"doc_len": 0})
         d.write.mode("overwrite").parquet(str(out / "docs"))

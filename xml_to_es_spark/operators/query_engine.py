@@ -49,10 +49,20 @@ CONTRIB_SCHEMA = "query_id long, term string, doc_id long, contrib double"
 TOPK_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 
-def _score_segments(k1: float, b: float, avgdl: float):
+def _dead_mask(doc_ids: np.ndarray, dead: np.ndarray | None) -> np.ndarray | None:
+    """Boolean mask of tombstoned doc_ids (dead sorted ascending)."""
+    if dead is None or not dead.size:
+        return None
+    pos = np.searchsorted(dead, doc_ids)
+    pos = np.minimum(pos, dead.size - 1)
+    return dead[pos] == doc_ids
+
+
+def _score_segments(k1: float, b: float, avgdl: float, dead_by_ord=None):
     """mapInPandas kernel: postings segments × matched query terms →
     per-(query, doc) BM25 contributions. Fully numpy inside the Arrow
-    batch."""
+    batch. ``dead_by_ord[o]`` (sorted array) drops tombstoned docs —
+    versions stored in dir ord o but superseded by a later delta."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,6 +76,15 @@ def _score_segments(k1: float, b: float, avgdl: float):
                 )
                 tfs = varbyte_decode(pdf["tfs_bin"].iat[i], n).astype(np.float64)
                 dls = varbyte_decode(pdf["dls_bin"].iat[i], n).astype(np.float64)
+                if dead_by_ord:
+                    dead = dead_by_ord.get(int(pdf["ord"].iat[i]))
+                    m = _dead_mask(doc_ids, dead)
+                    if m is not None and m.any():
+                        keep = ~m
+                        doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                        n = doc_ids.size
+                        if n == 0:
+                            continue
                 w = float(pdf["idf"].iat[i])
                 contrib = w * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
@@ -74,6 +93,8 @@ def _score_segments(k1: float, b: float, avgdl: float):
                 out_t.append(np.full(n, pdf["term"].iat[i], dtype=object))
                 out_d.append(doc_ids)
                 out_c.append(contrib)
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -118,48 +139,160 @@ def _topk_reduce(k: int):
 
 class QueryEngine:
     """Top-k BM25 retrieval over an index directory produced by
-    :class:`~xml_to_es_spark.operators.index_build.IndexBuilder`."""
+    :class:`~xml_to_es_spark.operators.index_build.IndexBuilder`.
+
+    Reads base + upsert/streaming DELTA indexes (``deltas/delta=k``)
+    + the tombstone log transparently: global stats (N, avgdl) are
+    recomputed exactly over the LIVE doc set, per-term df is corrected
+    for tombstoned postings, and superseded doc versions are dropped
+    at decode time — so rankings and scores are bit-equal to a fresh
+    full rebuild over the updated corpus (tests/test_upsert.py)."""
 
     def __init__(self, spark: SparkSession, index_dir: str, cfg: BM25Config | None = None):
+        from xml_to_es_spark.operators.index_build import index_dirs, load_kills
+
         self.spark = spark
         self.dir = index_dir
         self.cfg = cfg or BM25Config()
-        st = spark.read.parquet(f"{index_dir}/stats").first()
-        self.n_docs = int(st["n_docs"])
-        self.avgdl = float(st["avgdl"])
-        d = st.asDict()
+        self.dirs = index_dirs(index_dir)  # [(ord, path)]
+        # per-dir stats (block_size may differ per delta build config)
+        self._dir_stats: dict[int, dict] = {}
+        for o, p in self.dirs:
+            self._dir_stats[o] = spark.read.parquet(f"{p}/stats").first().asDict()
+        d = self._dir_stats[0]
         self.block_size = int(d.get("block_size") or 128)
         self.n_groups = int(d.get("n_groups") or 0)
-        self.min_doc = int(d.get("min_doc") or 0)
-        self.max_doc = int(d.get("max_doc") or 0)
+        if len(self.dirs) == 1:
+            self.kills: dict[int, int] = {}
+            self.n_docs = int(d["n_docs"])
+            self.avgdl = float(d["avgdl"])
+            self.min_doc = int(d.get("min_doc") or 0)
+            self.max_doc = int(d.get("max_doc") or 0)
+        else:
+            # merged corpus-wide stats over the LIVE doc set: exact,
+            # not per-batch (avg over int64 doc_len sums exactly, so
+            # avgdl is bit-equal to a full rebuild's)
+            self.kills = load_kills(spark, index_dir)
+            from xml_to_es_spark.operators.index_build import live_docs
+
+            st = live_docs(spark, index_dir).agg(
+                F.count("*").alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).first()
+            self.n_docs = int(st["n"])
+            self.avgdl = float(st["avgdl"])
+            self.min_doc = int(st["lo"])
+            self.max_doc = int(st["hi"])
+        # per dir-ord: sorted array of doc_ids whose stored version
+        # there is superseded (kill_ord > ord). Tombstones cover only
+        # UPDATED docs, so these stay small between compactions; they
+        # ship to tasks via the kernel closure (broadcast)
+        self._dead_by_ord = {}
+        for o, _ in self.dirs:
+            dead = np.array(
+                sorted(x for x, k in self.kills.items() if k > o), dtype=np.int64
+            )
+            if dead.size:
+                self._dead_by_ord[o] = dead
 
     # -- term metadata -----------------------------------------------------
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, group), via a term-pruned scan of the terms
-        dictionary (term-sorted files → parquet min/max row-group
-        pruning). The group partition column rides along for free and
-        drives partition-DIRECTORY pruning of the much larger postings
-        scan — no extra job to recompute the build's term hash."""
+    def _term_meta(self, terms: list[str]) -> dict[str, dict]:
+        """term → {"df": live df, "groups": {ord: group}} via
+        term-pruned scans of each dir's terms dictionary (term-sorted
+        files → parquet min/max row-group pruning; the group column
+        drives partition-DIRECTORY pruning of the postings scans).
+        When tombstones exist, raw per-dir df is corrected by decoding
+        the (query terms only) doc streams and counting superseded
+        appearances — the same bytes the scoring pass reads anyway."""
         if not terms:
             return {}
+        meta: dict[str, dict] = {}
+        for o, p in self.dirs:
+            rows = (
+                self.spark.read.parquet(f"{p}/terms")
+                .filter(F.col("term").isin(terms))
+                .select("term", "df", "group")
+                .collect()
+            )
+            for r in rows:
+                m = meta.setdefault(r["term"], {"df": 0, "groups": {}})
+                m["df"] += int(r["df"])
+                m["groups"][o] = int(r["group"])
+        if self._dead_by_ord and meta:
+            for term, killed in self._killed_counts(meta).items():
+                meta[term]["df"] -= killed
+        return meta
+
+    def _killed_counts(self, meta: dict[str, dict]) -> dict[str, int]:
+        """Per term, the number of stored postings whose doc version
+        is superseded — decode of doc streams only (tf/dl untouched)."""
+        pruned = self._pruned_postings(meta).select(
+            "ord", "term", "n_docs", "docs_bin"
+        )
+        dead_by_ord = self._dead_by_ord
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms, counts = [], []
+                for i in range(len(pdf)):
+                    dead = dead_by_ord.get(int(pdf["ord"].iat[i]))
+                    if dead is None:
+                        continue
+                    n = int(pdf["n_docs"].iat[i])
+                    doc_ids = np.cumsum(
+                        varbyte_decode(pdf["docs_bin"].iat[i], n).astype(np.int64)
+                    )
+                    m = _dead_mask(doc_ids, dead)
+                    if m is not None and m.any():
+                        terms.append(pdf["term"].iat[i])
+                        counts.append(int(m.sum()))
+                yield pd.DataFrame({"term": terms, "killed": counts})
+
         rows = (
-            self.spark.read.parquet(f"{self.dir}/terms")
-            .filter(F.col("term").isin(terms))
-            .select("term", "df", "group")
+            pruned.mapInPandas(run, schema="term string, killed long")
+            .groupBy("term")
+            .agg(F.sum("killed").alias("killed"))
             .collect()
         )
-        return {r["term"]: (int(r["df"]), int(r["group"])) for r in rows}
+        return {r["term"]: int(r["killed"]) for r in rows}
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (live df, base group) — back-compat view of
+        :meth:`_term_meta`."""
+        meta = self._term_meta(terms)
+        return {
+            t: (m["df"], m["groups"].get(0, next(iter(m["groups"].values()))))
+            for t, m in meta.items()
+        }
 
     def term_groups(self, terms: list[str]) -> dict[str, int]:
         return {t: g for t, (df, g) in self.term_stats(terms).items()}
 
-    def _pruned_postings(self, stats: dict[str, tuple[int, int]]) -> DataFrame:
-        df = self.spark.read.parquet(f"{self.dir}/postings")
-        groups = sorted({g for _, g in stats.values()})
-        if groups:
-            df = df.filter(F.col("group").isin(groups))
-        return df.filter(F.col("term").isin(list(stats)))
+    def _pruned_postings(self, meta: dict[str, dict]) -> DataFrame:
+        """Union of per-dir postings scans, each pruned to the query
+        terms' partition groups and term ranges, tagged with the dir
+        ord and its block size."""
+        parts = []
+        for o, p in self.dirs:
+            terms_here = [t for t, m in meta.items() if o in m["groups"]]
+            if not terms_here:
+                continue
+            df = self.spark.read.parquet(f"{p}/postings")
+            groups = sorted({meta[t]["groups"][o] for t in terms_here})
+            df = df.filter(F.col("group").isin(groups)).filter(
+                F.col("term").isin(terms_here)
+            )
+            bs = int(self._dir_stats[o].get("block_size") or 128)
+            parts.append(
+                df.withColumn("ord", F.lit(o)).withColumn("bsz", F.lit(bs))
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
 
     # -- query -------------------------------------------------------------
 
@@ -174,7 +307,7 @@ class QueryEngine:
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
-            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl),
+            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
         return contribs.groupBy("query_id").applyInPandas(
@@ -202,8 +335,11 @@ class QueryEngine:
         matched = self._matched_segments(queries)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        if n_ranges and n_ranges > 1:
-            partials = self._wand_partials(matched, k, n_ranges)
+        if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
+            # per-(query, dir, range) local top-k, global merge: a
+            # doc's live contributions all sit in ONE (dir, range)
+            # group, so the merge needs no re-summation
+            partials = self._wand_partials(matched, k, n_ranges or 1)
             from pyspark.sql import Window as W
 
             w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -213,12 +349,17 @@ class QueryEngine:
                 .select("query_id", "rank", "doc_id", "score")
             )
         run = self._wand_group_kernel(k)
-        return matched.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)
+        return matched.groupBy("query_id", "ord").applyInPandas(
+            run, schema=TOPK_SCHEMA
+        )
 
     def _wand_group_kernel(self, k: int, ranged: bool = False):
-        """applyInPandas kernel: one (query[, range]) group → local
-        block-max WAND top-k over that group's segments."""
-        k1, b, avgdl, bs = self.cfg.k1, self.cfg.b, self.avgdl, self.block_size
+        """applyInPandas kernel: one (query, dir[, range]) group →
+        local block-max WAND top-k over that group's segments.
+        Tombstoned doc versions for the group's dir are skipped at
+        scoring time (bounds stay valid upper bounds)."""
+        k1, b, avgdl = self.cfg.k1, self.cfg.b, self.avgdl
+        dead_by_ord = self._dead_by_ord
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             from xml_to_es_spark.operators.wand import wand_topk
@@ -243,10 +384,13 @@ class QueryEngine:
                         "dls_bin": r.dls_bin,
                     }
                 )
+            bs = int(pdf["bsz"].iat[0])
+            dead = dead_by_ord.get(int(pdf["ord"].iat[0]))
             lo = int(pdf["range_lo"].iat[0]) if ranged else None
             hi = int(pdf["range_hi"].iat[0]) if ranged else None
             hits = wand_topk(
-                list(entries.values()), k, k1, b, avgdl, bs, doc_lo=lo, doc_hi=hi
+                list(entries.values()), k, k1, b, avgdl, bs,
+                doc_lo=lo, doc_hi=hi, dead=dead,
             )
             qid = int(pdf["query_id"].iat[0])
             out = {
@@ -288,31 +432,32 @@ class QueryEngine:
             (F.col("first_doc") < F.col("range_hi")) & (seg_last >= F.col("range_lo")),
         )
         run = self._wand_group_kernel(k, ranged=True)
-        return ranged.groupBy("query_id", "range_id").applyInPandas(
+        return ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
 
     def _matched_segments(self, queries: list[tuple[int, str]]) -> DataFrame | None:
-        """Shared front half: postings segments term-pruned and joined
-        to the broadcast (query_id, term, idf) table."""
+        """Shared front half: postings segments term-pruned (across
+        base + delta dirs) and joined to the broadcast
+        (query_id, term, idf) table. idf uses the LIVE df and N."""
         qterms = []
         for qid, text in queries:
             for t in sorted(set(tokenize(text))):
                 qterms.append((qid, t))
         if not qterms:
             return None
-        stats = self.term_stats(sorted({t for _, t in qterms}))
+        meta = self._term_meta(sorted({t for _, t in qterms}))
         present = [
-            (qid, t, _idf(self.n_docs, stats[t][0]))
+            (qid, t, _idf(self.n_docs, meta[t]["df"]))
             for qid, t in qterms
-            if t in stats
+            if t in meta and meta[t]["df"] > 0
         ]
         if not present:
             return None
         qdf = self.spark.createDataFrame(
             present, schema="query_id long, term string, idf double"
         )
-        return self._pruned_postings(stats).join(F.broadcast(qdf), "term")
+        return self._pruned_postings(meta).join(F.broadcast(qdf), "term")
 
     def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
@@ -327,7 +472,7 @@ class QueryEngine:
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
-            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl),
+            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
         scored = contribs.groupBy("query_id", "doc_id").agg(

@@ -152,6 +152,7 @@ def wand_topk(
     block_size: int = 128,
     doc_lo: int | None = None,
     doc_hi: int | None = None,
+    dead: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """term_entries: [{term, idf, segments: [segment rows]}]. Returns
     [(doc_id, score)] ranked by (score desc, doc_id asc); scores are
@@ -160,7 +161,12 @@ def wand_topk(
     ``doc_lo``/``doc_hi`` (half-open) restrict evaluation to a doc_id
     RANGE: the distributed path runs one local WAND per (query, range)
     — a doc's contributions all live in its range, so per-range top-k
-    lists merge into the exact global top-k with no re-summation."""
+    lists merge into the exact global top-k with no re-summation.
+
+    ``dead`` (sorted int64 array) lists tombstoned doc_ids whose
+    stored version here is superseded by a delta index: they are
+    advanced past without scoring (block bounds stay valid upper
+    bounds, so pruning is unaffected)."""
     cursors = [
         TermCursor(e["term"], e["idf"], e["segments"], k1, b, avgdl, block_size)
         for e in sorted(term_entries, key=lambda e: e["term"])
@@ -209,6 +215,14 @@ def wand_topk(
                 for c in live[: pivot + 1]:
                     c.advance_to(target)
                 continue
+            if dead is not None and dead.size:
+                j = int(np.searchsorted(dead, pivot_doc))
+                if j < dead.size and dead[j] == pivot_doc:
+                    # superseded version: skip without scoring
+                    for c in live:
+                        if c.cur_doc == pivot_doc:
+                            c.next_doc()
+                    continue
             # score pivot_doc: cursors list is term-sorted, so this sum
             # runs in term-lex order — the pinned summation order
             score = 0.0

@@ -4,11 +4,17 @@ The reference is a bounded stream with backpressure
 (pause()/resume(), xml-to-es.js:523,581,608) — plain batch in Spark.
 This module adds the genuinely-streaming capability its ES usage
 implies (documents PUT as they arrive, ElasticIndexer.js:68-97):
-new pages micro-batched via ``foreachBatch`` into per-batch posting
-DELTA segments. A delta segment is just another salt dimension:
-(term, salt, batch_id) segments concatenate like salt segments do,
-and the query engine reads base + deltas transparently because it
-only requires per-segment sorted doc_ids.
+micro-batches are folded into the index via
+:meth:`IndexBuilder.upsert` — the first non-empty batch builds the
+base, every later batch becomes a self-contained DELTA index under
+``out_dir/deltas/delta=<ord>`` plus tombstones for updated docs.
+``QueryEngine(out_dir)`` reads base + deltas + tombstones
+transparently with corpus-wide (not per-batch) BM25 statistics, so
+streamed and batch-built indexes rank identically
+(tests/test_streaming.py, tests/test_upsert.py).
+
+Exactly-once: foreachBatch + content-hash change detection — a
+replayed batch finds every doc unchanged and becomes a no-op.
 
 Also: windowed crawl-rate metrics with a watermark, the
 orthodox late-data pattern over `events`-shaped streams.
@@ -30,21 +36,16 @@ def incremental_index_query(
     cfg: IndexConfig | None = None,
     checkpoint: str | None = None,
 ):
-    """readStream(pages) → foreachBatch(index delta build).
+    """readStream(pages) → foreachBatch(upsert into one logical index).
 
-    Each micro-batch builds compressed postings for ITS docs only and
-    appends them under postings/delta_batch=<id>; stats/docs are
-    appended too. Exactly-once: foreachBatch + idempotent per-batch
-    output paths (re-run of a batch overwrites its own directory).
-    """
+    Returns the writeStream builder (caller starts/stops it)."""
     cfg = cfg or IndexConfig(n_groups=1)
 
     def handle(batch_df: DataFrame, batch_id: int):
         docs = batch_df.select("doc_id", "text")
         if docs.isEmpty():
             return
-        b = IndexBuilder(spark, cfg)
-        b.build(docs, f"{out_dir}/delta_batch={batch_id}")
+        IndexBuilder(spark, cfg).upsert(docs, out_dir)
 
     writer = pages_stream.writeStream.foreachBatch(handle).outputMode("update")
     if checkpoint:
