@@ -60,6 +60,12 @@ def main():
         "bm25_codec_topk",
         lambda: eng.topk_distributed(entry.BM25_QUERIES, k=10).collect(),
     )
+    # 2b. the flagship scale path: distributed block-max WAND
+    # (per doc-range local top-k, global WindowGroupLimit merge)
+    timed(
+        "bm25_wand_topk",
+        lambda: eng.topk_wand(entry.BM25_QUERIES, k=10, n_ranges=8).collect(),
+    )
     # p50-ish single-query latency: median of the query set, one at a time
     lat = []
     for q in entry.BM25_QUERIES:

@@ -138,3 +138,28 @@ def test_second_upsert_supersedes_first(spark, built):
     # omega now matches only doc 200 (doc 5's omega text was replaced)
     got = merged["topk"][(merged["topk"].query_id == 3)]
     assert set(got["doc_id"]) == {200}
+
+
+def test_compact_collapses_to_single_dir(spark, built):
+    """LSM compaction (runs after the two upserts above): base + 2
+    deltas + tombstones → one fresh dir, rankings bit-equal to the
+    v3 full rebuild, no text input needed."""
+    root, v1, idx = built
+    compacted = str(root / "compacted")
+    res = IndexBuilder(spark, CFG).compact(idx, compacted)
+    assert res["dirs_merged"] == 3 and res["tombstones_dropped"] == 1
+    assert len(index_dirs(compacted)) == 1
+    assert load_kills(spark, compacted) == {}
+    eng_c, cranks = _rankings(spark, compacted)
+    rebuild = str(root / "rebuild_v3")  # built by the previous test
+    eng_r, fresh = _rankings(spark, rebuild)
+    assert eng_c.n_docs == eng_r.n_docs and eng_c.avgdl == eng_r.avgdl
+    _assert_same(cranks["topk"], fresh["topk"])
+    _assert_same(cranks["wand"], fresh["topk"])
+    _assert_same(cranks["wand_r"], fresh["topk"])
+    # compacted index is still upsert-able (normal docs table layout)
+    r2 = IndexBuilder(spark, CFG).upsert(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [300], "text": ["epsilon zeta"]})),
+        compacted,
+    )
+    assert r2["mode"] == "delta" and r2["n_new"] == 1

@@ -412,6 +412,121 @@ class IndexBuilder:
         finally:
             docs.unpersist()
 
+    # -- compaction ----------------------------------------------------------
+
+    def compact(self, index_dir: str, out_dir: str) -> dict:
+        """LSM compaction: merge base + delta postings, dropping
+        tombstoned doc versions, into a FRESH single-dir index at
+        ``out_dir`` — queryable stand-alone, rankings bit-equal to the
+        merged view (tests/test_upsert.py). Needs no input text: the
+        (term, doc, tf, dl) rows are recovered by decoding the stored
+        segments (one distributed decode pass), then re-encoded by the
+        normal build stages. Run periodically so the tombstone set the
+        query engine broadcasts stays small."""
+        from xml_to_es_spark.operators.postings import varbyte_decode
+
+        spark = self.spark
+        dirs = index_dirs(index_dir)
+        kills = load_kills(spark, index_dir)
+        dead_by_ord = {
+            o: np.array(sorted(x for x, k in kills.items() if k > o), dtype=np.int64)
+            for o, _ in dirs
+        }
+        dead_by_ord = {o: d for o, d in dead_by_ord.items() if d.size}
+        parts = []
+        for o, p in dirs:
+            parts.append(
+                spark.read.parquet(f"{p}/postings")
+                .select("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin")
+                .withColumn("ord", F.lit(o))
+            )
+        allp = parts[0]
+        for part in parts[1:]:
+            allp = allp.unionByName(part)
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_t, out_d, out_tf, out_dl = [], [], [], []
+                for i in range(len(pdf)):
+                    n = int(pdf["n_docs"].iat[i])
+                    doc_ids = np.cumsum(
+                        varbyte_decode(pdf["docs_bin"].iat[i], n).astype(np.int64)
+                    )
+                    tfs = varbyte_decode(pdf["tfs_bin"].iat[i], n).astype(np.int64)
+                    dls = varbyte_decode(pdf["dls_bin"].iat[i], n).astype(np.int64)
+                    dead = dead_by_ord.get(int(pdf["ord"].iat[i]))
+                    if dead is not None:
+                        pos = np.minimum(np.searchsorted(dead, doc_ids), dead.size - 1)
+                        keep = dead[pos] != doc_ids
+                        doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                    if not doc_ids.size:
+                        continue
+                    out_t.append(np.full(doc_ids.size, pdf["term"].iat[i], dtype=object))
+                    out_d.append(doc_ids)
+                    out_tf.append(tfs)
+                    out_dl.append(dls)
+                if not out_t:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(out_t),
+                        "doc_id": np.concatenate(out_d),
+                        "tf": np.concatenate(out_tf),
+                        "dl": np.concatenate(out_dl),
+                    }
+                )
+
+        tok = allp.mapInPandas(
+            decode, schema="term string, doc_id long, tf long, dl long"
+        ).withColumn(
+            "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
+        )
+        out = Path(out_dir)
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True, exist_ok=True)
+        self._defer_manifest = True
+        self._pending_manifest = []
+        t0 = time.time()
+        tok.write.mode("overwrite").partitionBy("group").parquet(str(out / "tokens"))
+        # docs/stats from the live doc set (doc_len carried in docs
+        # tables; zero-token docs keep their row via live_docs, not
+        # the postings — a doc with no terms has no posting)
+        live = live_docs(spark, index_dir).select("doc_id", "text_md5", "doc_len")
+        live.write.mode("overwrite").parquet(str(out / "docs"))
+        dd = spark.read.parquet(str(out / "docs"))
+        snap_row = dd.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string), text_md5))").alias("h"),
+        ).first()
+        snapshot = f"compact-{snap_row['n']}-{snap_row['h']}"
+        stats = (
+            dd.agg(
+                F.count("*").alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total_tokens"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .withColumn("input_snapshot", F.lit(snapshot))
+            .withColumn("block_size", F.lit(self.cfg.block_size))
+            .withColumn("n_groups", F.lit(self.cfg.n_groups))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
+        self._manifest_row(out, stage="tokens", group=-1, snapshot=snapshot)
+        self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
+        st = spark.read.parquet(str(out / "stats")).first()
+        self._build_all_groups(out, (int(st["min_doc"]), int(st["max_doc"])), snapshot)
+        self._flush_manifest(out)
+        return {
+            "mode": "compact",
+            "dirs_merged": len(dirs),
+            "n_docs": int(st["n_docs"]),
+            "tombstones_dropped": len(kills),
+            "wall_s": round(time.time() - t0, 2),
+            "out_dir": str(out),
+        }
+
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
         # doc_len from the already-written tokens table (no second
         # tokenize pass); left join keeps zero-token docs at length 0.
