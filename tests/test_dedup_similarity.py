@@ -148,6 +148,37 @@ def test_ivf_ann_recall(spark):
     assert hits >= 12  # ≥0.8 recall
 
 
+def test_ivf_indexed_storage_partition_pruned(spark, tmp_path):
+    """build_ivf_index + ann_topk_ivf_indexed: results identical to
+    the inline IVF path, and the scan is pruned to the probed cell
+    DIRECTORIES (partition filter in the plan)."""
+    from xml_to_es_spark.plans import explain_str
+
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [rng.normal(size=12).tolist() for _ in range(120)]}
+    )
+    emb = spark.createDataFrame(pdf)
+    C = similarity.fixed_centroids(dim=12, k=6, seed=3)
+    path = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, C, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    inline = similarity.ann_topk_ivf(emb, q, C, k=5, nprobe=2).toPandas()
+    indexed_df = similarity.ann_topk_ivf_indexed(spark, path, q, C, k=5, nprobe=2)
+    plan = explain_str(indexed_df)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # unprobed cells never read: the partition filter lists ≤ q×nprobe cells
+    indexed = indexed_df.toPandas()
+    a = inline.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = indexed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "vec_id"]], b[["query_id", "rank", "vec_id"]]
+    )
+    np.testing.assert_allclose(a["cosine"], b["cosine"], atol=1e-6)
+
+
 def test_lsh_buckets_deterministic(spark):
     rng = np.random.RandomState(5)
     pdf = pd.DataFrame(

@@ -10,6 +10,7 @@ from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
 from xml_to_es_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_python,
     assert_pushed_filter,
     assert_read_schema_only,
     codegen_stage_count,
@@ -66,6 +67,57 @@ def test_query_engine_scan_pruning(spark, tmp_path):
     assert f"group = {g}" in plan or f"group#" in plan
     assert "PushedFilters" in plan and "term" in plan
     assert_broadcast_join(matched)
+
+
+def test_ann_paths_are_pure_jvm_and_bucketed(spark):
+    """The LSH/IVF models are literal expressions in the plan: the
+    whole ANN query — bucketing, probe selection, cell argmin, cosine
+    re-rank — must run JVM-side (no Python nodes of any kind), with
+    broadcast candidate joins and no cartesian product."""
+    import numpy as np
+
+    from xml_to_es_spark.operators import dedup, similarity
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [rng.normal(size=8).tolist() for _ in range(30)]}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    planes = similarity.projection_matrix(dim=8, n_planes=4)
+    lsh = similarity.ann_topk_lsh(emb, q, planes, k=5)
+    assert_no_python(lsh)
+    assert_no_cartesian(lsh)
+    assert_broadcast_join(lsh)
+
+    C = similarity.fixed_centroids(dim=8, k=4)
+    ivf = similarity.ann_topk_ivf(emb, q, C, k=5, nprobe=2)
+    assert_no_python(ivf)
+    assert_no_cartesian(ivf)
+    assert_broadcast_join(ivf)
+
+    nd = dedup.embedding_near_dups(emb, threshold=0.9, planes=planes, band_size=2)
+    assert_no_python(nd)
+    assert_no_cartesian(nd)
+
+    # exact cosine baseline: crossJoin is intentional but must be the
+    # broadcast (not shuffled-cartesian) variant
+    exact = similarity.cosine_topk(emb, q, k=5)
+    assert_no_python(exact)
+    assert "BroadcastNestedLoopJoin" in explain_str(exact, "simple")
+
+
+def test_simhash_is_pure_jvm(spark):
+    from xml_to_es_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "gamma delta"]})
+    )
+    fp = dedup.simhash(docs)
+    assert_no_python(fp)
+    assert_no_cartesian(fp)
 
 
 def test_mapping_stays_projection(spark):

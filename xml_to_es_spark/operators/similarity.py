@@ -254,6 +254,60 @@ def ann_topk_ivf(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY IVF cell (the on-disk
+    layout a 10^12-vector corpus should live in): a query then reads
+    only its nprobe cell directories — partition-directory pruning,
+    ~nprobe/k of the data touched, asserted in test_plans."""
+    emb.select(
+        F.col(key_col), F.col(vec_col), cell_col(vec_col, centroids).alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_key: str = "query_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF search over a :func:`build_ivf_index` layout. The probe
+    cell list (queries × nprobe rows — tiny) is collected and becomes
+    a LITERAL ``cell IN (...)`` partition filter, so unprobed cell
+    directories are never opened; candidates then join the broadcast
+    (query, cell) table and re-rank by exact cosine."""
+    from pyspark.sql import Window as W
+
+    probe_df = query_probes(queries, centroids, nprobe, q_key, q_vec)
+    probe_rows = probe_df.collect()
+    cells = sorted({int(r["cell"]) for r in probe_rows})
+    base = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    q = queries.join(
+        spark.createDataFrame(probe_rows, schema=f"{q_key} long, cell int"), q_key
+    )
+    cand = base.join(F.broadcast(q), "cell").withColumn(
+        "cosine",
+        F.round(_dot(F.col(vec_col), F.col(q_vec)) / (_norm(vec_col) * _norm(q_vec)), 6),
+    )
+    w = W.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, F.col("rank").cast("long").alias("rank"), key_col, "cosine")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -46,6 +46,19 @@ def assert_read_schema_only(df: DataFrame, cols: set[str]) -> None:
     assert read <= cols, f"scan reads {read - cols} beyond {cols}"
 
 
+def assert_no_python(df: DataFrame) -> None:
+    """The plan must contain NO Python evaluation of any kind — not
+    row-at-a-time (BatchEvalPython), not Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas): the whole
+    query stays JVM-side."""
+    plan = explain_str(df, "simple")
+    for node in (
+        "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+        "FlatMapGroupsInPandas", "PythonUDF",
+    ):
+        assert node not in plan, f"{node} in plan:\n{plan}"
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans (formatted plan shows them
     as 'WholeStageCodegen (N)'; simple mode only marks them '*(N)')."""
