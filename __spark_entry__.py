@@ -220,6 +220,16 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_docs(spark, sf), n_perm=16, band_size=4)
 
 
+def _q_dup_clusters(spark, sf):
+    """Connected-components dedup clustering over the MinHash-LSH
+    candidate graph (min-label propagation ≡ the oracle's recursive
+    transitive closure)."""
+    from xml_to_es_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf), n_perm=16, band_size=4)
+    return dup_clusters(pairs)
+
+
 def _q_jaccard_sample(spark, sf):
     from xml_to_es_spark.operators.dedup import ngram_jaccard
 
@@ -454,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dup_clusters": _q_dup_clusters,
         "jaccard_unigram_pairs": _q_jaccard_sample,
         "simhash64": _q_simhash,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -558,10 +569,10 @@ FROM base
 """
 
 
-def _minhash_lsh_sql(shingle3: str, n_perm: int = 16, band_size: int = 4) -> str:
-    """DuckDB twin of dedup.minhash_lsh_pairs: same string-min MinHash
-    (md5 is identical across engines), same band buckets (md5 of the
-    '|'-joined band hashes), same bucket self-join."""
+def _minhash_pairs_ctes(shingle3: str, n_perm: int = 16, band_size: int = 4) -> str:
+    """Shared CTE chain reproducing dedup.minhash_lsh_pairs: same
+    string-min MinHash (md5 is identical across engines), same band
+    buckets (md5 of the '|'-joined band hashes), same bucket self-join."""
     aggs = ", ".join(
         f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(n_perm)
     )
@@ -575,17 +586,45 @@ def _minhash_lsh_sql(shingle3: str, n_perm: int = 16, band_size: int = 4) -> str
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH sh AS (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents),
+    return f"""sh AS (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents),
 sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band, CASE b.band {band_cases} END AS bucket
   FROM sig, (SELECT unnest(range(0, {n_bands})) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_lsh_sql(shingle3: str) -> str:
+    return "WITH " + _minhash_pairs_ctes(shingle3) + "\nSELECT a_id, b_id FROM pairs"
+
+
+def _dup_clusters_sql(shingle3: str) -> str:
+    """Connected components over the MinHash-LSH pair graph: DuckDB's
+    recursive CTE computes the transitive closure; cluster_id = min
+    reachable doc_id — the same fixpoint the Spark min-label
+    propagation converges to."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(shingle3)
+        + """,
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT s AS doc_id, least(s, min(d))::BIGINT AS cluster_id FROM reach GROUP BY s
 """
+    )
 
 
 def _emb_cte() -> str:
@@ -771,6 +810,7 @@ SELECT doc_id, {minhash_aggs} FROM (
 GROUP BY doc_id
 """,
         "minhash_lsh_pairs": _minhash_lsh_sql(shingle3),
+        "dup_clusters": _dup_clusters_sql(shingle3),
         "simhash64": f"""
 WITH tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf

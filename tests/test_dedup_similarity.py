@@ -64,6 +64,23 @@ def test_simhash_hamming(spark, docs):
     assert (0, 1) in got
 
 
+def test_dup_clusters_and_survivors(spark, docs):
+    """Connected components over a planted pair graph: chains merge
+    transitively into one cluster with the min id as representative;
+    survivors keep exactly one doc per cluster."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": [0, 1, 3, 7], "b_id": [1, 2, 4, 8]})
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 7: 7, 8: 7}
+    surv = dedup.near_dedup_survivors(docs, pairs)
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    # losers 1,2,4,8 dropped; representatives 0,3,7 and all unpaired kept
+    assert {1, 2, 4, 8}.isdisjoint(ids)
+    assert {0, 3, 7} <= ids
+    assert surv.count() == docs.count() - 4
+
+
 def _simhash_py(text: str) -> int:
     """Pinned SimHash semantics, independently re-derived: tf-weighted
     md5 bit votes over bits 0..62 (the operator's contract)."""

@@ -265,6 +265,67 @@ def simhash_near_pairs(fps: DataFrame, key_col: str = "doc_id", max_hamming: int
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup (a_id, b_id) pairs:
+    (doc_id, cluster_id) where cluster_id = the smallest doc_id
+    reachable through the pair graph — the canonical representative.
+
+    Min-label propagation: each iteration every node takes the min
+    label among itself and its neighbours (one join + one hash-agg,
+    i.e. two shuffles), converging in O(graph diameter) iterations —
+    near-dup clusters are shallow (diameter ≪ 10 in practice), and
+    ``localCheckpoint`` cuts the lineage each round so plans stay
+    flat. Driver only sees a scalar convergence count per iteration."""
+    edges = (
+        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+        .unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def near_dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per near-dup cluster (the min-id representative)
+    plus every unpaired doc — the standard keep-one policy after
+    MinHash/SimHash/embedding candidate generation + verification."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col(key_col) != F.col("cluster_id")).select(key_col)
+    return docs.join(losers, key_col, "left_anti")
+
+
 def _pair_cosine(v: DataFrame, pairs: DataFrame, key_col: str, vec_col: str):
     """Exact cosine for candidate (a_id, b_id) pairs: two hash joins
     on the key to gather vectors, then the JVM fold dot product."""
