@@ -98,6 +98,31 @@ def test_multimodal_features(spark):
         multimodal.decode_image(b"\xff\xd8")
 
 
+def test_multimodal_resize_and_embeddings_bridge(spark):
+    rows = [(i, "image", bytes([i] * (10 + i))) for i in range(6)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "modality", "data"])
+    )
+    resized = multimodal.resize_media(media, 32, 16, fake=True)
+    got = {r["media_id"]: r for r in resized.collect()}
+    assert len(got) == 6
+    assert got[3]["meta"] == {"width": "32", "height": "16"}
+    assert len(got[3]["data"]) == 32 * 16 // 64
+    # deterministic: same input + target → same payload
+    assert bytes(got[0]["data"]) == multimodal.fake_resize(bytes([0] * 10), 32, 16)
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.resize_image(b"\xff\xd8", 2, 2)
+    # media features feed the ANN operators directly
+    from xml_to_es_spark.operators.similarity import cosine_topk
+
+    emb = multimodal.media_embeddings(media)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+
+
 def test_repartition_by_bytes(spark):
     rows = [(i, "image", bytes(1000)) for i in range(100)]
     media = spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "modality", "data"]))

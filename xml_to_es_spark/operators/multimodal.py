@@ -44,6 +44,71 @@ def decode_image(data: bytes) -> "np.ndarray":
     )
 
 
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """STUB — real implementation would be PIL ``Image.resize`` /
+    libvips. See :func:`resize_media` for the Spark-side plumbing,
+    which is real and exercised with the deterministic fake."""
+    raise DecoderUnavailable(
+        "image resize requires PIL — not available in this environment"
+    )
+
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for resize: an output payload whose size
+    scales with the target area and whose bytes derive from the input
+    hash — byte-stable so tests can assert roundtrips."""
+    n = max(1, width * height // 64)
+    h = hashlib.sha1((data or b"") + f"{width}x{height}".encode()).digest()
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """media → same schema with ``data`` replaced by the resized
+    payload and meta carrying the new dimensions. Arrow-batched; the
+    fat column stays inside the batch (never a driver round-trip)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for data in pdf["data"].to_numpy():
+                b = bytes(data) if data is not None else b""
+                out.append(
+                    fake_resize(b, width, height)
+                    if fake
+                    else resize_image(b, width, height)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "data": out,
+                }
+            )
+
+    resized = media.select("media_id", "modality", "data").mapInPandas(
+        run, schema="media_id long, modality string, data binary"
+    )
+    return resized.withColumn(
+        "meta",
+        F.create_map(
+            F.lit("width"), F.lit(str(width)), F.lit("height"), F.lit(str(height))
+        ),
+    )
+
+
+def media_embeddings(media: DataFrame, dim: int = FEATURE_DIM, fake: bool = True) -> DataFrame:
+    """Bridge multimodal → similarity search: feature vectors as an
+    embeddings table (vec_id, embedding) directly usable by
+    similarity.cosine_topk / ann_topk_* / dedup.embedding_near_dups."""
+    return extract_features(media, fake=fake, dim=dim).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+
+
 def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in feature extractor: sha1-seeded floats.
     Byte-stable across runs/machines, so tests can assert values."""
