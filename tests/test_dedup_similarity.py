@@ -64,6 +64,17 @@ def test_simhash_hamming(spark, docs):
     assert (0, 1) in got
 
 
+def test_near_dedup_pipeline_end_to_end(spark, docs):
+    """candidates → Jaccard verify → cluster → keep-one: the planted
+    exact pair (0,1) and near pair (2,3) each lose their higher id;
+    everything else survives."""
+    surv = dedup.near_dedup_pipeline(docs, min_jaccard=0.5)
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids
+    assert 2 in ids and 3 not in ids
+    assert surv.count() == docs.count() - 2
+
+
 def test_dup_clusters_and_survivors(spark, docs):
     """Connected components over a planted pair graph: chains merge
     transitively into one cluster with the min id as representative;

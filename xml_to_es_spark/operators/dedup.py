@@ -326,6 +326,29 @@ def near_dedup_survivors(
     return docs.join(losers, key_col, "left_anti")
 
 
+def near_dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_perm: int = DEFAULT_N_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """The full training-data near-dedup flow in one call:
+    MinHash-LSH candidates → exact shingle-Jaccard verification
+    (kills LSH false positives) → connected-component clustering →
+    keep the min-id representative per cluster. Returns the surviving
+    docs. Every stage is bucketed/equi-joined — nothing all-pairs."""
+    pairs = minhash_lsh_pairs(docs, text_col, key_col, n_perm, band_size, shingle_k)
+    verified = (
+        ngram_jaccard(docs, pairs, text_col, key_col, shingle_k)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id")
+    )
+    return near_dedup_survivors(docs, verified, key_col)
+
+
 def _pair_cosine(v: DataFrame, pairs: DataFrame, key_col: str, vec_col: str):
     """Exact cosine for candidate (a_id, b_id) pairs: two hash joins
     on the key to gather vectors, then the JVM fold dot product."""

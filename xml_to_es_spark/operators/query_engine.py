@@ -209,18 +209,24 @@ class QueryEngine:
         appearances — the same bytes the scoring pass reads anyway."""
         if not terms:
             return {}
-        meta: dict[str, dict] = {}
+        scans = []
         for o, p in self.dirs:
-            rows = (
+            scans.append(
                 self.spark.read.parquet(f"{p}/terms")
                 .filter(F.col("term").isin(terms))
                 .select("term", "df", "group")
-                .collect()
+                .withColumn("ord", F.lit(o))
             )
-            for r in rows:
-                m = meta.setdefault(r["term"], {"df": 0, "groups": {}})
-                m["df"] += int(r["df"])
-                m["groups"][o] = int(r["group"])
+        allt = scans[0]
+        for sc in scans[1:]:
+            allt = allt.unionByName(sc)
+        meta: dict[str, dict] = {}
+        # ONE job over the unioned term-pruned scans (not one per dir —
+        # per-query driver latency stays flat as deltas accumulate)
+        for r in allt.collect():
+            m = meta.setdefault(r["term"], {"df": 0, "groups": {}})
+            m["df"] += int(r["df"])
+            m["groups"][int(r["ord"])] = int(r["group"])
         if self._dead_by_ord and meta:
             for term, killed in self._killed_counts(meta).items():
                 meta[term]["df"] -= killed
