@@ -185,6 +185,11 @@ class QueryEngine:
             self.avgdl = float(st["avgdl"])
             self.min_doc = int(st["lo"])
             self.max_doc = int(st["hi"])
+        # term → meta cache: the terms dictionary is immutable for
+        # this engine instance (an instance snapshots dirs/tombstones
+        # at construction — build a new engine after an upsert), so
+        # repeated query terms skip the dictionary scan entirely
+        self._term_cache: dict[str, dict | None] = {}
         # per dir-ord: sorted array of doc_ids whose stored version
         # there is superseded (kill_ord > ord). Tombstones cover only
         # UPDATED docs, so these stay small between compactions; they
@@ -209,28 +214,35 @@ class QueryEngine:
         appearances — the same bytes the scoring pass reads anyway."""
         if not terms:
             return {}
-        scans = []
-        for o, p in self.dirs:
-            scans.append(
-                self.spark.read.parquet(f"{p}/terms")
-                .filter(F.col("term").isin(terms))
-                .select("term", "df", "group")
-                .withColumn("ord", F.lit(o))
-            )
-        allt = scans[0]
-        for sc in scans[1:]:
-            allt = allt.unionByName(sc)
-        meta: dict[str, dict] = {}
-        # ONE job over the unioned term-pruned scans (not one per dir —
-        # per-query driver latency stays flat as deltas accumulate)
-        for r in allt.collect():
-            m = meta.setdefault(r["term"], {"df": 0, "groups": {}})
-            m["df"] += int(r["df"])
-            m["groups"][int(r["ord"])] = int(r["group"])
-        if self._dead_by_ord and meta:
-            for term, killed in self._killed_counts(meta).items():
-                meta[term]["df"] -= killed
-        return meta
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            scans = []
+            for o, p in self.dirs:
+                scans.append(
+                    self.spark.read.parquet(f"{p}/terms")
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df", "group")
+                    .withColumn("ord", F.lit(o))
+                )
+            allt = scans[0]
+            for sc in scans[1:]:
+                allt = allt.unionByName(sc)
+            fetched: dict[str, dict] = {}
+            # ONE job over the unioned term-pruned scans (not one per
+            # dir — per-query driver latency stays flat as deltas
+            # accumulate); absent terms cached as None
+            for r in allt.collect():
+                m = fetched.setdefault(r["term"], {"df": 0, "groups": {}})
+                m["df"] += int(r["df"])
+                m["groups"][int(r["ord"])] = int(r["group"])
+            # tombstone df-correction happens HERE, once per term, so
+            # cached entries already hold the live df
+            if self._dead_by_ord and fetched:
+                for term, killed in self._killed_counts(fetched).items():
+                    fetched[term]["df"] -= killed
+            for t in missing:
+                self._term_cache[t] = fetched.get(t)
+        return {t: self._term_cache[t] for t in terms if self._term_cache[t]}
 
     def _killed_counts(self, meta: dict[str, dict]) -> dict[str, int]:
         """Per term, the number of stored postings whose doc version
