@@ -140,6 +140,54 @@ def test_second_upsert_supersedes_first(spark, built):
     assert set(got["doc_id"]) == {200}
 
 
+def test_search_fetch_store_source_live_versions(spark, tmp_path):
+    """ES GET/_source + match-query surface: with store_source=True,
+    search() returns the stored documents; after an upsert, fetch and
+    search must return the NEW text (live version), and compaction
+    must carry the source column through."""
+    cfg = IndexConfig(n_groups=2, store_source=True)
+    v1 = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": [f"alpha w{i} common words" for i in range(10)],
+            "url": [f"https://x{i}.test/" for i in range(10)],
+        }
+    )
+    idx = str(tmp_path / "src_idx")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(v1), idx)
+    eng = QueryEngine(spark, idx)
+    hits = eng.search([(1, "w3")], k=5).collect()
+    assert len(hits) == 1
+    assert hits[0]["doc_id"] == 3
+    assert hits[0]["text"] == "alpha w3 common words"
+    assert hits[0]["url"] == "https://x3.test/"
+
+    # re-crawl doc 3 with new text
+    IndexBuilder(spark, cfg).upsert(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [3], "text": ["omega replacement body"],
+                 "url": ["https://x3.test/"]}
+            )
+        ),
+        idx,
+    )
+    eng2 = QueryEngine(spark, idx)
+    fetched = {r["doc_id"]: r["text"] for r in eng2.fetch([2, 3]).collect()}
+    assert fetched[3] == "omega replacement body"  # live version, not v1
+    assert fetched[2] == "alpha w2 common words"
+    got = eng2.search([(1, "omega")], k=5).collect()
+    assert [(r["doc_id"], r["text"]) for r in got] == [(3, "omega replacement body")]
+    assert eng2.search([(2, "w3")], k=5).count() == 0  # old text retired
+
+    # compaction preserves the source column
+    compacted = str(tmp_path / "src_idx_c")
+    IndexBuilder(spark, cfg).compact(idx, compacted)
+    eng3 = QueryEngine(spark, compacted)
+    got3 = eng3.search([(1, "omega")], k=5).collect()
+    assert [(r["doc_id"], r["text"]) for r in got3] == [(3, "omega replacement body")]
+
+
 def test_compact_collapses_to_single_dir(spark, built):
     """LSM compaction (runs after the two upserts above): base + 2
     deltas + tombstones → one fresh dir, rankings bit-equal to the

@@ -42,6 +42,13 @@ class IndexConfig:
     with ~10^11 entries at the 10^12-doc design scale.
 
     ``block_size``: postings per block-max block (WAND skipping unit).
+
+    ``store_source``: keep each doc's text in the docs table (the ES
+    ``_source`` behaviour, ElasticIndexer.js PUT body) so
+    :meth:`QueryEngine.fetch`/:meth:`QueryEngine.search` can return
+    documents, not just ids. Off by default — at 10^12 docs the source
+    column dominates storage and most pipelines keep the corpus table
+    as the source of truth.
     """
 
     k1: float = 1.2
@@ -52,6 +59,7 @@ class IndexConfig:
     block_size: int = 128
     shuffle_partitions: int | None = None
     index_langs: tuple[str, ...] = ("en",)
+    store_source: bool = False
     extra: dict = field(default_factory=dict)
 
     @property

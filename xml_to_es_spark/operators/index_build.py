@@ -113,15 +113,18 @@ def load_kills(spark: SparkSession, index_dir: str) -> dict[int, int]:
 
 
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, text_md5, doc_len, ord) of each doc's LIVE version
-    across base + deltas (tombstoned versions dropped)."""
+    """(doc_id, text_md5, doc_len[, text, url], ord) of each doc's
+    LIVE version across base + deltas (tombstoned versions dropped).
+    Optional columns (stored source / url) ride along when every dir
+    has them."""
+    dirs = index_dirs(index_dir)
+    scans = [spark.read.parquet(f"{p}/docs") for _, p in dirs]
+    cols = ["doc_id", "text_md5", "doc_len"] + [
+        c for c in ("text", "url") if all(c in s.columns for s in scans)
+    ]
     parts = []
-    for o, p in index_dirs(index_dir):
-        parts.append(
-            spark.read.parquet(f"{p}/docs")
-            .select("doc_id", "text_md5", "doc_len")
-            .withColumn("ord", F.lit(o))
-        )
+    for (o, _), s in zip(dirs, scans):
+        parts.append(s.select(*cols).withColumn("ord", F.lit(o)))
     all_docs = parts[0]
     for part in parts[1:]:
         all_docs = all_docs.unionByName(part)
@@ -492,7 +495,7 @@ class IndexBuilder:
         # docs/stats from the live doc set (doc_len carried in docs
         # tables; zero-token docs keep their row via live_docs, not
         # the postings — a doc with no terms has no posting)
-        live = live_docs(spark, index_dir).select("doc_id", "text_md5", "doc_len")
+        live = live_docs(spark, index_dir).drop("ord")
         live.write.mode("overwrite").parquet(str(out / "docs"))
         dd = spark.read.parquet(str(out / "docs"))
         snap_row = dd.agg(
@@ -542,6 +545,7 @@ class IndexBuilder:
         base = docs.select(
             "doc_id",
             F.md5("text").alias("text_md5"),
+            *(["text"] if self.cfg.store_source else []),
             *(["url"] if "url" in docs.columns else []),
         )
         d = base.join(dl, "doc_id", "left").fillna({"doc_len": 0})

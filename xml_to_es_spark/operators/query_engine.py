@@ -477,6 +477,57 @@ class QueryEngine:
         )
         return self._pruned_postings(meta).join(F.broadcast(qdf), "term")
 
+    # -- document fetch (the ES GET/_source surface) -------------------------
+
+    def fetch(self, doc_ids: list[int]) -> DataFrame:
+        """The LIVE stored version of each requested doc from the docs
+        tables (ES GET by id). Returns whatever the build stored:
+        always (doc_id, text_md5[, url]); plus ``text`` when the index
+        was built with ``IndexConfig(store_source=True)`` — the ES
+        ``_source`` behaviour. The id list becomes a pushed parquet
+        filter, so only matching row groups are read."""
+        parts = []
+        for o, p in self.dirs:
+            parts.append(
+                self.spark.read.parquet(f"{p}/docs")
+                .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+                .withColumn("ord", F.lit(o))
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
+        if self.kills:
+            kills_df = self.spark.createDataFrame(
+                list(self.kills.items()), schema="doc_id long, kill_ord int"
+            )
+            out = out.join(F.broadcast(kills_df), "doc_id", "left").filter(
+                F.col("kill_ord").isNull() | (F.col("ord") >= F.col("kill_ord"))
+            ).drop("kill_ord")
+        return out.drop("ord")
+
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        n_ranges: int | None = None,
+    ) -> DataFrame:
+        """ES ``match``-query shape: BM25 top-k hits JOINED to their
+        stored documents — (query_id, rank, doc_id, score, …source
+        columns). The hit id set (≤ |queries|·k) is collected and
+        pushed into the docs scan as a literal filter; the big docs
+        table is never shuffled."""
+        hits = self.topk_wand(queries, k=k, n_ranges=n_ranges)
+        rows = hits.collect()
+        if not rows:
+            return hits
+        ids = sorted({int(r["doc_id"]) for r in rows})
+        docs = self.fetch(ids).drop("text_md5")
+        hits_df = self.spark.createDataFrame(rows, schema=hits.schema)
+        return hits_df.join(F.broadcast(docs), "doc_id").select(
+            "query_id", "rank", "doc_id", "score",
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+
     def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
         TakeOrderedAndProject per query (window row_number). Summation
