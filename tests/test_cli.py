@@ -35,6 +35,41 @@ def test_cli_build_query_verify(spark, tmp_path, capsys):
     assert v["n_docs"] == "500" and v["groups_done"] == 2
 
 
+def test_cli_upsert_compact_search(spark, tmp_path, capsys):
+    import pandas as pd
+
+    v1 = pd.DataFrame(
+        {"doc_id": range(8), "text": [f"alpha w{i} words" for i in range(8)]}
+    )
+    src1 = str(tmp_path / "v1")
+    spark.createDataFrame(v1).write.parquet(src1)
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["--cores", "8", "build", "--input-format", "docs",
+         "--input", src1, "--output", idx, "--groups", "2"]
+    ) == 0
+    capsys.readouterr()
+
+    patch = pd.DataFrame({"doc_id": [3, 9], "text": ["omega replacement", "omega nine"]})
+    src2 = str(tmp_path / "v2")
+    spark.createDataFrame(patch).write.parquet(src2)
+    assert main(["upsert", "--input", src2, "--index", idx, "--groups", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mode"] == "delta" and res["n_changed"] == 1 and res["n_new"] == 1
+
+    assert main(["query", "--index", idx, "--wand", "--wand-ranges", "2", "omega"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["doc_id"] for l in lines} == {3, 9}
+
+    out2 = str(tmp_path / "idx2")
+    assert main(["compact", "--index", idx, "--output", out2, "--groups", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["dirs_merged"] == 2 and res["n_docs"] == 9
+    assert main(["query", "--index", out2, "omega"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["doc_id"] for l in lines} == {3, 9}
+
+
 def test_cli_convert(spark, tmp_path, capsys):
     src = tmp_path / "corpus"
     src.mkdir()

@@ -75,6 +75,12 @@ def cmd_query(args) -> int:
     spark = _spark(args)
     eng = QueryEngine(spark, args.index)
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
+    if args.fetch:
+        out = eng.search(queries, k=args.k, n_ranges=args.wand_ranges if args.wand else None)
+        cols = out.columns
+        for r in out.orderBy("query_id", "rank").collect():
+            print(json.dumps({k: r[k] for k in cols}))
+        return 0
     if args.wand:
         out = eng.topk_wand(queries, k=args.k, n_ranges=args.wand_ranges)
     elif args.distributed:
@@ -83,6 +89,32 @@ def cmd_query(args) -> int:
         out = eng.topk(queries, k=args.k)
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "score")}))
+    return 0
+
+
+def cmd_upsert(args) -> int:
+    """Re-crawl ingestion: PUT-by-id semantics over an existing index
+    (changed/new docs → delta + tombstones; unchanged skipped)."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    spark = _spark(args)
+    cfg = IndexConfig(n_groups=args.groups, store_source=args.store_source)
+    docs = spark.read.parquet(args.input)
+    res = IndexBuilder(spark, cfg).upsert(docs, args.index)
+    print(json.dumps({k: v for k, v in res.items() if k != "delta_build"}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """LSM compaction: base + deltas + tombstones → one fresh index."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    spark = _spark(args)
+    cfg = IndexConfig(n_groups=args.groups)
+    res = IndexBuilder(spark, cfg).compact(args.index, args.output)
+    print(json.dumps(res))
     return 0
 
 
@@ -136,8 +168,22 @@ def main(argv: list[str] | None = None) -> int:
         "--wand-ranges", type=int, default=32,
         help="doc-range parallelism per query (WAND scale path)",
     )
+    q.add_argument("--fetch", action="store_true", help="return stored documents (search)")
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
+
+    u = sub.add_parser("upsert", help="PUT-by-id re-crawl into an existing index")
+    u.add_argument("--input", required=True, help="(doc_id, text[, url]) parquet")
+    u.add_argument("--index", required=True)
+    u.add_argument("--groups", type=int, default=8)
+    u.add_argument("--store-source", action="store_true")
+    u.set_defaults(fn=cmd_upsert)
+
+    k = sub.add_parser("compact", help="merge base+deltas+tombstones into a fresh index")
+    k.add_argument("--index", required=True)
+    k.add_argument("--output", required=True)
+    k.add_argument("--groups", type=int, default=8)
+    k.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("convert", help="SGML/HTML files → mapped docs")
     c.add_argument("--input", required=True)
