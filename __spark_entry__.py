@@ -220,6 +220,20 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_docs(spark, sf), n_perm=16, band_size=4)
 
 
+def _q_exact_dedup_survivors(spark, sf):
+    from xml_to_es_spark.operators.dedup import exact_dedup_survivors
+
+    return exact_dedup_survivors(_docs(spark, sf)).select("doc_id")
+
+
+def _q_near_dedup_survivors(spark, sf):
+    from xml_to_es_spark.operators.dedup import minhash_lsh_pairs, near_dedup_survivors
+
+    docs = _docs(spark, sf)
+    pairs = minhash_lsh_pairs(docs, n_perm=16, band_size=4)
+    return near_dedup_survivors(docs, pairs).select("doc_id")
+
+
 def _q_dup_clusters(spark, sf):
     """Connected-components dedup clustering over the MinHash-LSH
     candidate graph (min-label propagation ≡ the oracle's recursive
@@ -461,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_survivors": _q_exact_dedup_survivors,
+        "near_dedup_survivors": _q_near_dedup_survivors,
         "fingerprints": _q_fingerprints,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -623,6 +639,31 @@ reach(s, d) AS (
   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
 SELECT s AS doc_id, least(s, min(d))::BIGINT AS cluster_id FROM reach GROUP BY s
+"""
+    )
+
+
+def _near_dedup_survivors_sql(shingle3: str) -> str:
+    """Keep-one-per-cluster: drop every doc whose min reachable id in
+    the LSH pair graph is smaller than itself."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(shingle3)
+        + """,
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+losers AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) <> s
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
     )
 
@@ -811,6 +852,11 @@ GROUP BY doc_id
 """,
         "minhash_lsh_pairs": _minhash_lsh_sql(shingle3),
         "dup_clusters": _dup_clusters_sql(shingle3),
+        "exact_dedup_survivors": """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+        "near_dedup_survivors": _near_dedup_survivors_sql(shingle3),
         "simhash64": f"""
 WITH tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf
