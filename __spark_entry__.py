@@ -4,11 +4,14 @@
 table for the pinned query set, pure DataFrame ops.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
-SURVEY.md §2 plus the training-data-pipeline operators; each Spark
-query has an exact ANSI-SQL twin DuckDB runs on the same parquet.
-Entries without an oracle (non-SQL-expressible kernels: compressed
-postings, simhash bit math, LSH internals) get the driver's
-rows-only check and are additionally rank/byte-checked in tests/.
+SURVEY.md §2 plus the training-data-pipeline operators; EVERY entry
+(31/31) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
+including the approximate/scale paths, whose seeded models (LSH
+planes, IVF centroids) are embedded as SQL literals so the oracle
+replicates the bucketing itself, and the iterative ones (connected
+components) via recursive CTEs. Sign/argmin decisions use left-fold
+sum chains on both sides (see similarity.sql_dot_chain) because
+DuckDB's list_inner_product folds in a different order.
 
 Column names and types are aligned pairwise (ints cast to long,
 floats rounded) because the driver hash-compares values.
@@ -188,10 +191,13 @@ def _q_bm25_wand(spark, sf):
 
 
 def _q_doc_id_assignment(spark, sf):
+    """md5(text) is NOT unique on corpora with duplicate texts, so the
+    doc_id tiebreak makes the sort a total order (run- and
+    engine-independent ranks)."""
     from xml_to_es_spark.operators.doc_ids import assign_doc_ids
 
     docs = _docs(spark, sf).select("doc_id", F.md5("text").alias("k"))
-    return assign_doc_ids(docs, key="k", out_col="rank_id").select(
+    return assign_doc_ids(docs, key="k", out_col="rank_id", tiebreak="doc_id").select(
         "doc_id", "rank_id"
     )
 
@@ -832,7 +838,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_topk": _bm25_sql(),
         "bm25_wand_codec_topk": _bm25_sql(),
         "doc_id_assignment": """
-SELECT doc_id, row_number() OVER (ORDER BY md5(text)) - 1 AS rank_id
+SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id
 FROM documents
 """,
         "extract_roundtrip": "SELECT doc_id, text AS extracted_text FROM documents",

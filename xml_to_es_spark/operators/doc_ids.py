@@ -24,11 +24,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def assign_doc_ids(df: DataFrame, key: str = "url", out_col: str = "doc_id") -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    key: str = "url",
+    out_col: str = "doc_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
     """Add ``out_col`` = global 0-based rank of ``key``. Keys must be
     unique (doc identity — reference requires non-empty unique id,
-    ElasticIndexer.js:69-73)."""
-    sdf = df.sort(key).withColumn("_pid", F.spark_partition_id()).persist()
+    ElasticIndexer.js:69-73) — OR pass ``tiebreak`` (a unique column)
+    to extend the sort into a total order: with duplicate keys and no
+    tiebreak, equal keys may straddle range-partition boundaries and
+    their relative ranks become run-dependent."""
+    order = [key] + ([tiebreak] if tiebreak else [])
+    sdf = df.sort(*order).withColumn("_pid", F.spark_partition_id()).persist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in sdf.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -41,7 +50,7 @@ def assign_doc_ids(df: DataFrame, key: str = "url", out_col: str = "doc_id") -> 
     omap = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _off long"
     )
-    w = W.partitionBy("_pid").orderBy(key)
+    w = W.partitionBy("_pid").orderBy(*order)
     out = (
         sdf.join(F.broadcast(omap), "_pid")
         .withColumn(out_col, F.row_number().over(w) + F.col("_off") - 1)
