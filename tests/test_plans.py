@@ -120,6 +120,34 @@ def test_simhash_is_pure_jvm(spark):
     assert_no_cartesian(fp)
 
 
+def test_merged_engine_plan_union_pruned_broadcast(spark, tmp_path):
+    """With deltas present, the matched-segments plan must be a UNION
+    of per-dir term-pruned scans (pushed term filters on each), joined
+    broadcast — the postings side never shuffles."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    cfg = IndexConfig(n_groups=2)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": [f"alpha w{i}" for i in range(30)]})
+    )
+    idx = str(tmp_path / "m_idx")
+    IndexBuilder(spark, cfg).build(docs, idx)
+    IndexBuilder(spark, cfg).upsert(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [99], "text": ["alpha omega"]})),
+        idx,
+    )
+    eng = QueryEngine(spark, idx)
+    assert len(eng.dirs) == 2
+    matched = eng._matched_segments([(1, "alpha")])
+    plan = explain_str(matched)
+    assert "Union" in plan
+    assert plan.count("PushedFilters") >= 2  # each dir's scan pruned
+    assert_broadcast_join(matched)
+    assert_no_cartesian(matched)
+
+
 def test_mapping_stays_projection(spark):
     from pyspark.sql import Row
 

@@ -116,6 +116,51 @@ def test_wand_range_partition_merges_to_global(seed):
     assert [s for _, s in merged] == [s for _, s in expect]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=1, max_value=20),
+    n_dead=st.integers(min_value=0, max_value=40),
+    n_ranges=st.integers(min_value=1, max_value=5),
+)
+def test_wand_property_ranges_and_tombstones(seed, k, n_dead, n_ranges):
+    """Property: for any corpus, k, tombstone set, and doc-range
+    split, the merged per-range WAND top-k with dead filtering equals
+    brute force over the live docs (rank and score)."""
+    rng = np.random.RandomState(seed)
+    entries, _, avgdl = _make_corpus(rng, n_docs=200, n_terms=6, salted=seed % 2 == 0)
+    cfg = BM25Config()
+    q = [entries[i] for i in rng.choice(len(entries), 3, replace=False)]
+    dead = np.unique(rng.choice(200, size=n_dead)).astype(np.int64) if n_dead else None
+    from xml_to_es_spark.operators.postings import decode_segment
+
+    truth = {}
+    for e in sorted(q, key=lambda e: e["term"]):
+        for seg in e["segments"]:
+            d, tf, dl = decode_segment(seg)
+            contrib = e["idf"] * tf * (cfg.k1 + 1) / (
+                tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
+            )
+            for doc, c in zip(d, contrib):
+                if dead is None or doc not in set(dead.tolist()):
+                    truth[int(doc)] = truth.get(int(doc), 0.0) + float(c)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    edges = [round(200 * r / n_ranges) for r in range(n_ranges)] + [201]
+    partials = []
+    for lo, hi in zip(edges, edges[1:]):
+        partials += wand_topk(
+            q, k, cfg.k1, cfg.b, avgdl, block_size=32,
+            doc_lo=lo, doc_hi=hi, dead=dead,
+        )
+    merged = sorted(partials, key=lambda t: (-t[1], t[0]))[:k]
+    assert [d for d, _ in merged] == [d for d, _ in expect]
+    assert [s for _, s in merged] == [s for _, s in expect]
+
+
 def test_wand_empty_and_single():
     assert wand_topk([], 10, 1.2, 0.75, 100.0) == []
     seg = encode_segment(
