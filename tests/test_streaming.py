@@ -100,6 +100,36 @@ def test_stateful_running_totals(spark, tmp_path):
     assert b_rows[-1]["total_tokens"] == 5
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from xml_to_es_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"doc_id": [10, 11, 12], "text": ["aaa", "bbb", "aaa"]}  # in-batch dup
+    )
+    spark.createDataFrame(b1, DOCS_SCHEMA).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # cross-batch dup of "aaa"/"bbb" + one genuinely new text
+    b2 = pd.DataFrame({"doc_id": [13, 14], "text": ["aaa", "ccc"]})
+    spark.createDataFrame(b2, DOCS_SCHEMA).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dedup_stream").collect()
+    kept = {r["doc_id"] for r in rows}
+    # first occurrence per text only: 10 ("aaa", min of 10/12), 11, 14
+    assert kept == {10, 11, 14}
+
+
 def test_crawl_rate_metrics_watermarked(spark, tmp_path):
     src = tmp_path / "ev_src"
     src.mkdir()

@@ -13,6 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -41,6 +42,47 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
             "total_docs": [total_docs],
             "total_tokens": [total_tokens],
         }
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = "doc_id long, text_md5 string"
+DEDUP_STATE_SCHEMA = "keep_id long"
+
+
+def _dedup_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    # a content hash already admitted in an earlier micro-batch means
+    # every later arrival is a duplicate — emit nothing
+    if not state.exists and ids:
+        keep = min(ids)
+        state.update((keep,))
+        yield pd.DataFrame({"doc_id": [keep], "text_md5": [key[0]]})
+
+
+def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-micro-batch EXACT dedup on arrival: the first document
+    with a given text hash is emitted, every later duplicate —
+    including ones arriving in a different micro-batch — is dropped.
+    State is one tiny (hash → keep_id) entry per distinct text,
+    partitioned by Spark's keyed state store (RocksDB-backed on a
+    cluster); no driver set. Batch dedup of a static corpus is
+    operators.dedup.exact_dedup — this is the crawl-pipeline shape
+    (dedup the firehose before paying extraction/indexing for dups).
+
+    State grows with the number of DISTINCT texts; bound it in a real
+    deployment by sharding the stream epoch-wise and compacting with
+    the batch operator."""
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("text_md5"), F.col("doc_id")
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
