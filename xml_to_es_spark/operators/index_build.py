@@ -230,13 +230,48 @@ class IndexBuilder:
         return docs.join(existing, "doc_id", "left_anti")
 
     def _snapshot(self, docs: DataFrame) -> str:
-        """Cheap deterministic input lineage key (Iceberg snapshot id
-        stand-in at test scale): count + xor-ish hash aggregate."""
+        """Deterministic input lineage key (Iceberg snapshot id
+        stand-in at test scale): count + xor-ish hash aggregate. Keyed
+        on md5(text) so the SAME value is computable either from the
+        raw input (this method — the resume path's one full text read)
+        or from the written docs_meta table (:meth:`_snapshot_from_meta`
+        — the fresh-build path, which reads text zero extra times)."""
         row = docs.select(
             F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(cast(doc_id as string), text))").alias("h1"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string), md5(text)))").alias("h1"),
             F.sum(F.length("text")).alias("h2"),
         ).first()
+        return f"{row['n']}-{row['h1']}-{row['h2']}"
+
+    def _write_docs_meta(self, docs: DataFrame, out: Path) -> None:
+        """One projection over the input text — md5 (+ byte length,
+        + stored source/url) — checkpointed to parquet. Everything
+        downstream that needs per-doc metadata reads THIS narrow table
+        instead of re-scanning the fat text column: the whole build
+        touches text exactly TWICE (here and the tokenize pass)."""
+        cols = [
+            F.col("doc_id"),
+            F.md5("text").alias("text_md5"),
+            F.length("text").alias("text_len"),
+        ]
+        if self.cfg.store_source:
+            cols.append(F.col("text"))
+        if "url" in docs.columns:
+            cols.append(F.col("url"))
+        docs.select(*cols).write.mode("overwrite").parquet(str(out / "docs_meta"))
+
+    def _snapshot_from_meta(self, out: Path) -> str:
+        row = (
+            self.spark.read.parquet(str(out / "docs_meta"))
+            .select(
+                F.count("*").alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(cast(doc_id as string), text_md5))"
+                ).alias("h1"),
+                F.sum("text_len").alias("h2"),
+            )
+            .first()
+        )
         return f"{row['n']}-{row['h1']}-{row['h2']}"
 
     # -- build -------------------------------------------------------------
@@ -274,21 +309,33 @@ class IndexBuilder:
         self._defer_manifest = not (resume or fail_after_groups is not None)
         self._pending_manifest = []
         t_snap = time.time()
-        snapshot = self._snapshot(docs)
-        phases["snapshot_s"] = round(time.time() - t_snap, 2)
         done: set[tuple[str, int]] = set()
-        if resume and (out / "_manifest").exists():
-            man = self.spark.read.parquet(str(out / "_manifest"))
-            done = {
-                (r["stage"], r["group"])
-                for r in man.filter(
-                    (F.col("status") == "done")
-                    & (F.col("input_snapshot") == snapshot)
-                ).collect()
-            }
-        elif out.exists():
-            shutil.rmtree(out)
-        out.mkdir(parents=True, exist_ok=True)
+        if self._defer_manifest:
+            # fresh fast-path build: write docs_meta FIRST (the only
+            # non-tokenize text read), then derive the snapshot from
+            # the narrow written table
+            if out.exists():
+                shutil.rmtree(out)
+            out.mkdir(parents=True, exist_ok=True)
+            self._write_docs_meta(docs, out)
+            snapshot = self._snapshot_from_meta(out)
+        else:
+            # resume / crash-injection path: fingerprint the CURRENT
+            # input directly (same md5-keyed formula → same value)
+            snapshot = self._snapshot(docs)
+            if resume and (out / "_manifest").exists():
+                man = self.spark.read.parquet(str(out / "_manifest"))
+                done = {
+                    (r["stage"], r["group"])
+                    for r in man.filter(
+                        (F.col("status") == "done")
+                        & (F.col("input_snapshot") == snapshot)
+                    ).collect()
+                }
+            elif out.exists():
+                shutil.rmtree(out)
+            out.mkdir(parents=True, exist_ok=True)
+        phases["snapshot_s"] = round(time.time() - t_snap, 2)
 
         t0 = time.time()
         if ("tokens", -1) not in done:
@@ -533,21 +580,23 @@ class IndexBuilder:
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
         # doc_len from the already-written tokens table (no second
         # tokenize pass); left join keeps zero-token docs at length 0.
-        # text_md5 rides along for upsert change-detection (ES
-        # PUT-by-id semantics, ElasticIndexer.js:68-97) — it re-reads
-        # the text column once; at cluster scale fuse it into the
-        # tokenize projection if the second pass matters
+        # text_md5 (upsert change-detection, ES PUT-by-id semantics,
+        # ElasticIndexer.js:68-97) comes from the docs_meta checkpoint
+        # when present — fresh builds never scan the text column here
         dl = (
             self.spark.read.parquet(str(out / "tokens"))
             .groupBy("doc_id")
             .agg(F.first("dl").alias("doc_len"))
         )
-        base = docs.select(
-            "doc_id",
-            F.md5("text").alias("text_md5"),
-            *(["text"] if self.cfg.store_source else []),
-            *(["url"] if "url" in docs.columns else []),
-        )
+        if (out / "docs_meta").exists():
+            base = self.spark.read.parquet(str(out / "docs_meta")).drop("text_len")
+        else:
+            base = docs.select(
+                "doc_id",
+                F.md5("text").alias("text_md5"),
+                *(["text"] if self.cfg.store_source else []),
+                *(["url"] if "url" in docs.columns else []),
+            )
         d = base.join(dl, "doc_id", "left").fillna({"doc_len": 0})
         d.write.mode("overwrite").parquet(str(out / "docs"))
         dd = self.spark.read.parquet(str(out / "docs"))
