@@ -251,6 +251,10 @@ def _q_dup_clusters(spark, sf):
 
 
 def _q_jaccard_sample(spark, sf):
+    """Exercises the exact-Jaccard VERIFIER on a dense candidate set.
+    The crossJoin here is the test harness (50 docs, bounded);
+    production candidates come from minhash_lsh_pairs — see
+    near_dedup_survivors/dup_clusters for the composed path."""
     from xml_to_es_spark.operators.dedup import ngram_jaccard
 
     docs = _docs(spark, sf).filter(F.col("doc_id") < 50)

@@ -10,9 +10,13 @@ every operator has a DuckDB oracle twin (driver correctness gate):
   Python, so oracle parity is exact) → bands → bucket self-join →
   verified Jaccard;
 - n-gram Jaccard: exact pairwise similarity on candidate pairs;
-- SimHash: 64-bit weighted-bit fingerprint (numpy pandas_udf — the
-  bit arithmetic is not reasonably SQL-expressible, rows-only check);
-- embedding-cosine near-dup over `embeddings(vec_id, embedding)`.
+- SimHash: 63-bit tf-weighted bit-vote fingerprint, pure JVM
+  aggregation (md5-nibble bit extraction — DuckDB oracle twin);
+- embedding-cosine near-dup over `embeddings(vec_id, embedding)`:
+  banded sign-LSH candidates + exact verify (all-pairs only behind
+  exact=True for test scale);
+- connected-component dup clustering + keep-one survivors
+  (near_dedup_pipeline chains candidates→verify→cluster→keep-one).
 
 Scale notes (10^12 docs): every self-join here is bucketed (LSH band
 key or hash prefix) — never a cross join; exact dedup is one shuffle
