@@ -125,6 +125,19 @@ def _q_bm25(spark, sf):
     )
 
 
+def _q_bm25_and(spark, sf):
+    """ES `operator: and` semantics — every distinct query token
+    required per hit."""
+    from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
+
+    return bm25_topk_dataframe(
+        _docs(spark, sf).select("doc_id", "text"),
+        BM25_QUERIES,
+        k=BM25_K,
+        min_match="all",
+    )
+
+
 def _q_extract_roundtrip(spark, sf):
     """Real Arrow-UDF extraction over synthesized HTML wrapping each
     document — checks the UDF plumbing against a trivial oracle."""
@@ -481,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_top100": _q_term_df,
         "term_tf_top100": _q_term_tf,
         "bm25_topk": _q_bm25,
+        "bm25_and_topk": _q_bm25_and,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -515,18 +529,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
     import re
 
-    qvals = []
+    qvals, needs = [], []
     for qid, text in BM25_QUERIES:
-        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+        terms = sorted(set(re.findall("[a-z0-9]+", text.lower())))
+        needs.append(f"({qid}, {len(terms)})")
+        for t in terms:
             qvals.append(f"({qid}, '{t}')")
     values = ", ".join(qvals)
+    need_values = ", ".join(needs)
+    and_cte = (
+        f", need(query_id, need) AS (VALUES {need_values})" if conjunctive else ""
+    )
+    and_join = "JOIN need USING (query_id)" if conjunctive else ""
+    and_filter = "WHERE n_matched >= need" if conjunctive else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
-), q(query_id, term) AS (VALUES {values}),
+), q(query_id, term) AS (VALUES {values}){and_cte},
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
   FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
@@ -539,14 +561,15 @@ tf AS (
   SELECT q.query_id, tf.doc_id,
          sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
              * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
-         ) AS score_raw
+         ) AS score_raw,
+         count(DISTINCT tf.term) AS n_matched
   FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
   GROUP BY q.query_id, tf.doc_id
 ), ranked AS (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
          doc_id, round(score_raw, 6) AS score
-  FROM scored
+  FROM scored {and_join} {and_filter}
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
 """
@@ -840,6 +863,7 @@ SELECT term, count(*) AS tf FROM (
 GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_wand_codec_topk": _bm25_sql(),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id

@@ -179,6 +179,38 @@ def test_distributed_topk_agrees_on_ranks(spark, corpus, index_dir):
     )
 
 
+def test_conjunctive_min_match_semantics(spark, index_dir):
+    """ES operator:and / minimum_should_match: AND drops partial
+    matches OR keeps; a corpus-absent token under AND → zero hits."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "apple banana cherry",
+                    "apple banana",
+                    "apple",
+                    "banana cherry",
+                ],
+            }
+        )
+    )
+    q = [(1, "apple banana"), (2, "apple zzzmissing")]
+    both = bm25_topk_dataframe(docs, q, k=10, min_match="all").toPandas()
+    assert set(both[both.query_id == 1]["doc_id"]) == {0, 1}
+    assert len(both[both.query_id == 2]) == 0  # absent term → nothing (ES and)
+    or_hits = bm25_topk_dataframe(docs, q, k=10).toPandas()
+    assert set(or_hits[or_hits.query_id == 1]["doc_id"]) == {0, 1, 2, 3}
+    msm1 = bm25_topk_dataframe(docs, q, k=10, min_match=1).toPandas()
+    assert set(msm1[msm1.query_id == 2]["doc_id"]) == {0, 1, 2}  # 'apple' alone ok
+    # codec engine distributed path agrees on the AND semantics
+    eng = QueryEngine(spark, index_dir)
+    and_codec = eng.topk_distributed(
+        [(1, fixtures.make_vocab(3)[0] + " zzzabsentterm")], k=10, min_match="all"
+    )
+    assert and_codec.count() == 0
+
+
 def test_dataframe_bm25_agrees_with_codec_engine(spark, corpus, index_dir):
     """The SQL-expressible DataFrame BM25 (oracle twin) must produce
     the same ranking as the compressed-postings engine."""

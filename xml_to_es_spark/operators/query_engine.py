@@ -528,13 +528,23 @@ class QueryEngine:
             *[c for c in docs.columns if c != "doc_id"],
         )
 
-    def topk_distributed(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def topk_distributed(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        min_match: int | str | None = None,
+    ) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
         TakeOrderedAndProject per query (window row_number). Summation
         order is engine-chosen (float64 last-ulp may differ from the
         pinned order); ranks agree except on exact-tie knife edges,
         which the deterministic path resolves — use this for
-        throughput, topk() for rank-audits."""
+        throughput, topk() for rank-audits.
+
+        ``min_match``: ES minimum_should_match — a doc must contain at
+        least this many of the query's distinct tokens; ``"all"`` is
+        the ES ``operator: and`` semantics (a query token absent from
+        the whole corpus then matches nothing, as in ES)."""
         from pyspark.sql import Window as W
 
         matched = self._matched_segments(queries)
@@ -545,8 +555,20 @@ class QueryEngine:
             schema=CONTRIB_SCHEMA,
         )
         scored = contribs.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
+            F.sum("contrib").alias("score"),
+            F.count_distinct("term").alias("n_matched"),
         )
+        if min_match is not None:
+            need = {
+                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                for qid, text in queries
+            }
+            need_df = self.spark.createDataFrame(
+                list(need.items()), schema="query_id long, need int"
+            )
+            scored = scored.join(F.broadcast(need_df), "query_id").filter(
+                F.col("n_matched") >= F.col("need")
+            )
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -567,11 +589,16 @@ def bm25_topk_dataframe(
     k: int = 10,
     cfg: BM25Config | None = None,
     score_decimals: int | None = 6,
+    min_match: int | str | None = None,
 ) -> DataFrame:
     """BM25 top-k composed purely of built-in DataFrame ops over
     (doc_id, text): tokenize → tf → df → score → window top-k. Every
     step is whole-stage-codegen'd JVM; Catalyst handles partial aggs
-    and the broadcast of the tiny query-term table."""
+    and the broadcast of the tiny query-term table.
+
+    ``min_match``: ES minimum_should_match; ``"all"`` = ES
+    ``operator: and`` (every distinct query token required — one
+    corpus-absent token means zero hits for that query)."""
     cfg = cfg or BM25Config()
     spark = docs.sparkSession
     from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
@@ -607,8 +634,23 @@ def bm25_topk_dataframe(
             / (F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / avgdl)),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("score_raw"))
+        .agg(
+            F.sum("contrib").alias("score_raw"),
+            F.count_distinct("term").alias("n_matched"),
+        )
     )
+    if min_match is not None:
+        need_rows = [
+            (
+                qid,
+                len(set(tokenize(text))) if min_match == "all" else int(min_match),
+            )
+            for qid, text in queries
+        ]
+        need_df = spark.createDataFrame(need_rows, schema="query_id long, need int")
+        scored = scored.join(F.broadcast(need_df), "query_id").filter(
+            F.col("n_matched") >= F.col("need")
+        )
     from pyspark.sql import Window as W
 
     score = (
