@@ -34,6 +34,7 @@ def cmd_build(args) -> int:
         n_groups=args.groups,
         salt_threshold=args.salt_threshold,
         n_salts=args.salts,
+        store_source=args.store_source,
     )
     if args.input_format == "pages":
         pages = read_pages(spark, args.input, langs=tuple(args.langs.split(",")))
@@ -156,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--groups", type=int, default=8)
     b.add_argument("--salt-threshold", type=int, default=100_000)
     b.add_argument("--salts", type=int, default=16)
+    b.add_argument("--store-source", action="store_true",
+                   help="keep text in the docs table (ES _source; query --fetch)")
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
