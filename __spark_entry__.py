@@ -366,6 +366,19 @@ def _q_ann_topk_ivf(spark, sf):
     return ann_topk_ivf(emb, q, _ivf_centroids(), k=10, nprobe=IVF_NPROBE)
 
 
+SNIPPET_TERMS = ["fast", "slow", "key"]  # query 6's tokens
+
+
+def _q_snippets(spark, sf):
+    """ES plain-highlighter snippet window around the earliest query
+    term — pure JVM locate/least/substring."""
+    from xml_to_es_spark.functions.analysis import snippet_col
+
+    return _docs(spark, sf).select(
+        "doc_id", snippet_col("text", SNIPPET_TERMS, 80).alias("snippet")
+    )
+
+
 def _q_lang_id(spark, sf):
     from xml_to_es_spark.functions.text_quality import lang_id
 
@@ -511,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_topk_lsh,
         "ann_ivf_topk": _q_ann_topk_ivf,
+        "snippets": _q_snippets,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count_two_ways": _q_ws_tokens,
@@ -573,6 +587,15 @@ tf AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
 """
+
+
+def _snippets_sql() -> str:
+    from xml_to_es_spark.functions.analysis import sql_snippet
+
+    return (
+        f"SELECT doc_id, {sql_snippet('text', SNIPPET_TERMS, 80)} AS snippet"
+        " FROM documents"
+    )
 
 
 def _lang_sql() -> str:
@@ -946,6 +969,7 @@ scored AS (
   FROM scored)
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """,
+        "snippets": _snippets_sql(),
         "lang_id": _lang_sql(),
         "quality_score": _quality_sql(),
         "token_count_two_ways": f"""

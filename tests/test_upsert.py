@@ -179,6 +179,10 @@ def test_search_fetch_store_source_live_versions(spark, tmp_path):
     got = eng2.search([(1, "omega")], k=5).collect()
     assert [(r["doc_id"], r["text"]) for r in got] == [(3, "omega replacement body")]
     assert eng2.search([(2, "w3")], k=5).count() == 0  # old text retired
+    # highlighting: window anchored at the earliest query term with
+    # width//4 chars of lead context
+    hl = eng2.search([(1, "replacement")], k=5, highlight=True, snippet_width=16).collect()
+    assert hl[0]["snippet"] == "ega replacement "  # 4-char lead + term
 
     # compaction preserves the source column
     compacted = str(tmp_path / "src_idx_c")

@@ -31,6 +31,44 @@ def doc_len_col(tokens: Column | str) -> Column:
     return F.size(c).cast("long")
 
 
+_ABSENT = 2**31 - 1
+
+
+def snippet_col(text: Column | str, terms: list[str], width: int = 80) -> Column:
+    """ES plain-highlighter-style snippet: the ``width``-char window
+    starting ``width // 4`` chars before the EARLIEST occurrence of
+    any query term (case-insensitive), or the leading ``width`` chars
+    when no term occurs. Pure JVM (locate/least/substring) with an
+    exact DuckDB twin (:func:`sql_snippet`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    locs = [
+        F.when(F.locate(t.lower(), low) > 0, F.locate(t.lower(), low)).otherwise(
+            F.lit(_ABSENT)
+        )
+        for t in terms
+    ]
+    first = locs[0] if len(locs) == 1 else F.least(*locs)
+    first = F.when(first == _ABSENT, F.lit(1)).otherwise(first)
+    start = F.greatest(first - F.lit(width // 4), F.lit(1))
+    return F.substring(c, start, F.lit(width))
+
+
+def sql_snippet(col: str, terms: list[str], width: int = 80) -> str:
+    """DuckDB twin of :func:`snippet_col` (1-based instr/substring,
+    same earliest-match and fallback rules)."""
+    locs = ", ".join(
+        f"(CASE WHEN instr(lower({col}), '{t.lower()}') > 0"
+        f" THEN instr(lower({col}), '{t.lower()}') ELSE {_ABSENT} END)"
+        for t in terms
+    )
+    first = f"least({locs})" if len(terms) > 1 else locs
+    return (
+        f"substring({col}, greatest((CASE WHEN {first} = {_ABSENT}"
+        f" THEN 1 ELSE {first} END) - {width // 4}, 1), {width})"
+    )
+
+
 # DuckDB-SQL fragment equivalents, used to assemble oracle_sql() strings.
 SQL_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 SQL_DOC_LEN = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"

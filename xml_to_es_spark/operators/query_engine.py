@@ -510,12 +510,16 @@ class QueryEngine:
         queries: list[tuple[int, str]],
         k: int = 10,
         n_ranges: int | None = None,
+        highlight: bool = False,
+        snippet_width: int = 80,
     ) -> DataFrame:
         """ES ``match``-query shape: BM25 top-k hits JOINED to their
         stored documents — (query_id, rank, doc_id, score, …source
         columns). The hit id set (≤ |queries|·k) is collected and
         pushed into the docs scan as a literal filter; the big docs
-        table is never shuffled."""
+        table is never shuffled. ``highlight=True`` (needs
+        store_source) adds a ``snippet`` column — the window around
+        the earliest query-term occurrence, per query."""
         hits = self.topk_wand(queries, k=k, n_ranges=n_ranges)
         rows = hits.collect()
         if not rows:
@@ -523,10 +527,33 @@ class QueryEngine:
         ids = sorted({int(r["doc_id"]) for r in rows})
         docs = self.fetch(ids).drop("text_md5")
         hits_df = self.spark.createDataFrame(rows, schema=hits.schema)
-        return hits_df.join(F.broadcast(docs), "doc_id").select(
+        out = hits_df.join(F.broadcast(docs), "doc_id").select(
             "query_id", "rank", "doc_id", "score",
             *[c for c in docs.columns if c != "doc_id"],
         )
+        if highlight:
+            if "text" not in docs.columns:
+                raise ValueError(
+                    "highlight requires an index built with store_source=True"
+                )
+            from xml_to_es_spark.functions.analysis import snippet_col
+
+            snip = None
+            for qid, text in queries:
+                terms = sorted(set(tokenize(text)))
+                if not terms:
+                    continue
+                expr = snippet_col("text", terms, snippet_width)
+                snip = (
+                    F.when(F.col("query_id") == qid, expr)
+                    if snip is None
+                    else snip.when(F.col("query_id") == qid, expr)
+                )
+            out = out.withColumn(
+                "snippet",
+                snip if snip is not None else F.substring("text", 1, snippet_width),
+            )
+        return out
 
     def topk_distributed(
         self,
