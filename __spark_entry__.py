@@ -138,6 +138,26 @@ def _q_bm25_and(spark, sf):
     )
 
 
+BM25_PHRASE_QUERIES = [
+    (1, "hash join"),
+    (2, "sort merge"),
+    (3, "join hash"),   # order-sensitive: ≠ query 1's hits
+]
+
+
+def _q_bm25_phrase(spark, sf):
+    """ES match_phrase: consecutive-token filter, corpus-wide BM25
+    ranking."""
+    from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
+
+    return bm25_topk_dataframe(
+        _docs(spark, sf).select("doc_id", "text"),
+        BM25_PHRASE_QUERIES,
+        k=BM25_K,
+        phrase=True,
+    )
+
+
 def _q_extract_roundtrip(spark, sf):
     """Real Arrow-UDF extraction over synthesized HTML wrapping each
     document — checks the UDF plumbing against a trivial oracle."""
@@ -508,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf_top100": _q_term_tf,
         "bm25_topk": _q_bm25,
         "bm25_and_topk": _q_bm25_and,
+        "bm25_phrase_topk": _q_bm25_phrase,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -543,11 +564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(
+    conjunctive: bool = False,
+    phrase: bool = False,
+    queries: list[tuple[int, str]] | None = None,
+) -> str:
     import re
 
+    queries = queries or BM25_QUERIES
     qvals, needs = [], []
-    for qid, text in BM25_QUERIES:
+    for qid, text in queries:
         terms = sorted(set(re.findall("[a-z0-9]+", text.lower())))
         needs.append(f"({qid}, {len(terms)})")
         for t in terms:
@@ -559,6 +585,19 @@ def _bm25_sql(conjunctive: bool = False) -> str:
     )
     and_join = "JOIN need USING (query_id)" if conjunctive else ""
     and_filter = "WHERE n_matched >= need" if conjunctive else ""
+    if phrase:
+        from xml_to_es_spark.functions.analysis import sql_phrase_match
+
+        parts = " UNION ALL ".join(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id FROM tcte"
+            f" WHERE {sql_phrase_match('tk', text)}"
+            for qid, text in queries
+        )
+        and_cte += (
+            f", tcte AS (SELECT doc_id, {TOK} AS tk FROM documents)"
+            f", phrase_ok AS ({parts})"
+        )
+        and_join += " JOIN phrase_ok USING (query_id, doc_id)"
     return f"""
 WITH toks AS (
   SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
@@ -887,6 +926,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25_phrase_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id

@@ -211,6 +211,38 @@ def test_conjunctive_min_match_semantics(spark, index_dir):
     assert and_codec.count() == 0
 
 
+def test_phrase_match_semantics(spark):
+    """match_phrase: adjacency and order both required; AND is not
+    enough; scoring stats stay corpus-wide."""
+    from xml_to_es_spark.functions.analysis import phrase_match_col
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "hash join pipeline",      # phrase present
+                    "hash anti join",          # both terms, not adjacent
+                    "join hash order",         # adjacent, wrong order
+                    "Hash  Join! caps/punct",  # tokenizer normalizes
+                ],
+            }
+        )
+    )
+    flags = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", phrase_match_col("text", "hash join").alias("m")
+        ).collect()
+    }
+    assert flags == {0: True, 1: False, 2: False, 3: True}
+    hits = bm25_topk_dataframe(docs, [(1, "hash join")], k=10, phrase=True).toPandas()
+    assert set(hits["doc_id"]) == {0, 3}
+    # a one-token "phrase" degrades to plain match
+    one = bm25_topk_dataframe(docs, [(1, "join")], k=10, phrase=True).toPandas()
+    assert set(one["doc_id"]) == {0, 1, 2, 3}
+
+
 def test_dataframe_bm25_agrees_with_codec_engine(spark, corpus, index_dir):
     """The SQL-expressible DataFrame BM25 (oracle twin) must produce
     the same ranking as the compressed-postings engine."""

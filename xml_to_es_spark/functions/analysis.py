@@ -69,6 +69,51 @@ def sql_snippet(col: str, terms: list[str], width: int = 80) -> str:
     )
 
 
+def phrase_match_col(text: Column | str, phrase: str) -> Column:
+    """ES ``match_phrase`` predicate: the phrase's tokens occur
+    CONSECUTIVELY in the document's token stream. Pure JVM: exists
+    over candidate start offsets with element-wise equality — no
+    positions index needed for the scan-shaped path (a positional
+    postings sidecar is the index-time alternative at scale)."""
+    from xml_to_es_spark.pyref import tokenize
+
+    terms = tokenize(phrase)
+    if not terms:
+        return F.lit(False)
+    toks = tokens_col(text)
+    m = len(terms)
+
+    def at_offset(i):
+        cond = None
+        for j, t in enumerate(terms):
+            c = F.element_at(toks, i + F.lit(j + 1)) == t
+            cond = c if cond is None else cond & c
+        return cond
+
+    return F.when(
+        F.size(toks) >= m,
+        F.exists(F.sequence(F.lit(0), F.size(toks) - F.lit(m)), at_offset),
+    ).otherwise(F.lit(False))
+
+
+def sql_phrase_match(tokens_expr: str, phrase: str) -> str:
+    """DuckDB twin of :func:`phrase_match_col`. ``tokens_expr`` names
+    an already-computed token-array column (compute it once in a CTE;
+    1-based list indexing, exclusive-end range, empty range when the
+    doc is shorter than the phrase)."""
+    from xml_to_es_spark.pyref import tokenize
+
+    terms = tokenize(phrase)
+    m = len(terms)
+    conds = " AND ".join(
+        f"{tokens_expr}[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        f"(len(list_filter(range(1, len({tokens_expr}) - {m} + 2),"
+        f" i -> {conds})) > 0)"
+    )
+
+
 # DuckDB-SQL fragment equivalents, used to assemble oracle_sql() strings.
 SQL_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 SQL_DOC_LEN = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"

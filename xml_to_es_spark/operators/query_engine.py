@@ -617,6 +617,7 @@ def bm25_topk_dataframe(
     cfg: BM25Config | None = None,
     score_decimals: int | None = 6,
     min_match: int | str | None = None,
+    phrase: bool = False,
 ) -> DataFrame:
     """BM25 top-k composed purely of built-in DataFrame ops over
     (doc_id, text): tokenize → tf → df → score → window top-k. Every
@@ -625,7 +626,11 @@ def bm25_topk_dataframe(
 
     ``min_match``: ES minimum_should_match; ``"all"`` = ES
     ``operator: and`` (every distinct query token required — one
-    corpus-absent token means zero hits for that query)."""
+    corpus-absent token means zero hits for that query).
+
+    ``phrase=True``: ES ``match_phrase`` — each query's hits must
+    contain the query's tokens CONSECUTIVELY; scoring statistics stay
+    corpus-wide (ES semantics: phrase filters, BM25 ranks)."""
     cfg = cfg or BM25Config()
     spark = docs.sparkSession
     from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
@@ -678,6 +683,16 @@ def bm25_topk_dataframe(
         scored = scored.join(F.broadcast(need_df), "query_id").filter(
             F.col("n_matched") >= F.col("need")
         )
+    if phrase:
+        from xml_to_es_spark.functions.analysis import phrase_match_col
+
+        ok = None
+        for qid, text in queries:
+            part = docs.filter(phrase_match_col("text", text)).select(
+                F.lit(qid).cast("long").alias("query_id"), "doc_id"
+            )
+            ok = part if ok is None else ok.unionByName(part)
+        scored = scored.join(ok, ["query_id", "doc_id"], "left_semi")
     from pyspark.sql import Window as W
 
     score = (
