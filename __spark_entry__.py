@@ -5,7 +5,7 @@ table for the pinned query set, pure DataFrame ops.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
 SURVEY.md §2 plus the training-data-pipeline operators; EVERY entry
-(32/32) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
+(34/34) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
 including the approximate/scale paths, whose seeded models (LSH
 planes, IVF centroids) are embedded as SQL literals so the oracle
 replicates the bucketing itself, and the iterative ones (connected
