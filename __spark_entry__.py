@@ -5,7 +5,7 @@ table for the pinned query set, pure DataFrame ops.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
 SURVEY.md §2 plus the training-data-pipeline operators; EVERY entry
-(34/34) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
+(35/35) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
 including the approximate/scale paths, whose seeded models (LSH
 planes, IVF centroids) are embedded as SQL literals so the oracle
 replicates the bucketing itself, and the iterative ones (connected
@@ -190,7 +190,8 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def _codec_index(spark, sf):
     """Build (once per sf per process) the real compressed-postings
-    index for the codec/WAND query entries."""
+    index — WITH the positional sidecar, so one build serves the
+    WAND and match_phrase codec entries."""
     if sf not in _INDEX_CACHE:
         import tempfile
 
@@ -200,10 +201,29 @@ def _codec_index(spark, sf):
         out = tempfile.mkdtemp(prefix="entry_idx_") + "/index"
         docs = _docs(spark, sf).select("doc_id", "text")
         IndexBuilder(
-            spark, IndexConfig(n_groups=2, salt_threshold=200, n_salts=4)
+            spark,
+            IndexConfig(
+                n_groups=2, salt_threshold=200, n_salts=4, store_positions=True
+            ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
     return _INDEX_CACHE[sf]
+
+
+def _q_bm25_phrase_codec(spark, sf):
+    """match_phrase over the positional codec (per (query, dir, range)
+    adjacency verification from position streams) — same oracle as the
+    DataFrame phrase twin."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.phrase_topk(BM25_PHRASE_QUERIES, k=BM25_K, n_ranges=4)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def _q_bm25_wand(spark, sf):
@@ -529,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_and_topk": _q_bm25_and,
         "bm25_phrase_topk": _q_bm25_phrase,
+        "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -927,6 +948,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
+        "bm25_phrase_codec_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id

@@ -243,6 +243,59 @@ def test_phrase_match_semantics(spark):
     assert set(one["doc_id"]) == {0, 1, 2, 3}
 
 
+def test_phrase_codec_matches_dataframe_twin(spark, tmp_path):
+    """match_phrase over the positional codec (salted, range-merged)
+    must agree with the pure-DataFrame phrase twin — same hits, same
+    scores — including order sensitivity and absent-term queries."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for i in range(150):
+        filler = " ".join(f"w{rng.randint(0, 40)}" for _ in range(rng.randint(8, 30)))
+        if i % 5 == 0:
+            text = f"{filler} hash join {filler}"
+        elif i % 5 == 1:
+            text = f"{filler} hash w0 join {filler}"  # both terms, not adjacent
+        elif i % 5 == 2:
+            text = f"join hash {filler}"               # reversed
+        else:
+            text = filler
+        rows.append((i, text))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cfg = IndexConfig(
+        n_groups=2, salt_threshold=30, n_salts=3, block_size=16, store_positions=True
+    )
+    idx = str(tmp_path / "pos_idx")
+    IndexBuilder(spark, cfg).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    queries = [(1, "hash join"), (2, "join hash"), (3, "hash zzzabsent")]
+    got = (
+        eng.phrase_topk(queries, k=10, n_ranges=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        bm25_topk_dataframe(docs, queries, k=10, phrase=True, score_decimals=None)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id"]],
+        expect[["query_id", "rank", "doc_id"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["score"], expect["score"], atol=1e-9)
+    assert len(got[got.query_id == 1]) > 0
+    assert len(got[got.query_id == 3]) == 0
+    # hits of "hash join" and "join hash" are disjoint by construction
+    h1 = set(got[got.query_id == 1]["doc_id"])
+    h2 = set(got[got.query_id == 2]["doc_id"])
+    assert h1 and h2 and not (h1 & h2)
+
+
 def test_dataframe_bm25_agrees_with_codec_engine(spark, corpus, index_dir):
     """The SQL-expressible DataFrame BM25 (oracle twin) must produce
     the same ranking as the compressed-postings engine."""

@@ -47,6 +47,33 @@ def test_segment_roundtrip():
     assert len(seg["docs_bin"]) < 8 * 1000
 
 
+def test_positions_sidecar_roundtrip():
+    from xml_to_es_spark.operators.postings import decode_positions
+
+    rng = np.random.RandomState(11)
+    n = 300
+    doc_ids = np.cumsum(rng.randint(1, 50, size=n)).astype(np.int64)
+    tfs = rng.randint(1, 8, size=n).astype(np.int64)
+    dls = rng.randint(10, 500, size=n).astype(np.int64)
+    positions = [
+        np.sort(rng.choice(int(dls[i]), size=int(tfs[i]), replace=False)).astype(np.int64)
+        for i in range(n)
+    ]
+    seg = encode_segment(doc_ids, tfs, dls, block_size=32, positions=positions)
+    assert len(seg["pos_bin"]) > 0
+    assert len(seg["block_pos_off"]) == len(seg["block_last_doc"])
+    back = decode_positions(seg["pos_bin"], tfs)
+    assert len(back) == n
+    for i in range(n):
+        assert (back[i] == positions[i]).all()
+    # without positions the sidecar stays empty
+    seg2 = encode_segment(doc_ids, tfs, dls, block_size=32)
+    assert seg2["pos_bin"] == b"" and seg2["block_pos_off"] == []
+    # count mismatch rejected
+    with pytest.raises(ValueError):
+        encode_segment(doc_ids, tfs, dls, 32, positions=positions[:-1])
+
+
 def test_segment_rejects_unsorted():
     with pytest.raises(ValueError):
         encode_segment(

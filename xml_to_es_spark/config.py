@@ -49,6 +49,12 @@ class IndexConfig:
     documents, not just ids. Off by default — at 10^12 docs the source
     column dominates storage and most pipelines keep the corpus table
     as the source of truth.
+
+    ``store_positions``: add the positional sidecar (per-doc
+    delta+varbyte position streams) to every posting segment, enabling
+    codec-level phrase queries (:meth:`QueryEngine.phrase_topk` — the
+    ES ``match_phrase`` scale path). Roughly doubles postings bytes;
+    off by default.
     """
 
     k1: float = 1.2
@@ -60,6 +66,7 @@ class IndexConfig:
     shuffle_partitions: int | None = None
     index_langs: tuple[str, ...] = ("en",)
     store_source: bool = False
+    store_positions: bool = False
     extra: dict = field(default_factory=dict)
 
     @property

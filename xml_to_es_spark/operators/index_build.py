@@ -65,7 +65,8 @@ POSTINGS_SCHEMA = (
     "block_last_doc array<long>, block_max_tf array<long>, "
     "block_min_dl array<long>, block_doc_off array<long>, "
     "block_tf_off array<long>, block_dl_off array<long>, "
-    "docs_bin binary, tfs_bin binary, dls_bin binary"
+    "docs_bin binary, tfs_bin binary, dls_bin binary, "
+    "pos_bin binary, block_pos_off array<long>"
 )
 
 MANIFEST_SCHEMA = (
@@ -141,7 +142,7 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     return all_docs
 
 
-def _encode_stream(cfg_block: int):
+def _encode_stream(cfg_block: int, with_positions: bool = False):
     """mapInPandas kernel: partition sorted by (term, salt, doc_id) →
     one output row per (term, salt) segment. Carries the trailing
     (possibly incomplete) group across Arrow batches so posting lists
@@ -158,9 +159,13 @@ def _encode_stream(cfg_block: int):
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         groups = pdf["group"].to_numpy()
+        pos = pdf["positions"].to_numpy() if with_positions else None
         rows = []
         for s, e in zip(starts, ends):
-            seg = encode_segment(doc_ids[s:e], tfs[s:e], dls[s:e], cfg_block)
+            seg = encode_segment(
+                doc_ids[s:e], tfs[s:e], dls[s:e], cfg_block,
+                positions=list(pos[s:e]) if pos is not None else None,
+            )
             seg["term"] = terms[s]
             seg["salt"] = int(salts[s])
             seg["group"] = int(groups[s])
@@ -169,7 +174,7 @@ def _encode_stream(cfg_block: int):
             "group", "term", "salt", "n_docs", "first_doc", "max_tf", "seg_bytes",
             "block_last_doc", "block_max_tf", "block_min_dl",
             "block_doc_off", "block_tf_off", "block_dl_off",
-            "docs_bin", "tfs_bin", "dls_bin",
+            "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "block_pos_off",
         ]
         return pd.DataFrame(rows, columns=cols)
 
@@ -207,17 +212,32 @@ class IndexBuilder:
     # -- inputs ------------------------------------------------------------
 
     def tokenized(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, text) → (doc_id, term, tf, dl, group). All JVM:
-        regexp tokenize, explode, hash-agg with map-side partials."""
+        """(doc_id, text) → (doc_id, term, tf, dl[, positions], group).
+        All JVM: regexp tokenize, explode, hash-agg with map-side
+        partials. With ``store_positions`` the 0-based token offsets
+        per (doc, term) ride along (sorted — collect_list order is
+        partition-dependent) for the positional sidecar."""
         toks = docs.select(
             "doc_id", tokens_col("text").alias("toks")
         ).withColumn("dl", doc_len_col("toks"))
-        exploded = toks.select(
-            "doc_id", "dl", F.explode("toks").alias("term")
-        )
-        tf = exploded.groupBy("doc_id", "term").agg(
-            F.count("*").alias("tf"), F.first("dl").alias("dl")
-        )
+        if self.cfg.store_positions:
+            exploded = toks.select(
+                "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+            )
+            tf = exploded.groupBy("doc_id", "term").agg(
+                F.count("*").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.sort_array(
+                    F.collect_list(F.col("pos").cast("long"))
+                ).alias("positions"),
+            )
+        else:
+            exploded = toks.select(
+                "doc_id", "dl", F.explode("toks").alias("term")
+            )
+            tf = exploded.groupBy("doc_id", "term").agg(
+                F.count("*").alias("tf"), F.first("dl").alias("dl")
+            )
         return tf.withColumn(
             "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
         )
@@ -473,7 +493,7 @@ class IndexBuilder:
         segments (one distributed decode pass), then re-encoded by the
         normal build stages. Run periodically so the tombstone set the
         query engine broadcasts stays small."""
-        from xml_to_es_spark.operators.postings import varbyte_decode
+        from xml_to_es_spark.operators.postings import decode_positions, varbyte_decode
 
         spark = self.spark
         dirs = index_dirs(index_dir)
@@ -483,11 +503,13 @@ class IndexBuilder:
             for o, _ in dirs
         }
         dead_by_ord = {o: d for o, d in dead_by_ord.items() if d.size}
+        with_pos = self.cfg.store_positions
+        pos_cols = ["pos_bin"] if with_pos else []
         parts = []
         for o, p in dirs:
             parts.append(
                 spark.read.parquet(f"{p}/postings")
-                .select("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin")
+                .select("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin", *pos_cols)
                 .withColumn("ord", F.lit(o))
             )
         allp = parts[0]
@@ -496,7 +518,7 @@ class IndexBuilder:
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out_t, out_d, out_tf, out_dl = [], [], [], []
+                out_t, out_d, out_tf, out_dl, out_p = [], [], [], [], []
                 for i in range(len(pdf)):
                     n = int(pdf["n_docs"].iat[i])
                     doc_ids = np.cumsum(
@@ -504,31 +526,40 @@ class IndexBuilder:
                     )
                     tfs = varbyte_decode(pdf["tfs_bin"].iat[i], n).astype(np.int64)
                     dls = varbyte_decode(pdf["dls_bin"].iat[i], n).astype(np.int64)
+                    plists = (
+                        decode_positions(pdf["pos_bin"].iat[i], tfs) if with_pos else None
+                    )
                     dead = dead_by_ord.get(int(pdf["ord"].iat[i]))
                     if dead is not None:
                         pos = np.minimum(np.searchsorted(dead, doc_ids), dead.size - 1)
                         keep = dead[pos] != doc_ids
                         doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                        if plists is not None:
+                            plists = [pl for pl, k in zip(plists, keep) if k]
                     if not doc_ids.size:
                         continue
                     out_t.append(np.full(doc_ids.size, pdf["term"].iat[i], dtype=object))
                     out_d.append(doc_ids)
                     out_tf.append(tfs)
                     out_dl.append(dls)
+                    if plists is not None:
+                        out_p.extend(pl.tolist() for pl in plists)
                 if not out_t:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(out_t),
-                        "doc_id": np.concatenate(out_d),
-                        "tf": np.concatenate(out_tf),
-                        "dl": np.concatenate(out_dl),
-                    }
-                )
+                frame = {
+                    "term": np.concatenate(out_t),
+                    "doc_id": np.concatenate(out_d),
+                    "tf": np.concatenate(out_tf),
+                    "dl": np.concatenate(out_dl),
+                }
+                if with_pos:
+                    frame["positions"] = out_p
+                yield pd.DataFrame(frame)
 
-        tok = allp.mapInPandas(
-            decode, schema="term string, doc_id long, tf long, dl long"
-        ).withColumn(
+        tok_schema = "term string, doc_id long, tf long, dl long" + (
+            ", positions array<long>" if with_pos else ""
+        )
+        tok = allp.mapInPandas(decode, schema=tok_schema).withColumn(
             "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
         )
         out = Path(out_dir)
@@ -654,7 +685,10 @@ class IndexBuilder:
         part = part.sortWithinPartitions("term", "salt", "doc_id")
         # in-partition sort by term → parquet min/max row-group stats
         # let the query engine's term filter prune at scan time
-        return part.mapInPandas(_encode_stream(cfg.block_size), schema=POSTINGS_SCHEMA)
+        return part.mapInPandas(
+            _encode_stream(cfg.block_size, with_positions=cfg.store_positions),
+            schema=POSTINGS_SCHEMA,
+        )
 
     def _terms_and_manifest(
         self, out: Path, pb: DataFrame, snapshot: str, wall_ms_total: int

@@ -80,12 +80,19 @@ def encode_segment(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    positions: list | None = None,
 ) -> dict:
     """Encode one (term, salt) posting segment.
 
     ``doc_ids`` must be sorted strictly ascending. Returns a dict of
     plain-python/bytes values matching the postings table schema
     (see operators.index_build.POSTINGS_SCHEMA).
+
+    ``positions`` (optional, one ascending int array per doc, doc i's
+    length == tfs[i]) adds the POSITIONAL sidecar for phrase queries:
+    per-doc delta+varbyte streams concatenated in doc order — the tf
+    stream doubles as the per-doc position-count directory, so decode
+    needs no extra length table. Omitted → empty sidecar columns.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -117,7 +124,28 @@ def encode_segment(
     docs_bin = varbyte_encode(deltas)
     tfs_bin = varbyte_encode(tfs.astype(np.uint64))
     dls_bin = varbyte_encode(dls.astype(np.uint64))
+    if positions is not None:
+        if len(positions) != n:
+            raise ValueError("positions must hold one array per doc")
+        pos_deltas = np.concatenate(
+            [np.diff(np.asarray(p, dtype=np.int64), prepend=0) for p in positions]
+        ).astype(np.uint64)
+        if pos_deltas.size != int(tfs.sum()):
+            raise ValueError("per-doc position counts must equal tfs")
+        pos_bin = varbyte_encode(pos_deltas)
+        # byte offset of each block's first doc's position stream
+        vlen = varbyte_lengths(pos_deltas)
+        ends = np.cumsum(vlen)
+        starts_all = np.concatenate([[0], ends[:-1]])
+        doc_value_start = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+        block_doc_idx = np.arange(0, n, block_size)
+        block_pos_off = starts_all[doc_value_start[block_doc_idx]].astype(np.int64).tolist()
+    else:
+        pos_bin = b""
+        block_pos_off = []
     return {
+        "pos_bin": pos_bin,
+        "block_pos_off": block_pos_off,
         "n_docs": int(n),
         "first_doc": int(doc_ids[0]),
         "max_tf": int(tfs.max()),
@@ -152,6 +180,19 @@ def decode_segment(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varbyte_decode(row["tfs_bin"], n).astype(np.int64)
     dls = varbyte_decode(row["dls_bin"], n).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def decode_positions(pos_bin: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Positional sidecar → one ascending position array per doc (the
+    tf stream is the per-doc count directory)."""
+    total = int(np.asarray(tfs).sum())
+    deltas = varbyte_decode(pos_bin, total).astype(np.int64)
+    out = []
+    start = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        out.append(np.cumsum(deltas[start : start + tf]))
+        start += int(tf)
+    return out
 
 
 def block_score_upper_bounds(

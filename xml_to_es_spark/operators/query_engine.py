@@ -437,22 +437,164 @@ class QueryEngine:
             if edges[r] < edges[r + 1]
         ]
 
-    def _wand_partials(self, matched: DataFrame, k: int, n_ranges: int) -> DataFrame:
-        """Per-(query, range) local WAND top-k rows (pre-merge). The
-        broadcast range table joins on segment-span overlap, so a
-        segment's bytes only reach the ranges its docs can fall in."""
+    def _ranged(self, matched: DataFrame, n_ranges: int) -> DataFrame:
+        """Join matched segments to the broadcast doc-range table on
+        segment-span overlap, so a segment's bytes only reach the
+        ranges its docs can fall in."""
         ranges = self.spark.createDataFrame(
             self._doc_ranges(n_ranges), schema="range_id int, range_lo long, range_hi long"
         )
         seg_last = F.element_at("block_last_doc", -1)
-        ranged = matched.join(
+        return matched.join(
             F.broadcast(ranges),
             (F.col("first_doc") < F.col("range_hi")) & (seg_last >= F.col("range_lo")),
         )
+
+    def _wand_partials(self, matched: DataFrame, k: int, n_ranges: int) -> DataFrame:
+        """Per-(query, dir, range) local WAND top-k rows (pre-merge)."""
+        ranged = self._ranged(matched, n_ranges)
         run = self._wand_group_kernel(k, ranged=True)
         return ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
+
+    # -- phrase queries (ES match_phrase over the positional sidecar) --------
+
+    def phrase_topk(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        n_ranges: int | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase`` over the compressed POSITIONAL postings
+        (index built with ``IndexConfig(store_positions=True)``): a hit
+        must contain the query's tokens consecutively, verified from
+        the per-doc position streams; ranking is BM25 over the
+        phrase's distinct terms with corpus-wide stats. Partitioned
+        like the WAND path — per (query, dir, range) local evaluation
+        over range-pruned segments, global WindowGroupLimit merge
+        (exact: a live doc's postings sit in one (dir, range))."""
+        from pyspark.sql import Window as W
+
+        seqs = {qid: tokenize(text) for qid, text in queries}
+        matched = self._matched_segments(queries)
+        if matched is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        ranged = self._ranged(matched, n_ranges or 1)
+        run = self._phrase_group_kernel(k, seqs)
+        partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
+            run, schema=TOPK_SCHEMA + ", range_id int"
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def _phrase_group_kernel(self, k: int, seqs: dict[int, list[str]]):
+        """applyInPandas kernel: one (query, dir, range) group →
+        decode the phrase terms' doc/tf/dl/position streams, intersect
+        doc sets, verify positional adjacency in phrase order, score
+        survivors (term-lex pinned sum), local top-k."""
+        k1, b, avgdl = self.cfg.k1, self.cfg.b, self.avgdl
+        dead_by_ord = self._dead_by_ord
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            from xml_to_es_spark.operators.postings import (
+                decode_positions,
+                varbyte_decode,
+            )
+
+            empty = pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    "rank": np.array([], dtype=np.int32),
+                    "doc_id": np.array([], dtype=np.int64),
+                    "score": np.array([], dtype=np.float64),
+                    "range_id": np.array([], dtype=np.int32),
+                }
+            )
+            qid = int(pdf["query_id"].iat[0])
+            seq = seqs[qid]
+            uniq = sorted(set(seq))
+            by_term: dict[str, dict] = {}
+            idf: dict[str, float] = {}
+            for term, grp in pdf.groupby("term", sort=True):
+                grp = grp.sort_values("salt")
+                docs_l, tfs_l, dls_l, pls = [], [], [], []
+                for r in grp.itertuples(index=False):
+                    n = int(r.n_docs)
+                    d = np.cumsum(varbyte_decode(r.docs_bin, n).astype(np.int64))
+                    tf = varbyte_decode(r.tfs_bin, n).astype(np.int64)
+                    dl = varbyte_decode(r.dls_bin, n).astype(np.int64)
+                    if not len(r.pos_bin):
+                        raise ValueError(
+                            "phrase_topk needs an index built with"
+                            " IndexConfig(store_positions=True)"
+                        )
+                    pls.extend(decode_positions(r.pos_bin, tf))
+                    docs_l.append(d)
+                    tfs_l.append(tf)
+                    dls_l.append(dl)
+                    idf[term] = float(r.idf)
+                by_term[term] = {
+                    "docs": np.concatenate(docs_l),  # salt order = doc order
+                    "tfs": np.concatenate(tfs_l),
+                    "dls": np.concatenate(dls_l),
+                    "pos": pls,
+                }
+            if any(t not in by_term for t in uniq):
+                return empty  # a phrase term absent from this dir
+            cand = by_term[uniq[0]]["docs"]
+            for t in uniq[1:]:
+                cand = np.intersect1d(cand, by_term[t]["docs"], assume_unique=True)
+            lo, hi = int(pdf["range_lo"].iat[0]), int(pdf["range_hi"].iat[0])
+            cand = cand[(cand >= lo) & (cand < hi)]
+            dead = dead_by_ord.get(int(pdf["ord"].iat[0]))
+            if dead is not None and dead.size and cand.size:
+                p = np.minimum(np.searchsorted(dead, cand), dead.size - 1)
+                cand = cand[dead[p] != cand]
+            hits: list[tuple[float, int]] = []
+            for doc in cand:
+                # positional adjacency in phrase order
+                cur = None
+                ok = True
+                for j, t in enumerate(seq):
+                    e = by_term[t]
+                    i = int(np.searchsorted(e["docs"], doc))
+                    plist = e["pos"][i]
+                    cur = plist if j == 0 else np.intersect1d(cur + 1, plist)
+                    if cur.size == 0:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                score = 0.0
+                for t in uniq:  # term-lex pinned summation order
+                    e = by_term[t]
+                    i = int(np.searchsorted(e["docs"], doc))
+                    tf = float(e["tfs"][i])
+                    dl = float(e["dls"][i])
+                    score += idf[t] * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+                hits.append((score, int(doc)))
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            hits = hits[:k]
+            return pd.DataFrame(
+                {
+                    "query_id": np.full(len(hits), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
+                    "doc_id": np.array([d for _, d in hits], dtype=np.int64),
+                    "score": np.array([s for s, _ in hits], dtype=np.float64),
+                    "range_id": np.full(
+                        len(hits), int(pdf["range_id"].iat[0]), dtype=np.int32
+                    ),
+                }
+            )
+
+        return run
 
     def _matched_segments(self, queries: list[tuple[int, str]]) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
