@@ -5,7 +5,7 @@ table for the pinned query set, pure DataFrame ops.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
 SURVEY.md §2 plus the training-data-pipeline operators; EVERY entry
-(35/35) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
+(36/36) has an exact ANSI-SQL twin DuckDB runs on the same parquet —
 including the approximate/scale paths, whose seeded models (LSH
 planes, IVF centroids) are embedded as SQL literals so the oracle
 replicates the bucketing itself, and the iterative ones (connected
@@ -155,6 +155,26 @@ def _q_bm25_phrase(spark, sf):
         BM25_PHRASE_QUERIES,
         k=BM25_K,
         phrase=True,
+    )
+
+
+BM25_FUZZY_QUERIES = [
+    (1, "hsh join"),     # typo: expands back to 'hash' (+neighbours)
+    (2, "windw agg"),
+    (3, "zzzzzzzz"),     # nothing within distance 1
+]
+
+
+def _q_bm25_fuzzy(spark, sf):
+    """ES match fuzziness=1: dictionary-expanded terms, per-variant
+    idf."""
+    from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
+
+    return bm25_topk_dataframe(
+        _docs(spark, sf).select("doc_id", "text"),
+        BM25_FUZZY_QUERIES,
+        k=BM25_K,
+        fuzziness=1,
     )
 
 
@@ -550,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and,
         "bm25_phrase_topk": _q_bm25_phrase,
         "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
+        "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -589,6 +610,7 @@ def _bm25_sql(
     conjunctive: bool = False,
     phrase: bool = False,
     queries: list[tuple[int, str]] | None = None,
+    fuzziness: int = 0,
 ) -> str:
     import re
 
@@ -600,6 +622,42 @@ def _bm25_sql(
         for t in terms:
             qvals.append(f"({qid}, '{t}')")
     values = ", ".join(qvals)
+    if fuzziness:
+        # dictionary expansion twin: raw tokens → vocabulary terms
+        # within levenshtein ≤ N, each variant with its own df/idf
+        return f"""
+WITH vterms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
+qraw(query_id, qt) AS (VALUES {values}),
+q AS (
+  SELECT DISTINCT qraw.query_id, v.term
+  FROM vterms v JOIN qraw ON levenshtein(v.term, qraw.qt) <= {fuzziness}
+),
+toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
     need_values = ", ".join(needs)
     and_cte = (
         f", need(query_id, need) AS (VALUES {need_values})" if conjunctive else ""
@@ -949,6 +1007,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
         "bm25_phrase_codec_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
+        "bm25_fuzzy_topk": _bm25_sql(fuzziness=1, queries=BM25_FUZZY_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id

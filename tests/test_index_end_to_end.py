@@ -243,6 +243,39 @@ def test_phrase_match_semantics(spark):
     assert set(one["doc_id"]) == {0, 1, 2, 3}
 
 
+def test_fuzzy_match_codec_and_dataframe_agree(spark, corpus, index_dir):
+    """ES fuzziness=1: the codec engine's dictionary expansion must
+    produce the same ranking as the DataFrame twin; a typo'd token
+    recovers its dictionary neighbours; distance-2 typos don't."""
+    pages, texts = corpus
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    )
+    v = fixtures.make_vocab(5)
+    far = "zzqqzzqq"  # nothing in the vocab within distance 1
+    queries = [(1, v[0] + "x"), (2, far), (3, v[1])]  # 1-typo, far, exact
+    eng = QueryEngine(spark, index_dir)
+    variants = eng.fuzzy_variants([v[0] + "x", far], 1)
+    assert v[0] in variants[v[0] + "x"]
+    assert variants[far] == []
+    a = (
+        eng.topk(queries, k=10, fuzziness=1)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        bm25_topk_dataframe(docs, queries, k=10, fuzziness=1, score_decimals=None)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "doc_id"]],
+        b[["query_id", "rank", "doc_id"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)
+    assert len(a[a.query_id == 1]) > 0
+    assert len(a[a.query_id == 2]) == 0
+
+
 def test_phrase_codec_matches_dataframe_twin(spark, tmp_path):
     """match_phrase over the positional codec (salted, range-merged)
     must agree with the pure-DataFrame phrase twin — same hits, same

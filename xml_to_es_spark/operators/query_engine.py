@@ -314,14 +314,16 @@ class QueryEngine:
 
     # -- query -------------------------------------------------------------
 
-    def topk(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def topk(
+        self, queries: list[tuple[int, str]], k: int = 10, fuzziness: int = 0
+    ) -> DataFrame:
         """Batch top-k. ``queries`` = [(query_id, text)].
 
         Returns DataFrame(query_id, rank, doc_id, score) with the
         pinned deterministic summation order (rank-identical and
-        score-bit-equal to pyref).
-        """
-        matched = self._matched_segments(queries)
+        score-bit-equal to pyref). ``fuzziness``: ES fuzzy match —
+        dictionary expansion, each variant scored with its own idf."""
+        matched = self._matched_segments(queries, fuzziness)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
@@ -596,14 +598,47 @@ class QueryEngine:
 
         return run
 
-    def _matched_segments(self, queries: list[tuple[int, str]]) -> DataFrame | None:
+    def fuzzy_variants(self, tokens: list[str], fuzziness: int) -> dict[str, list[str]]:
+        """ES fuzzy expansion against the terms DICTIONARY: each query
+        token → every indexed term within levenshtein ≤ fuzziness.
+        One term-table scan per token (the dictionary is tiny next to
+        the postings; per-dir scans unioned)."""
+        scans = [
+            self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
+        ]
+        vocab = scans[0]
+        for sc in scans[1:]:
+            vocab = vocab.unionByName(sc)
+        vocab = vocab.distinct()
+        out = {}
+        for t in tokens:
+            out[t] = sorted(
+                r["term"]
+                for r in vocab.filter(
+                    F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness
+                ).collect()
+            )
+        return out
+
+    def _matched_segments(
+        self, queries: list[tuple[int, str]], fuzziness: int = 0
+    ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
         (query_id, term, idf) table. idf uses the LIVE df and N."""
         qterms = []
-        for qid, text in queries:
-            for t in sorted(set(tokenize(text))):
-                qterms.append((qid, t))
+        if fuzziness:
+            toks = sorted({t for _, text in queries for t in tokenize(text)})
+            variants = self.fuzzy_variants(toks, fuzziness)
+            for qid, text in queries:
+                expanded = sorted(
+                    {v for t in set(tokenize(text)) for v in variants[t]}
+                )
+                qterms += [(qid, v) for v in expanded]
+        else:
+            for qid, text in queries:
+                for t in sorted(set(tokenize(text))):
+                    qterms.append((qid, t))
         if not qterms:
             return None
         meta = self._term_meta(sorted({t for _, t in qterms}))
@@ -760,6 +795,7 @@ def bm25_topk_dataframe(
     score_decimals: int | None = 6,
     min_match: int | str | None = None,
     phrase: bool = False,
+    fuzziness: int = 0,
 ) -> DataFrame:
     """BM25 top-k composed purely of built-in DataFrame ops over
     (doc_id, text): tokenize → tf → df → score → window top-k. Every
@@ -772,7 +808,12 @@ def bm25_topk_dataframe(
 
     ``phrase=True``: ES ``match_phrase`` — each query's hits must
     contain the query's tokens CONSECUTIVELY; scoring statistics stay
-    corpus-wide (ES semantics: phrase filters, BM25 ranks)."""
+    corpus-wide (ES semantics: phrase filters, BM25 ranks).
+
+    ``fuzziness=N``: ES ``match`` fuzziness — each query token expands
+    to every DICTIONARY term within levenshtein distance N (a
+    dictionary scan, never a corpus scan); each variant scores with
+    its own df/idf, exactly ES's per-expanded-term scoring."""
     cfg = cfg or BM25Config()
     spark = docs.sparkSession
     from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
@@ -790,6 +831,18 @@ def bm25_topk_dataframe(
         for t in sorted(set(tokenize(text))):
             qrows.append((qid, t))
     qdf = spark.createDataFrame(qrows, schema="query_id long, term string")
+    if fuzziness:
+        # dictionary-driven expansion: distinct corpus terms within
+        # levenshtein ≤ N of any query token (JVM levenshtein over the
+        # vocabulary — a dictionary scan, tiny next to the corpus)
+        vocab = toks.select(F.explode("toks").alias("term")).distinct()
+        expanded = None
+        for qid, t in qrows:
+            part = vocab.filter(
+                F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness
+            ).select(F.lit(qid).cast("long").alias("query_id"), "term")
+            expanded = part if expanded is None else expanded.unionByName(part)
+        qdf = expanded.distinct()
 
     tf = (
         toks.select("doc_id", "dl", F.explode("toks").alias("term"))
