@@ -77,17 +77,27 @@ def cmd_query(args) -> int:
     eng = QueryEngine(spark, args.index)
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
     if args.fetch:
-        out = eng.search(queries, k=args.k, n_ranges=args.wand_ranges if args.wand else None)
+        out = eng.search(
+            queries, k=args.k,
+            n_ranges=args.wand_ranges if args.wand else None,
+            phrase=args.phrase, fuzziness=args.fuzziness,
+        )
         cols = out.columns
         for r in out.orderBy("query_id", "rank").collect():
             print(json.dumps({k: r[k] for k in cols}))
         return 0
-    if args.wand:
-        out = eng.topk_wand(queries, k=args.k, n_ranges=args.wand_ranges)
+    if args.phrase:
+        out = eng.phrase_topk(
+            queries, k=args.k, n_ranges=args.wand_ranges if args.wand else None
+        )
+    elif args.wand:
+        out = eng.topk_wand(
+            queries, k=args.k, n_ranges=args.wand_ranges, fuzziness=args.fuzziness
+        )
     elif args.distributed:
         out = eng.topk_distributed(queries, k=args.k)
     else:
-        out = eng.topk(queries, k=args.k)
+        out = eng.topk(queries, k=args.k, fuzziness=args.fuzziness)
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "score")}))
     return 0
@@ -172,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         help="doc-range parallelism per query (WAND scale path)",
     )
     q.add_argument("--fetch", action="store_true", help="return stored documents (search)")
+    q.add_argument("--phrase", action="store_true",
+                   help="match_phrase (index needs --store-positions)")
+    q.add_argument("--fuzziness", type=int, default=0,
+                   help="dictionary levenshtein expansion distance")
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
 

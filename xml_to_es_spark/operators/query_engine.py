@@ -335,7 +335,11 @@ class QueryEngine:
         )
 
     def topk_wand(
-        self, queries: list[tuple[int, str]], k: int = 10, n_ranges: int | None = None
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        n_ranges: int | None = None,
+        fuzziness: int = 0,
     ) -> DataFrame:
         """Block-max WAND path: doc-at-a-time evaluation skipping
         blocks whose upper bound cannot beat the running threshold —
@@ -351,8 +355,11 @@ class QueryEngine:
         ships only ~1/R of its bytes to each task. Per-doc scores are
         complete within a range (ranges partition doc_ids), so the
         global top-k is a WindowGroupLimit merge of the R local top-k
-        lists — no re-summation, bit-equal scores."""
-        matched = self._matched_segments(queries)
+        lists — no re-summation, bit-equal scores.
+
+        ``fuzziness``: ES fuzzy match via dictionary expansion (each
+        variant is just another WAND cursor with its own idf)."""
+        matched = self._matched_segments(queries, fuzziness)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
@@ -689,6 +696,8 @@ class QueryEngine:
         n_ranges: int | None = None,
         highlight: bool = False,
         snippet_width: int = 80,
+        phrase: bool = False,
+        fuzziness: int = 0,
     ) -> DataFrame:
         """ES ``match``-query shape: BM25 top-k hits JOINED to their
         stored documents — (query_id, rank, doc_id, score, …source
@@ -696,8 +705,13 @@ class QueryEngine:
         pushed into the docs scan as a literal filter; the big docs
         table is never shuffled. ``highlight=True`` (needs
         store_source) adds a ``snippet`` column — the window around
-        the earliest query-term occurrence, per query."""
-        hits = self.topk_wand(queries, k=k, n_ranges=n_ranges)
+        the earliest query-term occurrence, per query. ``phrase=True``
+        routes through the positional codec (match_phrase);
+        ``fuzziness`` expands terms against the dictionary."""
+        if phrase:
+            hits = self.phrase_topk(queries, k=k, n_ranges=n_ranges)
+        else:
+            hits = self.topk_wand(queries, k=k, n_ranges=n_ranges, fuzziness=fuzziness)
         rows = hits.collect()
         if not rows:
             return hits
