@@ -617,15 +617,19 @@ class QueryEngine:
         for sc in scans[1:]:
             vocab = vocab.unionByName(sc)
         vocab = vocab.distinct()
-        out = {}
-        for t in tokens:
-            out[t] = sorted(
-                r["term"]
-                for r in vocab.filter(
-                    F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness
-                ).collect()
+        # ONE job: vocabulary × query tokens (tokens exploded from a
+        # literal array), levenshtein filtered JVM-side
+        pairs = (
+            vocab.select(
+                "term", F.explode(F.array(*[F.lit(t) for t in tokens])).alias("qt")
             )
-        return out
+            .filter(F.levenshtein(F.col("term"), F.col("qt")) <= fuzziness)
+            .collect()
+        )
+        out: dict[str, list[str]] = {t: [] for t in tokens}
+        for r in pairs:
+            out[r["qt"]].append(r["term"])
+        return {t: sorted(v) for t, v in out.items()}
 
     def _matched_segments(
         self, queries: list[tuple[int, str]], fuzziness: int = 0
@@ -846,17 +850,22 @@ def bm25_topk_dataframe(
             qrows.append((qid, t))
     qdf = spark.createDataFrame(qrows, schema="query_id long, term string")
     if fuzziness:
-        # dictionary-driven expansion: distinct corpus terms within
-        # levenshtein ≤ N of any query token (JVM levenshtein over the
-        # vocabulary — a dictionary scan, tiny next to the corpus)
+        # dictionary-driven expansion in ONE vocabulary pass: distinct
+        # corpus terms × query tokens (exploded literals), levenshtein
+        # filtered JVM-side — a dictionary scan, tiny next to the corpus
         vocab = toks.select(F.explode("toks").alias("term")).distinct()
-        expanded = None
-        for qid, t in qrows:
-            part = vocab.filter(
-                F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness
-            ).select(F.lit(qid).cast("long").alias("query_id"), "term")
-            expanded = part if expanded is None else expanded.unionByName(part)
-        qdf = expanded.distinct()
+        qlits = F.array(
+            *[
+                F.struct(F.lit(qid).cast("long").alias("query_id"), F.lit(t).alias("qt"))
+                for qid, t in qrows
+            ]
+        )
+        qdf = (
+            vocab.select("term", F.explode(qlits).alias("q"))
+            .filter(F.levenshtein(F.col("term"), F.col("q.qt")) <= fuzziness)
+            .select(F.col("q.query_id").alias("query_id"), "term")
+            .distinct()
+        )
 
     tf = (
         toks.select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -893,14 +902,24 @@ def bm25_topk_dataframe(
             F.col("n_matched") >= F.col("need")
         )
     if phrase:
+        # ONE docs pass: per-query phrase flags as an array of structs,
+        # exploded and filtered (not a scan per query)
         from xml_to_es_spark.functions.analysis import phrase_match_col
 
-        ok = None
-        for qid, text in queries:
-            part = docs.filter(phrase_match_col("text", text)).select(
-                F.lit(qid).cast("long").alias("query_id"), "doc_id"
-            )
-            ok = part if ok is None else ok.unionByName(part)
+        flags = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    phrase_match_col("text", text).alias("m"),
+                )
+                for qid, text in queries
+            ]
+        )
+        ok = (
+            docs.select("doc_id", F.explode(flags).alias("f"))
+            .filter(F.col("f.m"))
+            .select(F.col("f.query_id").alias("query_id"), "doc_id")
+        )
         scored = scored.join(ok, ["query_id", "doc_id"], "left_semi")
     from pyspark.sql import Window as W
 
