@@ -192,6 +192,46 @@ def test_search_fetch_store_source_live_versions(spark, tmp_path):
     assert [(r["doc_id"], r["text"]) for r in got3] == [(3, "omega replacement body")]
 
 
+def test_many_sequential_upserts_match_rebuild(spark, tmp_path):
+    """LSM stress: 4 sequential upserts (updates + inserts, including
+    re-updates of the same doc) must still rank bit-equal to a fresh
+    rebuild of the final corpus, with one tombstone ord per update."""
+    base = pd.DataFrame(
+        {"doc_id": range(40), "text": [f"alpha w{i} beta" for i in range(40)]}
+    )
+    idx = str(tmp_path / "lsm_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(base), idx)
+    state = {int(r.doc_id): r.text for r in base.itertuples(index=False)}
+    rng_texts = [
+        {3: "omega first rewrite", 50: "gamma new fifty"},
+        {3: "omega second rewrite", 7: "delta seven now"},
+        {51: "epsilon fifty one"},
+        {50: "gamma rewritten fifty", 3: "omega third rewrite"},
+    ]
+    for patch in rng_texts:
+        state.update(patch)
+        pdf = pd.DataFrame(
+            {"doc_id": list(patch), "text": [patch[i] for i in patch]}
+        )
+        res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(pdf), idx)
+        assert res["mode"] == "delta"
+    assert len(index_dirs(idx)) == 5
+    assert load_kills(spark, idx) == {3: 4, 7: 2, 50: 4}
+    final = pd.DataFrame(
+        {"doc_id": list(state), "text": [state[i] for i in state]}
+    )
+    rebuild = str(tmp_path / "lsm_rebuild")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(final), rebuild)
+    qs = [(1, "alpha"), (2, "omega"), (3, "gamma fifty"), (4, "epsilon")]
+    eng_m = QueryEngine(spark, idx)
+    eng_r = QueryEngine(spark, rebuild)
+    a = eng_m.topk_wand(qs, k=10, n_ranges=2).toPandas()
+    b = eng_r.topk(qs, k=10).toPandas()
+    _assert_same(a, b)
+    got3 = a[a.query_id == 2]
+    assert set(got3["doc_id"]) == {3}  # only the third rewrite is live
+
+
 def test_compact_collapses_to_single_dir(spark, built):
     """LSM compaction (runs after the two upserts above): base + 2
     deltas + tombstones → one fresh dir, rankings bit-equal to the
