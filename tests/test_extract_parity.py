@@ -132,6 +132,28 @@ def test_missing_id_counter_increments():
     assert n1 == 1
 
 
+def test_html_extraction_edge_cases():
+    """Degenerate pages the crawl WILL contain: no body tag, empty
+    body, META entities, self-closing META, body attributes."""
+    assert ec.extract_text("<HTML><head></head></HTML>") == ""  # no <body>
+    assert ec.extract_text("<HTML><body></body></HTML>") == ""
+    j = ec.html_to_fields(
+        '<html><head><META name="title" content="A &amp; B &lt;C&gt;"/></head>'
+        '<body class="x" data-y="1">text</body></html>'
+    )
+    assert j["title"] == "A & B <C>"  # entities decoded, self-closing ok
+    assert j["body"] == "text"       # body attributes ignored
+    # nested tags inside body are stripped, text preserved in order
+    j2 = ec.html_to_fields("<body>a <b>bold</b> c <i>i</i>d</body>")
+    assert j2["body"] == "a bold c id"
+    # multiple META with the same name: last one wins (cheerio attr map)
+    j3 = ec.html_to_fields(
+        '<head><META name="id" content="1"><META name="id" content="2"></head>'
+        "<body>.</body>"
+    )
+    assert j3["id"] == "2"
+
+
 def test_tokenizer_pin():
     assert tokenize("Hello, World! x2 &#5; <b>a-b</b>") == [
         "hello", "world", "x2", "5", "b", "a", "b", "b",
