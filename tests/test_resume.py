@@ -58,6 +58,52 @@ def test_resume_bit_identical(spark, docs_df, tmp_path):
     assert _content_hash(spark, part) == expected
 
 
+def test_resume_with_positions_sidecar(spark, docs_df, tmp_path):
+    """Crash-resume of a store_positions build: resumed postings are
+    content-identical (positions included) to an uninterrupted build,
+    and phrase queries work over the resumed index."""
+    import pyspark.sql.functions as F
+
+    from xml_to_es_spark.operators.query_engine import (
+        QueryEngine,
+        bm25_topk_dataframe,
+    )
+
+    cfg = IndexConfig(n_groups=3, salt_threshold=40, n_salts=3, store_positions=True)
+    b = IndexBuilder(spark, cfg)
+
+    def pos_hash(out):
+        df = spark.read.parquet(f"{out}/postings")
+        row = df.select(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(term, salt, n_docs, docs_bin, pos_bin))"
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    full = str(tmp_path / "pfull")
+    b.build(docs_df, full)
+    part = str(tmp_path / "ppart")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        b.build(docs_df, part, fail_after_groups=1)
+    res = b.build(docs_df, part, resume=True)
+    assert res["groups_built"] == 2
+    assert pos_hash(part) == pos_hash(full)
+    # a phrase exists in the corpus: take two adjacent tokens of doc 0
+    from xml_to_es_spark.pyref import tokenize
+
+    t0 = tokenize(docs_df.filter("doc_id = 0").first()["text"])
+    phrase = f"{t0[0]} {t0[1]}"
+    got = QueryEngine(spark, part).phrase_topk([(1, phrase)], k=10).toPandas()
+    expect = bm25_topk_dataframe(
+        docs_df, [(1, phrase)], k=10, phrase=True, score_decimals=None
+    ).toPandas()
+    assert list(got.sort_values("rank")["doc_id"]) == list(
+        expect.sort_values("rank")["doc_id"]
+    )
+
+
 def test_resume_rejects_changed_input(spark, docs_df, tmp_path):
     """A resume against a different input snapshot rebuilds (lineage
     key mismatch) rather than mixing corpora."""
