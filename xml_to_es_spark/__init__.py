@@ -15,9 +15,16 @@ see /root/reference) as an idiomatic Spark engine:
   checkpoint-resumable, skew-salted, range-merged Spark job
   (`operators.index_build`).
 - **Query engine**: BM25 (k1=1.2, b=0.75) top-k over the compressed
-  postings with block-max pruning (`operators.query_engine`).
+  postings with block-max WAND pruning, distributed per (query,
+  doc-range); the full ES match surface — OR/AND/minimum_should_match,
+  match_phrase (positional sidecar), fuzziness (dictionary expansion),
+  highlight snippets, GET/_source fetch — plus PUT-by-id upsert with
+  LSM deltas/tombstones/compaction (`operators.query_engine`,
+  `operators.index_build`).
 - **Training-data ops**: dedup (exact / MinHash-LSH / SimHash / n-gram
-  Jaccard / embedding-cosine), ANN similarity search, text analysis
+  Jaccard / embedding-cosine / connected-component clustering +
+  keep-one survivors, batch and streaming), ANN similarity search
+  (exact, sign-LSH, IVF with cell-partitioned storage), text analysis
   (lang-id, quality, token counts, fingerprints), multimodal binary
   column plumbing.
 
@@ -26,6 +33,6 @@ selection; custom physics (codec, scoring) live in Arrow-batched
 pandas UDFs — never per-row Python.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from xml_to_es_spark.config import BM25Config, IndexConfig  # noqa: F401
