@@ -263,6 +263,93 @@ def _q_bm25_wand(spark, sf):
     )
 
 
+def _q_bm25_page2(spark, sf):
+    """ES pagination (from/size): page 2 of the distributed-WAND
+    ranking — rows 11..20 with their GLOBAL ranks, scores bit-equal
+    to the full ranking's tail (oracle: rank window 11..20)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.topk_wand(BM25_QUERIES, k=BM25_K, n_ranges=4, from_=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# fielded index: title = the document's first 4 tokens (deterministic,
+# SQL-expressible twin: list_slice of the token array) — the two-field
+# ES mapping shape of the reference (body + title, mapping.json:11-12)
+_FIELDED_CACHE: dict[str, str] = {}
+TITLE_SLICE = 4
+
+
+def _fielded_docs(spark, sf):
+    from xml_to_es_spark.functions.analysis import tokens_col
+
+    return _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(tokens_col("text"), 1, TITLE_SLICE), " ").alias("title"),
+    )
+
+
+def _fielded_index(spark, sf):
+    if sf not in _FIELDED_CACHE:
+        import tempfile
+
+        from xml_to_es_spark.config import IndexConfig
+        from xml_to_es_spark.operators.index_build import IndexBuilder
+
+        out = tempfile.mkdtemp(prefix="entry_fidx_") + "/index"
+        IndexBuilder(
+            spark,
+            IndexConfig(
+                n_groups=2, salt_threshold=200, n_salts=4,
+                indexed_fields=("text", "title"),
+            ),
+        ).build(_fielded_docs(spark, sf), out)
+        _FIELDED_CACHE[sf] = out
+    return _FIELDED_CACHE[sf]
+
+
+def _q_bm25_title(spark, sf):
+    """ES match on a non-default analyzed field ({title: ...}): the
+    title field scores with its OWN df/avgdl/dl over the fielded codec
+    index (field-prefixed term keys)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _fielded_index(spark, sf))
+    out = eng.topk_wand(BM25_QUERIES, k=BM25_K, n_ranges=2, field="title")
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_multi_match(spark, sf):
+    """ES multi_match type=best_fields over (text, title): dis_max —
+    per-doc max of the per-field BM25 scores, exact via the union of
+    per-field top-k lists."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _fielded_index(spark, sf))
+    out = eng.multi_match(
+        BM25_QUERIES, k=BM25_K, fields=["text", "title"], match_type="best_fields",
+        n_ranges=2,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_doc_id_assignment(spark, sf):
     """md5(text) is NOT unique on corpora with duplicate texts, so the
     doc_id tiebreak makes the sort a total order (run- and
@@ -572,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "bm25_wand_codec_topk": _q_bm25_wand,
+        "bm25_page2_topk": _q_bm25_page2,
+        "bm25_title_topk": _q_bm25_title,
+        "multi_match_topk": _q_multi_match,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
         "exact_dedup": _q_exact_dedup,
@@ -611,6 +701,7 @@ def _bm25_sql(
     phrase: bool = False,
     queries: list[tuple[int, str]] | None = None,
     fuzziness: int = 0,
+    from_: int = 0,
 ) -> str:
     import re
 
@@ -703,8 +794,93 @@ tf AS (
          doc_id, round(score_raw, 6) AS score
   FROM scored {and_join} {and_filter}
 )
-SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank > {from_} AND rank <= {from_ + BM25_K}
 """
+
+
+def _field_scored_ctes(tok_expr: str, sfx: str, queries) -> str:
+    """Per-field BM25 scored CTE chain (same float expression text as
+    _bm25_sql so the twin folds identically); ``tok_expr`` is the
+    FIELD's token array — e.g. the title twin is
+    list_slice(tokens, 1, TITLE_SLICE), exactly the engine's
+    deterministic synthesized title. N is the corpus count and avgdl
+    averages over ALL docs (zero-token fields count 0) — the engine's
+    pinned per-field statistics."""
+    import re
+
+    qvals = []
+    for qid, text in queries:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""toks{sfx} AS (
+  SELECT doc_id, len({tok_expr}) AS dl, unnest({tok_expr}) AS term FROM documents
+), q{sfx}(query_id, term) AS (VALUES {values}),
+tf{sfx} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks{sfx} WHERE term IN (SELECT DISTINCT term FROM q{sfx})
+  GROUP BY doc_id, term
+), stats{sfx} AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({tok_expr}))::DOUBLE AS avgdl FROM documents
+), dfreq{sfx} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{sfx} GROUP BY term
+), scored{sfx} AS (
+  SELECT q{sfx}.query_id, tf{sfx}.doc_id,
+         sum(ln(1.0 + (stats{sfx}.n - dfreq{sfx}.df + 0.5)/(dfreq{sfx}.df + 0.5))
+             * tf{sfx}.tf * 2.2
+             / (tf{sfx}.tf + 1.2*(1.0 - 0.75 + 0.75*tf{sfx}.dl/stats{sfx}.avgdl))
+         ) AS score_raw
+  FROM tf{sfx} JOIN dfreq{sfx} USING (term) JOIN q{sfx} USING (term)
+  CROSS JOIN stats{sfx}
+  GROUP BY q{sfx}.query_id, tf{sfx}.doc_id
+)"""
+
+
+def _title_tok() -> str:
+    return f"list_slice({TOK}, 1, {TITLE_SLICE})"
+
+
+def _bm25_title_sql(k: int) -> str:
+    return (
+        "WITH "
+        + _field_scored_ctes(_title_tok(), "_t", BM25_QUERIES)
+        + f""",
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM scored_t)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+def _multi_match_sql(k: int) -> str:
+    """best_fields dis_max twin: max over the two per-field scored
+    sets, then the usual (score desc, doc_id asc) rank window."""
+    return (
+        "WITH "
+        + _field_scored_ctes(TOK, "_b", BM25_QUERIES)
+        + ",\n"
+        + _field_scored_ctes(_title_tok(), "_t", BM25_QUERIES)
+        + f""",
+u AS (
+  SELECT query_id, doc_id, score_raw FROM scored_b
+  UNION ALL
+  SELECT query_id, doc_id, score_raw FROM scored_t
+),
+best AS (
+  SELECT query_id, doc_id, max(score_raw) AS score_raw FROM u GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM best)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+    )
 
 
 def _snippets_sql() -> str:
@@ -1009,6 +1185,9 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_phrase_codec_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
         "bm25_fuzzy_topk": _bm25_sql(fuzziness=1, queries=BM25_FUZZY_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
+        "bm25_page2_topk": _bm25_sql(from_=BM25_K),
+        "bm25_title_topk": _bm25_title_sql(BM25_K),
+        "multi_match_topk": _multi_match_sql(BM25_K),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id
 FROM documents

@@ -135,7 +135,62 @@ def main():
         ).count(),
     )
 
+    # ---- round-3 additions (reported separately: r2_comparable_total
+    # excludes them so per-round walls stay comparable) ----
+    new_in_r3 = [
+        "fielded_index_build", "bm25_title_topk", "multi_match_topk",
+        "phrase_stopword_topk", "bm25_page2_topk",
+    ]
+
+    # 8. fielded + positional index (title = first 4 tokens, the
+    # two-analyzed-fields ES mapping) — one build serves 9-11
+    fidx_dir = tempfile.mkdtemp(prefix="bench_fidx_") + "/index"
+    fdocs = entry._fielded_docs(spark, SF_DIR).persist()
+    fdocs.count()
+    fcfg = IndexConfig(
+        n_groups=4, salt_threshold=2000, n_salts=8,
+        indexed_fields=("text", "title"), store_positions=True,
+    )
+    timed(
+        "fielded_index_build", lambda: IndexBuilder(spark, fcfg).build(fdocs, fidx_dir)
+    )
+    feng = QueryEngine(spark, fidx_dir)
+    # 9. per-field match + multi_match best_fields
+    timed(
+        "bm25_title_topk",
+        lambda: feng.topk_wand(
+            entry.BM25_QUERIES, k=10, n_ranges=8, field="title"
+        ).collect(),
+    )
+    timed(
+        "multi_match_topk",
+        lambda: feng.multi_match(
+            entry.BM25_QUERIES, k=10, fields=["text", "title"], n_ranges=8
+        ).collect(),
+    )
+    # 10. stopword-heavy phrase: both terms are Zipf-head (massive
+    # candidate intersection) — exercises the vectorized
+    # shift-and-intersect adjacency kernel, which must stay batch-bound
+    timed(
+        "phrase_stopword_topk",
+        lambda: feng.phrase_topk(
+            [(1, "a the"), (2, "the a"), (3, "table value")],
+            k=10, n_ranges=8, field="text",
+        ).collect(),
+    )
+    # 11. ES pagination: page 2 (from=10) of the WAND ranking
+    timed(
+        "bm25_page2_topk",
+        lambda: eng.topk_wand(
+            entry.BM25_QUERIES, k=10, n_ranges=8, from_=10
+        ).collect(),
+    )
+    fdocs.unpersist()
+
     total = round(sum(timings.values()), 3)
+    r2_comparable = round(
+        sum(v for k, v in timings.items() if k not in new_in_r3), 3
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -147,6 +202,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+                "r2_comparable_total": r2_comparable,
                 "cpus": int(CPUS),
             }
         )

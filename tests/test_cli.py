@@ -62,7 +62,7 @@ def test_cli_upsert_compact_search(spark, tmp_path, capsys):
     assert {l["doc_id"] for l in lines} == {3, 9}
 
     out2 = str(tmp_path / "idx2")
-    assert main(["compact", "--index", idx, "--output", out2, "--groups", "2"]) == 0
+    assert main(["compact", "--index", idx, "--output", out2]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["dirs_merged"] == 2 and res["n_docs"] == 9
     assert main(["query", "--index", out2, "omega"]) == 0

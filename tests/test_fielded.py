@@ -1,0 +1,250 @@
+"""Fielded indexing (ES body/title mapping, examples/mapping.json:11-12;
+asserted by the reference's FileSpecPage.js:71-87 on BOTH fields),
+multi_match, ES pagination (from/size, search_after), and the
+tombstone-growth guard."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.index_build import IndexBuilder
+from xml_to_es_spark.operators.query_engine import QueryEngine, bm25_topk_dataframe
+
+CFG = IndexConfig(
+    n_groups=2, salt_threshold=40, n_salts=3, block_size=32,
+    indexed_fields=("text", "title"), store_positions=True,
+)
+
+QS = [(1, "biogen"), (2, "alpha w7"), (3, "w3")]
+
+
+def _corpus(n=60):
+    rows = []
+    for i in range(n):
+        body = f"alpha common w{i} " + ("beta " * (i % 3)) + "filler words here"
+        # doc 7's title contains a term its body does NOT — the
+        # reference's test shape (title "BIOGEN" vs body "Biogen")
+        title = f"title w{i}" + (" biogen" if i == 7 else "")
+        rows.append((i, body, title))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "title"])
+
+
+@pytest.fixture(scope="module")
+def fielded(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fielded")
+    pdf = _corpus()
+    idx = str(root / "idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), idx)
+    return root, pdf, idx
+
+
+def test_title_only_hit_ranks_per_field(spark, fielded):
+    """ES semantics: match on {title: biogen} finds the title-only
+    doc; match on {text: biogen} does not."""
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    assert eng.fields == ("text", "title") and eng.fielded
+    body = eng.topk(QS, k=5, field="text").toPandas()
+    title = eng.topk(QS, k=5, field="title").toPandas()
+    assert body[body.query_id == 1].empty
+    assert list(title[title.query_id == 1]["doc_id"]) == [7]
+
+
+def test_per_field_scores_bit_equal_to_dataframe_twin(spark, fielded):
+    """Each field scores with ITS OWN df/avgdl/dl — bit-equal to the
+    pure-DataFrame BM25 run over that column alone, on both the
+    pinned-sum and distributed-WAND codec paths."""
+    root, pdf, idx = fielded
+    docs = spark.createDataFrame(pdf)
+    eng = QueryEngine(spark, idx)
+    for fld in ("text", "title"):
+        want = (
+            bm25_topk_dataframe(
+                docs.select("doc_id", F.col(fld).alias("text")),
+                QS, k=5, score_decimals=None,
+            )
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        for got in (
+            eng.topk(QS, k=5, field=fld),
+            eng.topk_wand(QS, k=5, field=fld, n_ranges=2),
+        ):
+            g = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+            assert list(g.doc_id) == list(want.doc_id)
+            assert list(g.score) == [float(s) for s in want.score]  # bit-equal
+
+
+def test_multi_match_best_and_most_fields(spark, fielded):
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    per_field = {}
+    for fld in ("text", "title"):
+        per_field[fld] = {
+            (int(r.query_id), int(r.doc_id)): r.score
+            for r in eng.topk(QS, k=60, field=fld).toPandas().itertuples()
+        }
+    bf = eng.multi_match(QS, k=5, match_type="best_fields").toPandas()
+    for r in bf.itertuples():
+        key = (int(r.query_id), int(r.doc_id))
+        want = max(per_field["text"].get(key, -1.0), per_field["title"].get(key, -1.0))
+        assert r.score == want  # dis_max = exact max of field scores
+    assert (1, 7) in {(int(r.query_id), int(r.doc_id)) for r in bf.itertuples()}
+    mf = eng.multi_match(QS, k=5, match_type="most_fields").toPandas()
+    for r in mf.itertuples():
+        key = (int(r.query_id), int(r.doc_id))
+        want = per_field["text"].get(key, 0.0) + per_field["title"].get(key, 0.0)
+        assert abs(r.score - want) < 1e-9  # sum across fields
+
+
+def test_fielded_phrase_and_field_validation(spark, fielded):
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    ph = eng.phrase_topk([(1, "alpha common")], k=5, field="text").toPandas()
+    assert len(ph) == 5
+    assert eng.phrase_topk([(1, "common alpha")], k=5, field="text").count() == 0
+    with pytest.raises(ValueError, match="not indexed"):
+        eng.topk(QS, k=5, field="nope")
+    bad = IndexBuilder(spark, IndexConfig(indexed_fields=("text",)))
+    with pytest.raises(ValueError, match="mapping drift"):
+        bad.validate_mapping(idx)
+
+
+def test_fielded_upsert_inherits_mapping_and_matches_rebuild(spark, fielded):
+    """An upsert from a DEFAULT-config builder must inherit the fielded
+    + positional mapping (ES: a PUT cannot change the mapping), detect
+    title-only changes, and stay bit-equal to a fresh rebuild."""
+    root, pdf, idx = fielded
+    patch = pd.DataFrame(
+        {
+            "doc_id": [7, 100],
+            "text": ["alpha rewritten body", "new doc body biogen"],
+            "title": ["changed title", "new title"],
+        }
+    )
+    res = IndexBuilder(spark).upsert(spark.createDataFrame(patch), idx)
+    assert res["mode"] == "delta" and res["n_changed"] == 1 and res["n_new"] == 1
+    eng2 = QueryEngine(spark, idx)
+    assert eng2.topk([(1, "biogen")], k=5, field="title").count() == 0
+    assert list(
+        eng2.topk([(1, "biogen")], k=5, field="text").toPandas()["doc_id"]
+    ) == [100]
+
+    v2 = pdf.copy()
+    v2.loc[v2.doc_id == 7, ["text", "title"]] = ["alpha rewritten body", "changed title"]
+    v2 = pd.concat([v2, patch[patch.doc_id == 100]], ignore_index=True)
+    rebuild = str(root / "rebuild")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v2), rebuild)
+    engr = QueryEngine(spark, rebuild)
+    for fld in ("text", "title"):
+        a = (
+            eng2.topk_wand(QS, k=10, field=fld, n_ranges=2)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            engr.topk(QS, k=10, field=fld)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert list(a.doc_id) == list(b.doc_id)
+        assert list(a.score) == list(b.score)
+
+    # a TITLE-only re-crawl is a change (md5 spans all indexed fields)
+    res2 = IndexBuilder(spark).upsert(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [3], "text": [pdf[pdf.doc_id == 3].text.iat[0]],
+                 "title": ["totally new biogen title"]}
+            )
+        ),
+        idx,
+    )
+    assert res2["mode"] == "delta" and res2["n_changed"] == 1
+    eng3 = QueryEngine(spark, idx)
+    got = eng3.topk([(1, "biogen")], k=5, field="title").toPandas()
+    assert list(got["doc_id"]) == [3]
+
+
+def test_fielded_compact_keeps_fields_and_positions(spark, fielded):
+    """Compaction of the fielded LSM (runs after the upserts above)
+    inherits the mapping: still two fields, positional sidecar intact."""
+    root, pdf, idx = fielded
+    out = str(root / "compacted")
+    IndexBuilder(spark).compact(idx, out)
+    eng = QueryEngine(spark, out)
+    assert eng.fields == ("text", "title")
+    assert list(
+        eng.phrase_topk([(1, "alpha rewritten")], k=5, field="text")
+        .toPandas()["doc_id"]
+    ) == [7]
+    assert list(
+        eng.topk([(1, "biogen")], k=5, field="title").toPandas()["doc_id"]
+    ) == [3]
+
+
+def test_pagination_pages_are_slices_of_full_ranking(spark, tmp_path):
+    cfg = IndexConfig(n_groups=2, block_size=32)
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [f"alpha w{i} beta" for i in range(40)]}
+    )
+    idx = str(tmp_path / "page_idx")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+    q = [(1, "alpha"), (2, "beta")]
+    full = eng.topk_wand(q, k=20, n_ranges=2).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    for path in ("topk", "wand", "dist"):
+        if path == "topk":
+            page2 = eng.topk(q, k=10, from_=10).toPandas()
+        elif path == "wand":
+            page2 = eng.topk_wand(q, k=10, n_ranges=2, from_=10).toPandas()
+        else:
+            page2 = eng.topk_distributed(q, k=10, from_=10).toPandas()
+        page2 = page2.sort_values(["query_id", "rank"])
+        for qid in (1, 2):
+            f = full[full.query_id == qid]
+            p = page2[page2.query_id == qid]
+            assert list(p["rank"]) == list(range(11, 11 + len(p)))
+            assert list(p["doc_id"]) == list(f["doc_id"])[10:10 + len(p)]
+            if path != "dist":
+                assert list(p["score"]) == list(f["score"])[10:10 + len(p)]
+
+    # search_after cursor: strictly-after hits, in order, no overlap
+    first = eng.topk_distributed(q, k=10).toPandas()
+    cur = {
+        qid: (
+            float(first[first.query_id == qid].score.iat[-1]),
+            int(first[first.query_id == qid].doc_id.iat[-1]),
+        )
+        for qid in (1, 2)
+    }
+    nxt = eng.topk_distributed(q, k=10, search_after=cur).toPandas()
+    for qid in (1, 2):
+        f = first[first.query_id == qid]
+        n = nxt[nxt.query_id == qid]
+        dist_full = eng.topk_distributed(q, k=20).toPandas()
+        df_q = dist_full[dist_full.query_id == qid]
+        assert list(n["doc_id"]) == list(df_q["doc_id"])[10:10 + len(n)]
+        assert not set(n["doc_id"]) & set(f["doc_id"])
+
+
+def test_tombstone_growth_guard(spark, tmp_path):
+    cfg = IndexConfig(n_groups=1)
+    pdf = pd.DataFrame(
+        {"doc_id": range(10), "text": [f"alpha w{i}" for i in range(10)]}
+    )
+    idx = str(tmp_path / "guard_idx")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), idx)
+    patch = pd.DataFrame(
+        {"doc_id": range(5), "text": [f"rewritten w{i}" for i in range(5)]}
+    )
+    IndexBuilder(spark, cfg).upsert(spark.createDataFrame(patch), idx)
+    with pytest.raises(ValueError, match="run IndexBuilder.compact"):
+        QueryEngine(spark, idx, max_tombstones=3)
+    # default bound admits it; None disables the guard entirely
+    assert QueryEngine(spark, idx).n_docs == 10
+    assert QueryEngine(spark, idx, max_tombstones=None).n_docs == 10
+    # compaction resets the tombstone set — the strict bound passes
+    out = str(tmp_path / "guard_c")
+    IndexBuilder(spark, cfg).compact(idx, out)
+    assert QueryEngine(spark, out, max_tombstones=3).n_docs == 10

@@ -121,3 +121,21 @@ def test_resume_rejects_changed_input(spark, docs_df, tmp_path):
     res = b.build(changed, out, resume=True)
     assert res["groups_built"] == 2  # nothing skipped: snapshot differs
     assert _content_hash(spark, out) != h1
+
+    # the docs side table must also reflect the NEW corpus — a stale
+    # docs_meta checkpoint from the first build would keep the old
+    # text_md5 and silently corrupt upsert change-detection
+    import pyspark.sql.functions as F
+
+    stale = (
+        spark.read.parquet(f"{out}/docs")
+        .join(
+            changed.select("doc_id", F.md5("text").alias("want_md5")), "doc_id"
+        )
+        .filter(F.col("text_md5") != F.col("want_md5"))
+        .count()
+    )
+    assert stale == 0
+    # and an upsert of the same changed input is a no-op (md5 match)
+    res2 = b.upsert(changed, out)
+    assert res2["mode"] == "noop"

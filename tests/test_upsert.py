@@ -232,6 +232,56 @@ def test_many_sequential_upserts_match_rebuild(spark, tmp_path):
     assert set(got3["doc_id"]) == {3}  # only the third rewrite is live
 
 
+def test_upsert_crash_before_commit_invisible_then_replayable(spark, tmp_path):
+    """Atomicity: a crash between the delta build and the commit
+    marker leaves the index readable in its EXACT pre-upsert state
+    (tombstones for the uncommitted ord are ignored, the partial delta
+    dir is invisible, live_docs has no duplicate versions); replaying
+    the same upsert then succeeds and matches a fresh rebuild."""
+    from xml_to_es_spark.operators.index_build import live_docs
+
+    v1 = pd.DataFrame(
+        {"doc_id": range(30), "text": [f"alpha w{i} beta" for i in range(30)]}
+    )
+    idx = str(tmp_path / "atomic_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v1), idx)
+    eng0 = QueryEngine(spark, idx)
+    before = eng0.topk(QUERIES, k=10).toPandas()
+
+    patch = pd.DataFrame(
+        {"doc_id": [3, 100], "text": ["omega rewritten three", "omega new hundred"]}
+    )
+    b = IndexBuilder(spark, CFG)
+    b._fail_before_commit = True
+    with pytest.raises(RuntimeError, match="injected failure before delta commit"):
+        b.upsert(spark.createDataFrame(patch), idx)
+
+    # the tombstone file exists but its kills are clamped out, the
+    # delta dir exists but is uncommitted — readers see v1 exactly
+    assert len(index_dirs(idx)) == 1
+    assert load_kills(spark, idx) == {}
+    lv = live_docs(spark, idx).toPandas()
+    assert len(lv) == 30 and lv["doc_id"].is_unique
+    eng1 = QueryEngine(spark, idx)
+    _assert_same(eng1.topk(QUERIES, k=10).toPandas(), before)
+    assert eng1.n_docs == 30
+
+    # replay: same ord reused, partial delta overwritten, committed
+    res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(patch), idx)
+    assert res["mode"] == "delta" and res["ord"] == 1
+    assert res["n_changed"] == 1 and res["n_new"] == 1
+    assert load_kills(spark, idx) == {3: 1}
+    lv2 = live_docs(spark, idx).toPandas()
+    assert len(lv2) == 31 and lv2["doc_id"].is_unique  # no double version
+
+    v2 = _mutate(v1, {3: "omega rewritten three"}, {100: "omega new hundred"})
+    rebuild = str(tmp_path / "atomic_rebuild")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v2), rebuild)
+    got = QueryEngine(spark, idx).topk_wand(QUERIES, k=10, n_ranges=2).toPandas()
+    want = QueryEngine(spark, rebuild).topk(QUERIES, k=10).toPandas()
+    _assert_same(got, want)
+
+
 def test_compact_collapses_to_single_dir(spark, built):
     """LSM compaction (runs after the two upserts above): base + 2
     deltas + tombstones → one fresh dir, rankings bit-equal to the

@@ -30,11 +30,14 @@ def cmd_build(args) -> int:
     from xml_to_es_spark.sources.pages import read_pages
 
     spark = _spark(args)
+    fields = tuple(args.fields.split(","))
     cfg = IndexConfig(
         n_groups=args.groups,
         salt_threshold=args.salt_threshold,
         n_salts=args.salts,
         store_source=args.store_source,
+        store_positions=args.store_positions,
+        indexed_fields=fields,
     )
     if args.input_format == "pages":
         pages = read_pages(spark, args.input, langs=tuple(args.langs.split(",")))
@@ -42,7 +45,10 @@ def cmd_build(args) -> int:
         # collision odds at 10^12 docs, and abs(Long.MIN_VALUE) is
         # broken under ANSI); the codec round-trips negative ids
         docs = extract_fields(pages).select(
-            F.xxhash64("url").alias("doc_id"), "text", "url"
+            F.xxhash64("url").alias("doc_id"),
+            "text",
+            *[f for f in fields if f != "text"],
+            "url",
         )
         # cheap collision gate before committing a build: a hash
         # collision would silently merge two urls into one doc
@@ -76,28 +82,41 @@ def cmd_query(args) -> int:
     spark = _spark(args)
     eng = QueryEngine(spark, args.index)
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
+    mfields = args.multi_match.split(",") if args.multi_match else None
     if args.fetch:
         out = eng.search(
             queries, k=args.k,
             n_ranges=args.wand_ranges if args.wand else None,
             phrase=args.phrase, fuzziness=args.fuzziness,
+            field=args.field, fields=mfields, match_type=args.match_type,
+            from_=args.from_,
         )
         cols = out.columns
         for r in out.orderBy("query_id", "rank").collect():
             print(json.dumps({k: r[k] for k in cols}))
         return 0
-    if args.phrase:
+    if mfields:
+        out = eng.multi_match(
+            queries, k=args.k, fields=mfields, match_type=args.match_type,
+            n_ranges=args.wand_ranges if args.wand else None, from_=args.from_,
+        )
+    elif args.phrase:
         out = eng.phrase_topk(
-            queries, k=args.k, n_ranges=args.wand_ranges if args.wand else None
+            queries, k=args.k, n_ranges=args.wand_ranges if args.wand else None,
+            field=args.field, from_=args.from_,
         )
     elif args.wand:
         out = eng.topk_wand(
-            queries, k=args.k, n_ranges=args.wand_ranges, fuzziness=args.fuzziness
+            queries, k=args.k, n_ranges=args.wand_ranges,
+            fuzziness=args.fuzziness, field=args.field, from_=args.from_,
         )
     elif args.distributed:
-        out = eng.topk_distributed(queries, k=args.k)
+        out = eng.topk_distributed(queries, k=args.k, field=args.field, from_=args.from_)
     else:
-        out = eng.topk(queries, k=args.k, fuzziness=args.fuzziness)
+        out = eng.topk(
+            queries, k=args.k, fuzziness=args.fuzziness,
+            field=args.field, from_=args.from_,
+        )
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "score")}))
     return 0
@@ -110,7 +129,15 @@ def cmd_upsert(args) -> int:
     from xml_to_es_spark.operators.index_build import IndexBuilder
 
     spark = _spark(args)
-    cfg = IndexConfig(n_groups=args.groups, store_source=args.store_source)
+    # analysis/storage knobs (fields, positions, source) are inherited
+    # from the existing index's stored mapping — flags here only shape
+    # the INITIAL build when the index does not exist yet
+    cfg = IndexConfig(
+        n_groups=args.groups,
+        store_source=args.store_source,
+        store_positions=args.store_positions,
+        indexed_fields=tuple(args.fields.split(",")),
+    )
     docs = spark.read.parquet(args.input)
     res = IndexBuilder(spark, cfg).upsert(docs, args.index)
     print(json.dumps({k: v for k, v in res.items() if k != "delta_build"}))
@@ -118,13 +145,13 @@ def cmd_upsert(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """LSM compaction: base + deltas + tombstones → one fresh index."""
-    from xml_to_es_spark.config import IndexConfig
+    """LSM compaction: base + deltas + tombstones → one fresh index.
+    The stored mapping (fields, positional sidecar, stored source) is
+    inherited from the input index."""
     from xml_to_es_spark.operators.index_build import IndexBuilder
 
     spark = _spark(args)
-    cfg = IndexConfig(n_groups=args.groups)
-    res = IndexBuilder(spark, cfg).compact(args.index, args.output)
+    res = IndexBuilder(spark).compact(args.index, args.output)
     print(json.dumps(res))
     return 0
 
@@ -169,6 +196,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salts", type=int, default=16)
     b.add_argument("--store-source", action="store_true",
                    help="keep text in the docs table (ES _source; query --fetch)")
+    b.add_argument("--store-positions", action="store_true",
+                   help="positional sidecar (enables query --phrase)")
+    b.add_argument("--fields", default="text",
+                   help="comma-separated analyzed fields, e.g. text,title "
+                        "(ES mapping with several analyzed fields)")
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -186,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase (index needs --store-positions)")
     q.add_argument("--fuzziness", type=int, default=0,
                    help="dictionary levenshtein expansion distance")
+    q.add_argument("--field", default=None,
+                   help="score one analyzed field (ES match: {field: ...})")
+    q.add_argument("--multi-match", default=None,
+                   help="comma-separated fields for ES multi_match")
+    q.add_argument("--match-type", choices=["best_fields", "most_fields"],
+                   default="best_fields")
+    q.add_argument("--from", dest="from_", type=int, default=0,
+                   help="ES pagination offset (rows from+1..from+k)")
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
 
@@ -193,13 +233,18 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--input", required=True, help="(doc_id, text[, url]) parquet")
     u.add_argument("--index", required=True)
     u.add_argument("--groups", type=int, default=8)
-    u.add_argument("--store-source", action="store_true")
+    u.add_argument("--store-source", action="store_true",
+                   help="initial build only — an existing index's mapping is inherited")
+    u.add_argument("--store-positions", action="store_true",
+                   help="initial build only — an existing index's mapping is inherited")
+    u.add_argument("--fields", default="text",
+                   help="initial build only — an existing index's mapping is inherited")
     u.set_defaults(fn=cmd_upsert)
 
-    k = sub.add_parser("compact", help="merge base+deltas+tombstones into a fresh index")
+    k = sub.add_parser("compact", help="merge base+deltas+tombstones into a fresh index"
+                                       " (mapping inherited from the input index)")
     k.add_argument("--index", required=True)
     k.add_argument("--output", required=True)
-    k.add_argument("--groups", type=int, default=8)
     k.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("convert", help="SGML/HTML files → mapped docs")

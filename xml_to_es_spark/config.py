@@ -55,6 +55,19 @@ class IndexConfig:
     codec-level phrase queries (:meth:`QueryEngine.phrase_topk` — the
     ES ``match_phrase`` scale path). Roughly doubles postings bytes;
     off by default.
+
+    ``indexed_fields``: the analyzed full-text FIELDS of each document
+    (the reference's ES mapping declares two — ``body`` and ``title``,
+    examples/mapping.json:11-12 — and its tests assert on both,
+    test/FileSpecPage.js:71-87). The default single field ``("text",)``
+    stores terms bare (zero overhead, the round-1/2 layout). With
+    multiple fields every field's tokens are indexed under a
+    ``{field}:{token}`` term key with that FIELD's own document
+    lengths, so per-field df/idf/avgdl — and therefore ES-style
+    per-field BM25 — fall out of the ordinary machinery:
+    :meth:`QueryEngine.topk(field=...)` scores one field,
+    :meth:`QueryEngine.multi_match` combines several (best_fields /
+    most_fields).
     """
 
     k1: float = 1.2
@@ -67,8 +80,19 @@ class IndexConfig:
     index_langs: tuple[str, ...] = ("en",)
     store_source: bool = False
     store_positions: bool = False
+    indexed_fields: tuple[str, ...] = ("text",)
     extra: dict = field(default_factory=dict)
 
     @property
     def bm25(self) -> BM25Config:
         return BM25Config(k1=self.k1, b=self.b)
+
+    @property
+    def fielded(self) -> bool:
+        """True when the index stores field-prefixed terms (any field
+        set other than the bare default)."""
+        return self.indexed_fields != ("text",)
+
+    @property
+    def default_field(self) -> str:
+        return "text" if "text" in self.indexed_fields else self.indexed_fields[0]

@@ -95,10 +95,17 @@ def minhash_lsh_pairs(
     n_perm: int = DEFAULT_N_PERM,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) that collide in ≥1 LSH
     band. The self-join is on the band bucket key — co-partitioned,
-    never a cross join."""
+    never a cross join.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the pair
+    set — right when the result feeds several downstream consumers
+    (verify + cluster + survivors). One-shot callers can pass False to
+    skip the materialization and let Spark's exchange reuse serve the
+    self-join."""
     sig = minhash_signatures(docs, text_col, key_col, n_perm, shingle_k)
     n_bands = n_perm // band_size
     # ONE pass over the signatures: inline an array of (band, bucket)
@@ -114,10 +121,11 @@ def minhash_lsh_pairs(
         )
     all_bands = sig.select(F.col(key_col), F.inline(F.array(*band_structs)))
     # the self-join's two sides share this subplan; materialize it
-    # once (eager localCheckpoint) so the signature aggregation does
-    # not run twice, then release the cache — at cluster scale you
-    # would write sig to a table instead
-    all_bands = all_bands.persist()
+    # once so the signature aggregation does not run twice, then
+    # release the cache — at cluster scale you would write sig to a
+    # table instead
+    if materialize:
+        all_bands = all_bands.persist()
     a = all_bands.alias("a")
     bb = all_bands.alias("b")
     pairs = (
@@ -132,8 +140,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    pairs = pairs.localCheckpoint(eager=True)
-    all_bands.unpersist()
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        all_bands.unpersist()
     return pairs
 
 
@@ -269,7 +278,7 @@ def simhash_near_pairs(fps: DataFrame, key_col: str = "doc_id", max_hamming: int
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int | None = None) -> DataFrame:
     """Connected components over near-dup (a_id, b_id) pairs:
     (doc_id, cluster_id) where cluster_id = the smallest doc_id
     reachable through the pair graph — the canonical representative.
@@ -279,7 +288,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     i.e. two shuffles), converging in O(graph diameter) iterations —
     near-dup clusters are shallow (diameter ≪ 10 in practice), and
     ``localCheckpoint`` cuts the lineage each round so plans stay
-    flat. Driver only sees a scalar convergence count per iteration."""
+    flat. Driver only sees a scalar convergence count per iteration.
+
+    Runs to CONVERGENCE by default (guaranteed finite: labels are a
+    monotone decreasing fixpoint, ≤ diameter iterations). Passing
+    ``max_iters`` caps the loop for latency-bounded callers; hitting
+    the cap before convergence warns — partially-converged labels can
+    split a long near-dup chain into several clusters."""
+    import warnings
+
     edges = (
         pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
         .unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
@@ -292,7 +309,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    iters = 0
+    while True:
+        iters += 1
         neigh = (
             edges.join(labels, edges.s == labels.doc_id)
             .groupBy(F.col("d").alias("doc_id"))
@@ -314,6 +333,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            break
+        if max_iters is not None and iters >= max_iters:
+            warnings.warn(
+                f"dup_clusters stopped at max_iters={max_iters} with {changed}"
+                " labels still changing — clusters may be partially merged;"
+                " rerun without max_iters for exact components",
+                stacklevel=2,
+            )
             break
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
@@ -386,6 +413,7 @@ def embedding_near_dups(
     planes=None,
     band_size: int = 4,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥
     threshold).
@@ -401,7 +429,10 @@ def embedding_near_dups(
     generated when omitted.
 
     ``exact=True`` is the guarded test-scale mode: an all-pairs
-    self-join — O(n²), NEVER use beyond ~10^5 vectors."""
+    self-join — O(n²), NEVER use beyond ~10^5 vectors.
+
+    ``dim`` (used only when ``planes`` is omitted) skips the
+    embedding-width probe job — pass it when calling in a loop."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     v = emb.select(F.col(key_col), F.col(vec_col), norm.alias("nrm"))
     if exact:
@@ -424,7 +455,8 @@ def embedding_near_dups(
     from xml_to_es_spark.operators.similarity import bucket_col, projection_matrix
 
     if planes is None:
-        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+        if dim is None:
+            dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
         planes = projection_matrix(dim, n_planes=32, seed=42)
     n_bands = len(planes) // band_size
     band_structs = [

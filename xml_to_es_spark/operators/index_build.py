@@ -76,20 +76,28 @@ MANIFEST_SCHEMA = (
 
 TOMBSTONE_SCHEMA = "doc_id long, kill_ord int"
 
+# delta commit marker: an upsert writes tombstones FIRST (they refer
+# to a not-yet-visible ord and are ignored until the delta commits),
+# builds the delta, then drops this marker — so a crash at any point
+# leaves the index readable in its exact pre-upsert state and a
+# replayed upsert self-heals (see :meth:`IndexBuilder.upsert`)
+COMMIT_MARKER = "_COMMITTED"
+
 
 def index_dirs(index_dir: str) -> list[tuple[int, str]]:
-    """All physical index directories under one logical index, in
-    version order: [(0, base), (1, deltas/delta=1), …]. An upsert or
-    streaming micro-batch adds a delta; a doc's LIVE version is the
-    one in the highest dir whose ord ≥ the doc's max tombstone
-    kill_ord (see :meth:`IndexBuilder.upsert`)."""
+    """All COMMITTED physical index directories under one logical
+    index, in version order: [(0, base), (1, deltas/delta=1), …]. An
+    upsert or streaming micro-batch adds a delta; a doc's LIVE version
+    is the one in the highest dir whose ord ≥ the doc's max tombstone
+    kill_ord (see :meth:`IndexBuilder.upsert`). A delta dir without
+    its commit marker is an in-flight/crashed upsert and is invisible."""
     out = [(0, index_dir)]
     droot = Path(index_dir) / "deltas"
     if droot.exists():
         deltas = sorted(
             (int(p.name.split("=")[1]), str(p))
             for p in droot.glob("delta=*")
-            if p.is_dir()
+            if p.is_dir() and (p / COMMIT_MARKER).exists()
         )
         out += deltas
     return out
@@ -100,12 +108,18 @@ def load_kills(spark: SparkSession, index_dir: str) -> dict[int, int]:
     x stored in dir ord o is live iff o ≥ kills.get(x, 0). Tombstones
     exist only for UPDATED docs (a re-crawl of an already-indexed
     url), so between compactions this set stays small relative to the
-    corpus; the query engine broadcasts it."""
+    corpus; the query engine broadcasts it.
+
+    Tombstones whose kill_ord exceeds the highest COMMITTED dir ord
+    belong to a crashed upsert (written before its delta committed)
+    and are ignored — the old doc versions stay live."""
     t = Path(index_dir) / "tombstones"
     if not t.exists():
         return {}
+    max_ord = max(o for o, _ in index_dirs(index_dir))
     rows = (
         spark.read.parquet(str(t))
+        .filter(F.col("kill_ord") <= max_ord)
         .groupBy("doc_id")
         .agg(F.max("kill_ord").alias("kill_ord"))
         .collect()
@@ -120,8 +134,16 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     has them."""
     dirs = index_dirs(index_dir)
     scans = [spark.read.parquet(f"{p}/docs") for _, p in dirs]
+    # optional columns: stored source/extra fields/url and the
+    # per-field length columns of fielded indexes (needed for merged
+    # per-field avgdl across deltas)
+    optional = [
+        c
+        for c in scans[0].columns
+        if c not in ("doc_id", "text_md5", "doc_len")
+    ]
     cols = ["doc_id", "text_md5", "doc_len"] + [
-        c for c in ("text", "url") if all(c in s.columns for s in scans)
+        c for c in optional if all(c in s.columns for s in scans)
     ]
     parts = []
     for (o, _), s in zip(dirs, scans):
@@ -131,8 +153,10 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
         all_docs = all_docs.unionByName(part)
     t = Path(index_dir) / "tombstones"
     if t.exists():
+        max_ord = max(o for o, _ in dirs)
         kills = (
             spark.read.parquet(str(t))
+            .filter(F.col("kill_ord") <= max_ord)
             .groupBy("doc_id")
             .agg(F.max("kill_ord").alias("kill_ord"))
         )
@@ -211,14 +235,14 @@ class IndexBuilder:
 
     # -- inputs ------------------------------------------------------------
 
-    def tokenized(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, text) → (doc_id, term, tf, dl[, positions], group).
-        All JVM: regexp tokenize, explode, hash-agg with map-side
-        partials. With ``store_positions`` the 0-based token offsets
-        per (doc, term) ride along (sorted — collect_list order is
-        partition-dependent) for the positional sidecar."""
+    def _tf_table(self, docs: DataFrame, field: str, prefix: str | None) -> DataFrame:
+        """One field's (doc_id, term, tf, dl[, positions][, field])
+        table. All JVM: regexp tokenize, explode, hash-agg with
+        map-side partials. ``prefix`` non-None stores the term under
+        the ``{field}:{token}`` key and tags rows with the field name
+        (fielded indexes); positions are within-FIELD token offsets."""
         toks = docs.select(
-            "doc_id", tokens_col("text").alias("toks")
+            "doc_id", tokens_col(F.col(field)).alias("toks")
         ).withColumn("dl", doc_len_col("toks"))
         if self.cfg.store_positions:
             exploded = toks.select(
@@ -238,6 +262,37 @@ class IndexBuilder:
             tf = exploded.groupBy("doc_id", "term").agg(
                 F.count("*").alias("tf"), F.first("dl").alias("dl")
             )
+        if prefix is not None:
+            tf = tf.withColumn(
+                "term", F.concat(F.lit(f"{prefix}:"), F.col("term"))
+            ).withColumn("field", F.lit(prefix))
+        return tf
+
+    def tokenized(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, <indexed fields>) → (doc_id, term, tf, dl
+        [, positions][, field], group).
+
+        Single-field default: bare terms, the original layout. Fielded
+        (``cfg.indexed_fields`` beyond ``("text",)``): one tf table
+        per field under field-prefixed term keys ({field}:{token} —
+        tokens are [a-z0-9]+ so ':' can never collide), unioned. Each
+        row's dl is its FIELD's length in that doc, so the posting's
+        co-located dl stream scores per-field BM25 with no extra
+        join; per-field df/idf follow from the prefixed key."""
+        fields = self.cfg.indexed_fields
+        if not self.cfg.fielded:
+            tf = self._tf_table(docs, "text", None)
+        else:
+            missing = [f for f in fields if f not in docs.columns]
+            if missing:
+                raise ValueError(
+                    f"docs is missing indexed field column(s) {missing}; "
+                    f"cfg.indexed_fields={fields}, docs columns={docs.columns}"
+                )
+            parts = [self._tf_table(docs, f, prefix=f) for f in fields]
+            tf = parts[0]
+            for p in parts[1:]:
+                tf = tf.unionByName(p)
         return tf.withColumn(
             "group", F.pmod(F.xxhash64("term"), F.lit(self.cfg.n_groups)).cast("int")
         )
@@ -249,18 +304,51 @@ class IndexBuilder:
         existing = self.spark.read.parquet(f"{index_dir}/docs").select("doc_id")
         return docs.join(existing, "doc_id", "left_anti")
 
+    def _md5_col(self) -> F.Column:
+        """The per-doc content hash driving upsert change-detection
+        and the input snapshot. Single-field: md5(text) (round-1/2
+        formula, unchanged). Fielded: md5 over ALL indexed fields
+        joined with an out-of-alphabet separator, so a title-only
+        re-crawl is detected as a change too."""
+        if not self.cfg.fielded:
+            return F.md5("text")
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(f), F.lit("")) for f in self.cfg.indexed_fields],
+            )
+        )
+
+    def _len_col(self) -> F.Column:
+        if not self.cfg.fielded:
+            return F.length("text")
+        out = None
+        for f in self.cfg.indexed_fields:
+            c = F.length(F.coalesce(F.col(f), F.lit("")))
+            out = c if out is None else out + c
+        return out
+
     def _snapshot(self, docs: DataFrame) -> str:
         """Deterministic input lineage key (Iceberg snapshot id
         stand-in at test scale): count + xor-ish hash aggregate. Keyed
-        on md5(text) so the SAME value is computable either from the
-        raw input (this method — the resume path's one full text read)
-        or from the written docs_meta table (:meth:`_snapshot_from_meta`
-        — the fresh-build path, which reads text zero extra times)."""
-        row = docs.select(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(cast(doc_id as string), md5(text)))").alias("h1"),
-            F.sum(F.length("text")).alias("h2"),
-        ).first()
+        on the content md5 so the SAME value is computable either from
+        the raw input (this method — the resume path's one full text
+        read) or from the written docs_meta table
+        (:meth:`_snapshot_from_meta` — the fresh-build path, which
+        reads text zero extra times)."""
+        row = (
+            docs.select(
+                F.col("doc_id"),
+                self._md5_col().alias("_m"),
+                self._len_col().alias("_l"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(cast(doc_id as string), _m))").alias("h1"),
+                F.sum("_l").alias("h2"),
+            )
+            .first()
+        )
         return f"{row['n']}-{row['h1']}-{row['h2']}"
 
     def _write_docs_meta(self, docs: DataFrame, out: Path) -> None:
@@ -271,11 +359,16 @@ class IndexBuilder:
         touches text exactly TWICE (here and the tokenize pass)."""
         cols = [
             F.col("doc_id"),
-            F.md5("text").alias("text_md5"),
-            F.length("text").alias("text_len"),
+            self._md5_col().alias("text_md5"),
+            self._len_col().alias("text_len"),
         ]
         if self.cfg.store_source:
             cols.append(F.col("text"))
+            cols += [
+                F.col(f)
+                for f in self.cfg.indexed_fields
+                if f != "text" and f in docs.columns
+            ]
         if "url" in docs.columns:
             cols.append(F.col("url"))
         docs.select(*cols).write.mode("overwrite").parquet(str(out / "docs_meta"))
@@ -293,6 +386,88 @@ class IndexBuilder:
             .first()
         )
         return f"{row['n']}-{row['h1']}-{row['h2']}"
+
+    # -- stored-mapping inheritance / validation ------------------------------
+
+    _ANALYSIS_KEYS = ("indexed_fields", "store_positions", "store_source")
+
+    def _stored_mapping(self, index_dir: str) -> dict:
+        """The mapping/config columns stamped into an index's stats
+        row (see :meth:`_stats_config_cols`); {} for legacy indexes."""
+        st = self.spark.read.parquet(f"{index_dir}/stats").first().asDict()
+        out = {}
+        if st.get("indexed_fields"):
+            out["indexed_fields"] = tuple(st["indexed_fields"].split(","))
+        for key in ("store_positions", "store_source"):
+            if st.get(key) is not None:
+                out[key] = bool(st[key])
+        for key in ("block_size", "n_groups"):
+            if st.get(key) is not None:
+                out[key] = int(st[key])
+        if st.get("token_pattern") is not None:
+            out["token_pattern"] = st["token_pattern"]
+        return out
+
+    def _resolved_cfg(self, index_dir: str) -> IndexConfig:
+        """The config an upsert/compact over ``index_dir`` actually
+        runs with: analysis/storage knobs (indexed_fields,
+        store_positions, store_source) are INHERITED from the stored
+        mapping unconditionally — ES semantics: a document PUT cannot
+        change the mapping, so a delta must analyze and store exactly
+        like its base (a positional base keeps its sidecar, a
+        store_source base keeps its _source, a fielded base keeps its
+        field set). Physical knobs (block_size, n_groups) inherit only
+        when this builder still carries the class default — an
+        explicit choice is honored (mixed per-dir layouts are legal;
+        the engine reads each dir's own stats). A tokenizer drift
+        raises (the ES putMapping "validate declared type" behaviour,
+        ElasticIndexer.js:192-196)."""
+        from dataclasses import fields as dc_fields
+        from dataclasses import replace
+
+        from xml_to_es_spark.config import TOKEN_PATTERN
+
+        stored = self._stored_mapping(index_dir)
+        pat = stored.pop("token_pattern", None)
+        if pat is not None and pat != TOKEN_PATTERN:
+            raise ValueError(
+                f"analyzer drift: index {index_dir} was built with "
+                f"token_pattern={pat!r} but this engine is pinned to "
+                f"{TOKEN_PATTERN!r} — rebuild the index rather than mixing "
+                "analyses (ES putMapping validation)"
+            )
+        defaults = {
+            f.name: f.default for f in dc_fields(IndexConfig) if f.name in
+            ("block_size", "n_groups")
+        }
+        kw = {}
+        for key, val in stored.items():
+            if key in self._ANALYSIS_KEYS:
+                kw[key] = val
+            elif getattr(self.cfg, key) == defaults.get(key):
+                kw[key] = val
+        return replace(self.cfg, **kw)
+
+    def validate_mapping(self, index_dir: str) -> None:
+        """Strict ES putMapping validation: raise when THIS builder's
+        cfg disagrees with the stored mapping on any analysis/storage
+        knob (callers that re-specify config and want to be told about
+        drift instead of silently inheriting)."""
+        from xml_to_es_spark.config import TOKEN_PATTERN
+
+        stored = self._stored_mapping(index_dir)
+        drift = {}
+        pat = stored.get("token_pattern")
+        if pat is not None and pat != TOKEN_PATTERN:
+            drift["token_pattern"] = (pat, TOKEN_PATTERN)
+        for key in self._ANALYSIS_KEYS:
+            if key in stored and getattr(self.cfg, key) != stored[key]:
+                drift[key] = (stored[key], getattr(self.cfg, key))
+        if drift:
+            raise ValueError(
+                "mapping drift vs stored index config (stored, requested): "
+                f"{drift} — an index's mapping is immutable; rebuild to change it"
+            )
 
     # -- build -------------------------------------------------------------
 
@@ -343,6 +518,16 @@ class IndexBuilder:
             # resume / crash-injection path: fingerprint the CURRENT
             # input directly (same md5-keyed formula → same value)
             snapshot = self._snapshot(docs)
+            # a docs_meta checkpoint left by an earlier build is only
+            # reusable if it fingerprints to the SAME input — a resume
+            # over changed input must not inherit the old corpus's
+            # md5/text/url rows (they drive upsert change-detection)
+            if (
+                resume
+                and (out / "docs_meta").exists()
+                and self._snapshot_from_meta(out) != snapshot
+            ):
+                self._write_docs_meta(docs, out)
             if resume and (out / "_manifest").exists():
                 man = self.spark.read.parquet(str(out / "_manifest"))
                 done = {
@@ -433,21 +618,40 @@ class IndexBuilder:
         full rebuild over the updated corpus — asserted in
         tests/test_upsert.py. No input text is required for unchanged
         docs, so a 10^12-doc index absorbs a small re-crawl without
-        touching the corpus."""
+        touching the corpus.
+
+        Crash safety: tombstones are written FIRST (they carry the
+        new, not-yet-committed ord and are ignored by every reader
+        until the delta's commit marker lands — see
+        :data:`COMMIT_MARKER`), then the delta builds, then the marker
+        commits it atomically. A crash at any point leaves the index
+        readable in its exact pre-upsert state; replaying the upsert
+        reuses the same ord (the uncommitted dir is invisible, so
+        ``max+1`` is stable), overwrites the partial delta, and
+        appends duplicate tombstone rows that every reader collapses
+        with ``max(kill_ord) per doc_id`` — counts stay exact.
+        ``_fail_before_commit`` injects a crash in that window (tests).
+        """
         base = Path(index_dir)
         if not (base / "stats").exists():
             res = self.build(docs, index_dir)
             return {"mode": "initial_build", **res}
+        # the stored mapping is authoritative (a PUT cannot change it)
+        cfg = self._resolved_cfg(index_dir)
+        if cfg != self.cfg:
+            return IndexBuilder(self.spark, cfg).upsert(docs, index_dir)
         docs = docs.persist()
         try:
             live = live_docs(self.spark, index_dir).select("doc_id", "text_md5")
-            patch = docs.select("doc_id", F.md5("text").alias("new_md5"))
+            patch = docs.select("doc_id", self._md5_col().alias("new_md5"))
             joined = patch.join(live, "doc_id", "left")
+            # distinct: a patch that repeats a doc_id (replayed rows)
+            # must not produce duplicate tombstones or delta rows
             delta_ids = joined.filter(
                 F.col("text_md5").isNull() | (F.col("text_md5") != F.col("new_md5"))
             ).select(
                 "doc_id", F.col("text_md5").isNotNull().alias("is_update")
-            ).persist()
+            ).distinct().persist()
             n_new = delta_ids.filter(~F.col("is_update")).count()
             n_changed = delta_ids.filter(F.col("is_update")).count()
             if n_new + n_changed == 0:
@@ -458,18 +662,25 @@ class IndexBuilder:
                 delta_ids.select("doc_id"), "doc_id", "left_semi"
             )
             delta_dir = str(base / "deltas" / f"delta={new_ord}")
-            res = IndexBuilder(self.spark, self.cfg).build(delta_docs, delta_dir)
-            tombs = (
-                delta_ids.filter(F.col("is_update"))
-                .select(
-                    F.col("doc_id").cast("long"),
-                    F.lit(new_ord).cast("int").alias("kill_ord"),
-                )
-            )
+            # 1. tombstones (inert until the delta commits)
             if n_changed:
+                tombs = (
+                    delta_ids.filter(F.col("is_update"))
+                    .select(
+                        F.col("doc_id").cast("long"),
+                        F.lit(new_ord).cast("int").alias("kill_ord"),
+                    )
+                )
                 tombs.coalesce(1).write.mode("append").parquet(
                     str(base / "tombstones")
                 )
+            # 2. self-contained delta index (a replay overwrites a
+            #    crashed partial build: build() rmtree's the dir)
+            res = IndexBuilder(self.spark, self.cfg).build(delta_docs, delta_dir)
+            if getattr(self, "_fail_before_commit", False):
+                raise RuntimeError("injected failure before delta commit")
+            # 3. commit: the marker makes delta + tombstones visible
+            (Path(delta_dir) / COMMIT_MARKER).touch()
             delta_ids.unpersist()
             return {
                 "mode": "delta",
@@ -492,9 +703,14 @@ class IndexBuilder:
         (term, doc, tf, dl) rows are recovered by decoding the stored
         segments (one distributed decode pass), then re-encoded by the
         normal build stages. Run periodically so the tombstone set the
-        query engine broadcasts stays small."""
+        query engine broadcasts stays small. Inherits the stored
+        mapping (positional sidecar, stored source, field set) from
+        the input index — see :meth:`_resolved_cfg`."""
         from xml_to_es_spark.operators.postings import decode_positions, varbyte_decode
 
+        cfg = self._resolved_cfg(index_dir)
+        if cfg != self.cfg:
+            return IndexBuilder(self.spark, cfg).compact(index_dir, out_dir)
         spark = self.spark
         dirs = index_dirs(index_dir)
         kills = load_kills(spark, index_dir)
@@ -581,18 +797,21 @@ class IndexBuilder:
             F.expr("bit_xor(xxhash64(cast(doc_id as string), text_md5))").alias("h"),
         ).first()
         snapshot = f"compact-{snap_row['n']}-{snap_row['h']}"
-        stats = (
-            dd.agg(
-                F.count("*").alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-                F.sum("doc_len").alias("total_tokens"),
-                F.min("doc_id").alias("min_doc"),
-                F.max("doc_id").alias("max_doc"),
-            )
-            .withColumn("input_snapshot", F.lit(snapshot))
-            .withColumn("block_size", F.lit(self.cfg.block_size))
-            .withColumn("n_groups", F.lit(self.cfg.n_groups))
-        )
+        per_field = []
+        for f in self.cfg.indexed_fields if self.cfg.fielded else []:
+            per_field += [
+                F.avg(f"doc_len__{f}").alias(f"avgdl__{f}"),
+                F.sum(f"doc_len__{f}").alias(f"total_tokens__{f}"),
+            ]
+        stats = dd.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            *per_field,
+        ).withColumn("input_snapshot", F.lit(snapshot))
+        stats = self._stats_config_cols(stats)
         stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="tokens", group=-1, snapshot=snapshot)
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
@@ -608,41 +827,87 @@ class IndexBuilder:
             "out_dir": str(out),
         }
 
+    def _stats_config_cols(self, df: DataFrame) -> DataFrame:
+        """Stamp the index MAPPING fingerprint into stats: analyzer
+        pin + physical layout + field set. The ES putMapping
+        "validate declared type" behaviour (ElasticIndexer.js:192-196)
+        becomes: upsert/compact derive their config from these columns
+        and refuse an explicitly-conflicting one
+        (:func:`config_from_stats`, :meth:`_check_mapping`)."""
+        from xml_to_es_spark.config import TOKEN_PATTERN
+
+        return (
+            df.withColumn("block_size", F.lit(self.cfg.block_size))
+            .withColumn("n_groups", F.lit(self.cfg.n_groups))
+            .withColumn("store_positions", F.lit(self.cfg.store_positions))
+            .withColumn("store_source", F.lit(self.cfg.store_source))
+            .withColumn(
+                "indexed_fields", F.lit(",".join(self.cfg.indexed_fields))
+            )
+            .withColumn("token_pattern", F.lit(TOKEN_PATTERN))
+        )
+
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
         # doc_len from the already-written tokens table (no second
         # tokenize pass); left join keeps zero-token docs at length 0.
         # text_md5 (upsert change-detection, ES PUT-by-id semantics,
         # ElasticIndexer.js:68-97) comes from the docs_meta checkpoint
         # when present — fresh builds never scan the text column here
-        dl = (
-            self.spark.read.parquet(str(out / "tokens"))
-            .groupBy("doc_id")
-            .agg(F.first("dl").alias("doc_len"))
-        )
+        tok = self.spark.read.parquet(str(out / "tokens"))
+        fields = self.cfg.indexed_fields
+        if self.cfg.fielded:
+            # per-field lengths (dl is constant within (doc, field))
+            dl = tok.groupBy("doc_id").agg(
+                *[
+                    F.max(F.when(F.col("field") == f, F.col("dl"))).alias(
+                        f"doc_len__{f}"
+                    )
+                    for f in fields
+                ]
+            )
+            fill = {f"doc_len__{f}": 0 for f in fields}
+            len_cols = [f"doc_len__{f}" for f in fields]
+        else:
+            dl = tok.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+            fill = {"doc_len": 0}
+            len_cols = []
         if (out / "docs_meta").exists():
             base = self.spark.read.parquet(str(out / "docs_meta")).drop("text_len")
         else:
             base = docs.select(
                 "doc_id",
-                F.md5("text").alias("text_md5"),
-                *(["text"] if self.cfg.store_source else []),
+                self._md5_col().alias("text_md5"),
+                *(
+                    [c for c in dict.fromkeys(("text", *fields)) if c in docs.columns]
+                    if self.cfg.store_source
+                    else []
+                ),
                 *(["url"] if "url" in docs.columns else []),
             )
-        d = base.join(dl, "doc_id", "left").fillna({"doc_len": 0})
+        d = base.join(dl, "doc_id", "left").fillna(fill)
+        if self.cfg.fielded:
+            # doc_len keeps the DEFAULT field's length so single-field
+            # consumers (merged stats over deltas) stay uniform
+            d = d.withColumn(
+                "doc_len", F.col(f"doc_len__{self.cfg.default_field}")
+            )
         d.write.mode("overwrite").parquet(str(out / "docs"))
         dd = self.spark.read.parquet(str(out / "docs"))
-        stats = (
-            dd.select(
-                F.count("*").alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-                F.sum("doc_len").alias("total_tokens"),
-                F.min("doc_id").alias("min_doc"),
-                F.max("doc_id").alias("max_doc"),
-            )
-            .withColumn("input_snapshot", F.lit(snapshot))
-            .withColumn("block_size", F.lit(self.cfg.block_size))
-            .withColumn("n_groups", F.lit(self.cfg.n_groups))
-        )
+        per_field = []
+        for f in fields if self.cfg.fielded else []:
+            per_field += [
+                F.avg(f"doc_len__{f}").alias(f"avgdl__{f}"),
+                F.sum(f"doc_len__{f}").alias(f"total_tokens__{f}"),
+            ]
+        stats = dd.select(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            *per_field,
+        ).withColumn("input_snapshot", F.lit(snapshot))
+        stats = self._stats_config_cols(stats)
         stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
 

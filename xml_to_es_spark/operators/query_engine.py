@@ -58,11 +58,13 @@ def _dead_mask(doc_ids: np.ndarray, dead: np.ndarray | None) -> np.ndarray | Non
     return dead[pos] == doc_ids
 
 
-def _score_segments(k1: float, b: float, avgdl: float, dead_by_ord=None):
+def _score_segments(k1: float, b: float, dead_by_ord=None):
     """mapInPandas kernel: postings segments × matched query terms →
     per-(query, doc) BM25 contributions. Fully numpy inside the Arrow
     batch. ``dead_by_ord[o]`` (sorted array) drops tombstoned docs —
-    versions stored in dir ord o but superseded by a later delta."""
+    versions stored in dir ord o but superseded by a later delta.
+    avgdl rides per-row on the broadcast query-term table (it is
+    per-FIELD on fielded indexes; constant on single-field ones)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,6 +88,7 @@ def _score_segments(k1: float, b: float, avgdl: float, dead_by_ord=None):
                         if n == 0:
                             continue
                 w = float(pdf["idf"].iat[i])
+                avgdl = float(pdf["avgdl"].iat[i])
                 contrib = w * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
@@ -148,7 +151,13 @@ class QueryEngine:
     at decode time — so rankings and scores are bit-equal to a fresh
     full rebuild over the updated corpus (tests/test_upsert.py)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, cfg: BM25Config | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cfg: BM25Config | None = None,
+        max_tombstones: int | None = 5_000_000,
+    ):
         from xml_to_es_spark.operators.index_build import index_dirs, load_kills
 
         self.spark = spark
@@ -162,12 +171,39 @@ class QueryEngine:
         d = self._dir_stats[0]
         self.block_size = int(d.get("block_size") or 128)
         self.n_groups = int(d.get("n_groups") or 0)
+        # fielded indexes store {field}:{token} term keys and per-field
+        # avgdl (stats columns avgdl__<field>); the base dir's mapping
+        # is authoritative (deltas inherit it at build time)
+        fields_csv = d.get("indexed_fields")
+        self.fields: tuple[str, ...] = (
+            tuple(fields_csv.split(",")) if fields_csv else ("text",)
+        )
+        self.fielded = self.fields != ("text",)
+        self.default_field = "text" if "text" in self.fields else self.fields[0]
         if len(self.dirs) == 1:
             self.kills: dict[int, int] = {}
             self.n_docs = int(d["n_docs"])
             self.avgdl = float(d["avgdl"])
-            self.min_doc = int(d.get("min_doc") or 0)
-            self.max_doc = int(d.get("max_doc") or 0)
+            if d.get("min_doc") is None or d.get("max_doc") is None:
+                # legacy stats without the id-range columns: recover it
+                # from the docs table (a narrow min/max agg) rather than
+                # silently defaulting to [0, 1) — which would make the
+                # ranged paths (topk_wand n_ranges>1, phrase_topk)
+                # return truncated results
+                row = (
+                    spark.read.parquet(f"{index_dir}/docs")
+                    .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                    .first()
+                )
+                self.min_doc = int(row["lo"])
+                self.max_doc = int(row["hi"])
+            else:
+                self.min_doc = int(d["min_doc"])
+                self.max_doc = int(d["max_doc"])
+            if self.fielded:
+                self._avgdl_by_field = {
+                    f: float(d[f"avgdl__{f}"]) for f in self.fields
+                }
         else:
             # merged corpus-wide stats over the LIVE doc set: exact,
             # not per-batch (avg over int64 doc_len sums exactly, so
@@ -175,16 +211,37 @@ class QueryEngine:
             self.kills = load_kills(spark, index_dir)
             from xml_to_es_spark.operators.index_build import live_docs
 
+            per_field = (
+                [F.avg(f"doc_len__{f}").alias(f"a__{f}") for f in self.fields]
+                if self.fielded
+                else []
+            )
             st = live_docs(spark, index_dir).agg(
                 F.count("*").alias("n"),
                 F.avg("doc_len").alias("avgdl"),
                 F.min("doc_id").alias("lo"),
                 F.max("doc_id").alias("hi"),
+                *per_field,
             ).first()
             self.n_docs = int(st["n"])
             self.avgdl = float(st["avgdl"])
             self.min_doc = int(st["lo"])
             self.max_doc = int(st["hi"])
+            if self.fielded:
+                self._avgdl_by_field = {
+                    f: float(st[f"a__{f}"]) for f in self.fields
+                }
+        if not self.fielded:
+            self._avgdl_by_field = {self.default_field: self.avgdl}
+        if max_tombstones is not None and len(
+            load_kills(spark, index_dir) if len(self.dirs) > 1 else {}
+        ) > max_tombstones:
+            raise ValueError(
+                f"tombstone set exceeds max_tombstones={max_tombstones} — the "
+                "engine broadcasts it to every task; run IndexBuilder.compact() "
+                "to fold deltas+tombstones into a fresh index, or pass "
+                "max_tombstones=None to override"
+            )
         # term → meta cache: the terms dictionary is immutable for
         # this engine instance (an instance snapshots dirs/tombstones
         # at construction — build a new engine after an upsert), so
@@ -289,6 +346,33 @@ class QueryEngine:
     def term_groups(self, terms: list[str]) -> dict[str, int]:
         return {t: g for t, (df, g) in self.term_stats(terms).items()}
 
+    # -- fields --------------------------------------------------------------
+
+    def _resolve_field(self, field: str | None) -> str | None:
+        """Validate + default a query's target field. Returns None on
+        single-field indexes (bare term keys)."""
+        if not self.fielded:
+            if field not in (None, "text"):
+                raise ValueError(
+                    f"field {field!r} requested but this index is single-field"
+                    " (built without IndexConfig(indexed_fields=...))"
+                )
+            return None
+        f = field or self.default_field
+        if f not in self.fields:
+            raise ValueError(
+                f"field {f!r} is not indexed; indexed_fields={self.fields}"
+            )
+        return f
+
+    def _term_of(self, token: str, field: str | None) -> str:
+        """Query token → stored term key ({field}:{token} on fielded
+        indexes, bare otherwise). ``field`` must be pre-resolved."""
+        return f"{field}:{token}" if field is not None else token
+
+    def _avgdl_of(self, field: str | None) -> float:
+        return self._avgdl_by_field[field] if field is not None else self.avgdl
+
     def _pruned_postings(self, meta: dict[str, dict]) -> DataFrame:
         """Union of per-dir postings scans, each pruned to the query
         terms' partition groups and term ranges, tagged with the dir
@@ -315,24 +399,35 @@ class QueryEngine:
     # -- query -------------------------------------------------------------
 
     def topk(
-        self, queries: list[tuple[int, str]], k: int = 10, fuzziness: int = 0
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        fuzziness: int = 0,
+        field: str | None = None,
+        fields: list[str] | None = None,
+        from_: int = 0,
     ) -> DataFrame:
         """Batch top-k. ``queries`` = [(query_id, text)].
 
         Returns DataFrame(query_id, rank, doc_id, score) with the
         pinned deterministic summation order (rank-identical and
         score-bit-equal to pyref). ``fuzziness``: ES fuzzy match —
-        dictionary expansion, each variant scored with its own idf."""
-        matched = self._matched_segments(queries, fuzziness)
+        dictionary expansion, each variant scored with its own idf.
+        ``field``: score ONE analyzed field of a fielded index (ES
+        ``match: {<field>: ...}``); ``fields``: several at once, summed
+        (multi_match most_fields). ``from_``: ES pagination — rows
+        from_+1 .. from_+k of the full ranking, global ranks kept."""
+        matched = self._matched_segments(queries, fuzziness, field, fields)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
-            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl, self._dead_by_ord),
+            _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
-        return contribs.groupBy("query_id").applyInPandas(
-            _topk_reduce(k), schema=TOPK_SCHEMA
+        out = contribs.groupBy("query_id").applyInPandas(
+            _topk_reduce(from_ + k), schema=TOPK_SCHEMA
         )
+        return out.filter(F.col("rank") > from_) if from_ else out
 
     def topk_wand(
         self,
@@ -340,6 +435,9 @@ class QueryEngine:
         k: int = 10,
         n_ranges: int | None = None,
         fuzziness: int = 0,
+        field: str | None = None,
+        fields: list[str] | None = None,
+        from_: int = 0,
     ) -> DataFrame:
         """Block-max WAND path: doc-at-a-time evaluation skipping
         blocks whose upper bound cannot beat the running threshold —
@@ -358,27 +456,31 @@ class QueryEngine:
         lists — no re-summation, bit-equal scores.
 
         ``fuzziness``: ES fuzzy match via dictionary expansion (each
-        variant is just another WAND cursor with its own idf)."""
-        matched = self._matched_segments(queries, fuzziness)
+        variant is just another WAND cursor with its own idf).
+        ``field``/``fields``: see :meth:`topk` — every (field, token)
+        is an independent cursor with its field's idf and avgdl."""
+        matched = self._matched_segments(queries, fuzziness, field, fields)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        k_local = from_ + k  # pagination: page p needs the top from_+k
         if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
             # per-(query, dir, range) local top-k, global merge: a
             # doc's live contributions all sit in ONE (dir, range)
             # group, so the merge needs no re-summation
-            partials = self._wand_partials(matched, k, n_ranges or 1)
+            partials = self._wand_partials(matched, k_local, n_ranges or 1)
             from pyspark.sql import Window as W
 
             w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
             return (
                 partials.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+                .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
                 .select("query_id", "rank", "doc_id", "score")
             )
-        run = self._wand_group_kernel(k)
-        return matched.groupBy("query_id", "ord").applyInPandas(
+        run = self._wand_group_kernel(k_local)
+        out = matched.groupBy("query_id", "ord").applyInPandas(
             run, schema=TOPK_SCHEMA
         )
+        return out.filter(F.col("rank") > from_) if from_ else out
 
     def _wand_group_kernel(self, k: int, ranged: bool = False):
         """applyInPandas kernel: one (query, dir[, range]) group →
@@ -394,7 +496,13 @@ class QueryEngine:
             entries: dict[str, dict] = {}
             for r in pdf.itertuples(index=False):
                 e = entries.setdefault(
-                    r.term, {"term": r.term, "idf": float(r.idf), "segments": []}
+                    r.term,
+                    {
+                        "term": r.term,
+                        "idf": float(r.idf),
+                        "avgdl": float(r.avgdl),
+                        "segments": [],
+                    },
                 )
                 e["segments"].append(
                     {
@@ -467,6 +575,58 @@ class QueryEngine:
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
 
+    def multi_match(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        fields: list[str] | None = None,
+        match_type: str = "best_fields",
+        n_ranges: int | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``multi_match`` over a fielded index (the reference's
+        mapping declares two analyzed fields — body and title,
+        examples/mapping.json:11-12).
+
+        ``best_fields`` (ES default, dis_max tie_breaker=0): a doc
+        scores the MAX of its per-field BM25 scores. Exact at any
+        scale: if a doc is in the global top-k with best field f, then
+        fewer than k docs have a higher f-score, so the doc is in
+        field f's own top-k — the global answer is contained in the
+        union of per-field top-k lists, and the merge is one
+        WindowGroupLimit over |fields|·k rows per query.
+
+        ``most_fields``: the SUM of per-field scores — each
+        (field, token) is an independent scoring term with its own
+        idf/avgdl, so one WAND pass over the expanded term set
+        computes it exactly (no second aggregation)."""
+        use = list(fields or self.fields)
+        for f in use:
+            self._resolve_field(f)
+        if match_type == "most_fields":
+            return self.topk_wand(
+                queries, k=k, n_ranges=n_ranges, fields=use, from_=from_
+            )
+        if match_type != "best_fields":
+            raise ValueError(f"unsupported multi_match type {match_type!r}")
+        from pyspark.sql import Window as W
+
+        k_local = from_ + k
+        parts = [
+            self.topk_wand(queries, k=k_local, n_ranges=n_ranges, field=f)
+            for f in use
+        ]
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        best = allp.groupBy("query_id", "doc_id").agg(F.max("score").alias("score"))
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            best.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 
     def phrase_topk(
@@ -474,6 +634,8 @@ class QueryEngine:
         queries: list[tuple[int, str]],
         k: int = 10,
         n_ranges: int | None = None,
+        field: str | None = None,
+        from_: int = 0,
     ) -> DataFrame:
         """ES ``match_phrase`` over the compressed POSITIONAL postings
         (index built with ``IndexConfig(store_positions=True)``): a hit
@@ -482,31 +644,49 @@ class QueryEngine:
         phrase's distinct terms with corpus-wide stats. Partitioned
         like the WAND path — per (query, dir, range) local evaluation
         over range-pruned segments, global WindowGroupLimit merge
-        (exact: a live doc's postings sit in one (dir, range))."""
+        (exact: a live doc's postings sit in one (dir, range)).
+        ``field`` scopes the phrase to one analyzed field of a fielded
+        index (positions are within-field offsets)."""
         from pyspark.sql import Window as W
 
-        seqs = {qid: tokenize(text) for qid, text in queries}
-        matched = self._matched_segments(queries)
+        fld = self._resolve_field(field)
+        seqs = {
+            qid: [self._term_of(t, fld) for t in tokenize(text)]
+            for qid, text in queries
+        }
+        matched = self._matched_segments(queries, field=field)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
-        run = self._phrase_group_kernel(k, seqs)
+        run = self._phrase_group_kernel(k_local, seqs)
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partials.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+            .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
             .select("query_id", "rank", "doc_id", "score")
         )
 
     def _phrase_group_kernel(self, k: int, seqs: dict[int, list[str]]):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
-        doc sets, verify positional adjacency in phrase order, score
-        survivors (term-lex pinned sum), local top-k."""
-        k1, b, avgdl = self.cfg.k1, self.cfg.b, self.avgdl
+        doc sets, verify positional adjacency, score survivors
+        (term-lex pinned sum), local top-k.
+
+        Adjacency is VECTORIZED across the candidate axis (no per-doc
+        Python loop): for phrase offset j, every (candidate, pos - j)
+        pair of term seq[j] becomes one packed int64 key; a phrase
+        occurrence is a key surviving the intersection over all j —
+        the classic shift-and-intersect positional join, batch-shaped
+        so a stopword-pair phrase ("of the") stays numpy-bound.
+        Scoring then gathers tf/dl per surviving doc per term and
+        accumulates field-aware BM25 in the pinned term-lex order —
+        the same float additions, in the same order, as the scalar
+        path, so scores stay bit-equal."""
+        k1, b = self.cfg.k1, self.cfg.b
         dead_by_ord = self._dead_by_ord
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -529,6 +709,7 @@ class QueryEngine:
             uniq = sorted(set(seq))
             by_term: dict[str, dict] = {}
             idf: dict[str, float] = {}
+            avg: dict[str, float] = {}
             for term, grp in pdf.groupby("term", sort=True):
                 grp = grp.sort_values("salt")
                 docs_l, tfs_l, dls_l, pls = [], [], [], []
@@ -547,6 +728,7 @@ class QueryEngine:
                     tfs_l.append(tf)
                     dls_l.append(dl)
                     idf[term] = float(r.idf)
+                    avg[term] = float(r.avgdl)
                 by_term[term] = {
                     "docs": np.concatenate(docs_l),  # salt order = doc order
                     "tfs": np.concatenate(tfs_l),
@@ -564,52 +746,65 @@ class QueryEngine:
             if dead is not None and dead.size and cand.size:
                 p = np.minimum(np.searchsorted(dead, cand), dead.size - 1)
                 cand = cand[dead[p] != cand]
-            hits: list[tuple[float, int]] = []
-            for doc in cand:
-                # positional adjacency in phrase order
-                cur = None
-                ok = True
-                for j, t in enumerate(seq):
-                    e = by_term[t]
-                    i = int(np.searchsorted(e["docs"], doc))
-                    plist = e["pos"][i]
-                    cur = plist if j == 0 else np.intersect1d(cur + 1, plist)
-                    if cur.size == 0:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                score = 0.0
-                for t in uniq:  # term-lex pinned summation order
-                    e = by_term[t]
-                    i = int(np.searchsorted(e["docs"], doc))
-                    tf = float(e["tfs"][i])
-                    dl = float(e["dls"][i])
-                    score += idf[t] * tf * (k1 + 1.0) / (
-                        tf + k1 * (1.0 - b + b * dl / avgdl)
-                    )
-                hits.append((score, int(doc)))
-            hits.sort(key=lambda t: (-t[0], t[1]))
-            hits = hits[:k]
+            if not cand.size:
+                return empty
+            # shift-and-intersect over packed (candidate_idx, start)
+            # keys; position lists are ascending per doc and owners
+            # ascend, so each key stream is sorted + unique
+            survivors: np.ndarray | None = None
+            for j, t in enumerate(seq):
+                e = by_term[t]
+                idxs = np.searchsorted(e["docs"], cand)
+                plists = [e["pos"][i] for i in idxs]
+                counts = np.array([p.size for p in plists], dtype=np.int64)
+                flat = (
+                    np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
+                ) - j
+                owner = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
+                valid = flat >= 0
+                keys = (owner[valid] << np.int64(33)) | (flat[valid] + 1)
+                survivors = (
+                    keys
+                    if j == 0
+                    else np.intersect1d(survivors, keys, assume_unique=True)
+                )
+                if survivors.size == 0:
+                    return empty
+            sdocs = cand[np.unique(survivors >> np.int64(33))]
+            # pinned term-lex scoring over surviving docs, vectorized
+            score = np.zeros(sdocs.size, dtype=np.float64)
+            for t in uniq:
+                e = by_term[t]
+                i = np.searchsorted(e["docs"], sdocs)
+                tf = e["tfs"][i].astype(np.float64)
+                dl = e["dls"][i].astype(np.float64)
+                score += idf[t] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avg[t])
+                )
+            order = np.lexsort((sdocs, -score))[:k]
             return pd.DataFrame(
                 {
-                    "query_id": np.full(len(hits), qid, dtype=np.int64),
-                    "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
-                    "doc_id": np.array([d for _, d in hits], dtype=np.int64),
-                    "score": np.array([s for s, _ in hits], dtype=np.float64),
+                    "query_id": np.full(len(order), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                    "doc_id": sdocs[order],
+                    "score": score[order],
                     "range_id": np.full(
-                        len(hits), int(pdf["range_id"].iat[0]), dtype=np.int32
+                        len(order), int(pdf["range_id"].iat[0]), dtype=np.int32
                     ),
                 }
             )
 
         return run
 
-    def fuzzy_variants(self, tokens: list[str], fuzziness: int) -> dict[str, list[str]]:
+    def fuzzy_variants(
+        self, tokens: list[str], fuzziness: int, field: str | None = None
+    ) -> dict[str, list[str]]:
         """ES fuzzy expansion against the terms DICTIONARY: each query
         token → every indexed term within levenshtein ≤ fuzziness.
-        One term-table scan per token (the dictionary is tiny next to
-        the postings; per-dir scans unioned)."""
+        One job over the unioned per-dir term tables (the dictionary
+        is tiny next to the postings). On fielded indexes the scan is
+        prefix-pruned to ``field`` and the distance is computed on the
+        bare token; returned variants are STORED term keys."""
         scans = [
             self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
         ]
@@ -617,13 +812,21 @@ class QueryEngine:
         for sc in scans[1:]:
             vocab = vocab.unionByName(sc)
         vocab = vocab.distinct()
+        if field is not None:
+            prefix = f"{field}:"
+            vocab = vocab.filter(F.col("term").startswith(prefix)).withColumn(
+                "bare", F.expr(f"substring(term, {len(prefix) + 1})")
+            )
+        else:
+            vocab = vocab.withColumn("bare", F.col("term"))
         # ONE job: vocabulary × query tokens (tokens exploded from a
         # literal array), levenshtein filtered JVM-side
         pairs = (
             vocab.select(
-                "term", F.explode(F.array(*[F.lit(t) for t in tokens])).alias("qt")
+                "term", "bare",
+                F.explode(F.array(*[F.lit(t) for t in tokens])).alias("qt"),
             )
-            .filter(F.levenshtein(F.col("term"), F.col("qt")) <= fuzziness)
+            .filter(F.levenshtein(F.col("bare"), F.col("qt")) <= fuzziness)
             .collect()
         )
         out: dict[str, list[str]] = {t: [] for t in tokens}
@@ -632,36 +835,51 @@ class QueryEngine:
         return {t: sorted(v) for t, v in out.items()}
 
     def _matched_segments(
-        self, queries: list[tuple[int, str]], fuzziness: int = 0
+        self,
+        queries: list[tuple[int, str]],
+        fuzziness: int = 0,
+        field: str | None = None,
+        fields: list[str] | None = None,
     ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
-        (query_id, term, idf) table. idf uses the LIVE df and N."""
-        qterms = []
-        if fuzziness:
-            toks = sorted({t for _, text in queries for t in tokenize(text)})
-            variants = self.fuzzy_variants(toks, fuzziness)
-            for qid, text in queries:
-                expanded = sorted(
-                    {v for t in set(tokenize(text)) for v in variants[t]}
-                )
-                qterms += [(qid, v) for v in expanded]
-        else:
-            for qid, text in queries:
-                for t in sorted(set(tokenize(text))):
-                    qterms.append((qid, t))
+        (query_id, term, idf, avgdl) table. idf uses the LIVE df and
+        N; avgdl is the term's FIELD's (fielded indexes score each
+        field with its own length statistics, the ES per-field BM25).
+
+        ``fields`` expands every query token across several fields at
+        once — each (field, token) is an independent scoring term, so
+        the ordinary sum machinery downstream computes exactly ES
+        ``multi_match type=most_fields``."""
+        flist = fields if fields is not None else [field]
+        qterms: list[tuple[int, str, float]] = []  # (qid, stored term, avgdl)
+        for fld in flist:
+            fld = self._resolve_field(fld)
+            avg = self._avgdl_of(fld)
+            if fuzziness:
+                toks = sorted({t for _, text in queries for t in tokenize(text)})
+                variants = self.fuzzy_variants(toks, fuzziness, field=fld)
+                for qid, text in queries:
+                    expanded = sorted(
+                        {v for t in set(tokenize(text)) for v in variants[t]}
+                    )
+                    qterms += [(qid, v, avg) for v in expanded]
+            else:
+                for qid, text in queries:
+                    for t in sorted(set(tokenize(text))):
+                        qterms.append((qid, self._term_of(t, fld), avg))
         if not qterms:
             return None
-        meta = self._term_meta(sorted({t for _, t in qterms}))
+        meta = self._term_meta(sorted({t for _, t, _ in qterms}))
         present = [
-            (qid, t, _idf(self.n_docs, meta[t]["df"]))
-            for qid, t in qterms
+            (qid, t, _idf(self.n_docs, meta[t]["df"]), avg)
+            for qid, t, avg in qterms
             if t in meta and meta[t]["df"] > 0
         ]
         if not present:
             return None
         qdf = self.spark.createDataFrame(
-            present, schema="query_id long, term string, idf double"
+            present, schema="query_id long, term string, idf double, avgdl double"
         )
         return self._pruned_postings(meta).join(F.broadcast(qdf), "term")
 
@@ -702,6 +920,10 @@ class QueryEngine:
         snippet_width: int = 80,
         phrase: bool = False,
         fuzziness: int = 0,
+        field: str | None = None,
+        fields: list[str] | None = None,
+        match_type: str = "best_fields",
+        from_: int = 0,
     ) -> DataFrame:
         """ES ``match``-query shape: BM25 top-k hits JOINED to their
         stored documents — (query_id, rank, doc_id, score, …source
@@ -711,11 +933,24 @@ class QueryEngine:
         store_source) adds a ``snippet`` column — the window around
         the earliest query-term occurrence, per query. ``phrase=True``
         routes through the positional codec (match_phrase);
-        ``fuzziness`` expands terms against the dictionary."""
+        ``fuzziness`` expands terms against the dictionary. ``field``
+        scopes to one analyzed field; ``fields`` routes through
+        :meth:`multi_match` (``match_type`` best_fields/most_fields).
+        ``from_`` pages (ES from/size)."""
         if phrase:
-            hits = self.phrase_topk(queries, k=k, n_ranges=n_ranges)
+            hits = self.phrase_topk(
+                queries, k=k, n_ranges=n_ranges, field=field, from_=from_
+            )
+        elif fields:
+            hits = self.multi_match(
+                queries, k=k, fields=fields, match_type=match_type,
+                n_ranges=n_ranges, from_=from_,
+            )
         else:
-            hits = self.topk_wand(queries, k=k, n_ranges=n_ranges, fuzziness=fuzziness)
+            hits = self.topk_wand(
+                queries, k=k, n_ranges=n_ranges, fuzziness=fuzziness,
+                field=field, from_=from_,
+            )
         rows = hits.collect()
         if not rows:
             return hits
@@ -755,6 +990,10 @@ class QueryEngine:
         queries: list[tuple[int, str]],
         k: int = 10,
         min_match: int | str | None = None,
+        field: str | None = None,
+        fields: list[str] | None = None,
+        from_: int = 0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """Scale path: JVM partial-agg sum of contributions +
         TakeOrderedAndProject per query (window row_number). Summation
@@ -766,14 +1005,22 @@ class QueryEngine:
         ``min_match``: ES minimum_should_match — a doc must contain at
         least this many of the query's distinct tokens; ``"all"`` is
         the ES ``operator: and`` semantics (a query token absent from
-        the whole corpus then matches nothing, as in ES)."""
+        the whole corpus then matches nothing, as in ES).
+
+        ``from_``: ES pagination (rows from_+1 .. from_+k, global
+        ranks). ``search_after``: ES cursor pagination — per query_id
+        the (score, doc_id) of the LAST hit already seen (as returned
+        by this method); only strictly-after hits in the (score desc,
+        doc_id asc) order are ranked, so deep paging never materializes
+        the rows already served. Cursor comparison is on this path's
+        own scores — feed back what it returned."""
         from pyspark.sql import Window as W
 
-        matched = self._matched_segments(queries)
+        matched = self._matched_segments(queries, field=field, fields=fields)
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
-            _score_segments(self.cfg.k1, self.cfg.b, self.avgdl, self._dead_by_ord),
+            _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
         scored = contribs.groupBy("query_id", "doc_id").agg(
@@ -791,10 +1038,20 @@ class QueryEngine:
             scored = scored.join(F.broadcast(need_df), "query_id").filter(
                 F.col("n_matched") >= F.col("need")
             )
+        if search_after:
+            cur = self.spark.createDataFrame(
+                [(int(q), float(s), int(d)) for q, (s, d) in search_after.items()],
+                schema="query_id long, c_score double, c_doc long",
+            )
+            scored = scored.join(F.broadcast(cur), "query_id", "left").filter(
+                F.col("c_score").isNull()
+                | (F.col("score") < F.col("c_score"))
+                | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
+            ).drop("c_score", "c_doc")
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
             .select("query_id", "rank", "doc_id", "score")
         )
 

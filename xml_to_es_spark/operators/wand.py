@@ -168,7 +168,12 @@ def wand_topk(
     advanced past without scoring (block bounds stay valid upper
     bounds, so pruning is unaffected)."""
     cursors = [
-        TermCursor(e["term"], e["idf"], e["segments"], k1, b, avgdl, block_size)
+        TermCursor(
+            e["term"], e["idf"], e["segments"], k1, b,
+            # per-entry avgdl (a fielded term scores with its FIELD's
+            # length stats); the argument is the single-field fallback
+            e.get("avgdl", avgdl), block_size,
+        )
         for e in sorted(term_entries, key=lambda e: e["term"])
         if e["segments"]
     ]

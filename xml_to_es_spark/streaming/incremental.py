@@ -38,7 +38,13 @@ def incremental_index_query(
 ):
     """readStream(pages) → foreachBatch(upsert into one logical index).
 
-    Returns the writeStream builder (caller starts/stops it)."""
+    Returns the writeStream builder (caller starts/stops it).
+
+    ``cfg`` shapes the FIRST batch's base build only; every later
+    micro-batch inherits the stored mapping (fields, positional
+    sidecar, stored source) from the index itself via
+    :meth:`IndexBuilder._resolved_cfg` — so streaming into an index
+    built elsewhere can never silently drop its sidecar or source."""
     cfg = cfg or IndexConfig(n_groups=1)
 
     def handle(batch_df: DataFrame, batch_id: int):
