@@ -279,6 +279,37 @@ def _q_bm25_page2(spark, sf):
     )
 
 
+# ES bool query set over the documents vocabulary: every occurrence
+# type exercised — conjunctive must, scoring should beside a
+# non-scoring filter, filter-only (score 0), pure disjunctive should,
+# and a must token absent from the corpus (matches nothing, ES)
+BOOL_QUERIES = [
+    (1, {"must": "hash join", "must_not": "window"}),
+    (2, {"must": "sort", "should": "merge dup", "filter": "key"}),
+    (3, {"filter": "spark batch"}),
+    (4, {"should": "fast slow"}),
+    (5, {"must": "agg shuffle"}),
+]
+
+
+def _q_bool(spark, sf):
+    """ES bool (must/should/must_not/filter) over the compressed-
+    postings index: one term+group-pruned scan covers all roles, one
+    (query_id, doc_id) hash-agg applies the occurrence-type
+    constraints; score = Σ BM25 of must+should clauses (filter
+    context contributes 0, the ES behaviour)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.bool_topk(BOOL_QUERIES, k=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # fielded index: title = the document's first 4 tokens (deterministic,
 # SQL-expressible twin: list_slice of the token array) — the two-field
 # ES mapping shape of the reference (body + title, mapping.json:11-12)
@@ -660,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "bm25_page2_topk": _q_bm25_page2,
+        "bm25_bool_topk": _q_bool,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -796,6 +828,66 @@ tf AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked
 WHERE rank > {from_} AND rank <= {from_ + BM25_K}
+"""
+
+
+def _bool_sql(k: int) -> str:
+    """DuckDB twin of the ES bool query: same tf/stats/df CTEs and the
+    same float expression text as _bm25_sql, with a role column on the
+    query-term table — score sums only must/should roles, must/filter
+    satisfaction by distinct-term counts against the clause counts,
+    must_not by a max() exclusion flag, minimum_should_match = 1 only
+    when no must/filter clauses exist (the ES default)."""
+    import re
+
+    qvals, needs = [], []
+    for qid, clauses in BOOL_QUERIES:
+        counts = {"must": 0, "filter": 0, "should": 0}
+        for role in ("must", "should", "must_not", "filter"):
+            toks = sorted(set(re.findall("[a-z0-9]+", clauses.get(role, "").lower())))
+            if role in counts:
+                counts[role] = len(toks)
+            for t in toks:
+                qvals.append(f"({qid}, '{t}', '{role}')")
+        msm = 0 if (counts["must"] or counts["filter"]) else (
+            1 if counts["should"] else 0
+        )
+        needs.append(f"({qid}, {counts['must']}, {counts['filter']}, {msm})")
+    values = ", ".join(qvals)
+    need_values = ", ".join(needs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term, role) AS (VALUES {values}),
+need(query_id, n_must, n_filter, msm) AS (VALUES {need_values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CASE WHEN q.role IN ('must', 'should')
+             THEN ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                  * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+             ELSE 0.0 END) AS score_raw,
+         count(DISTINCT CASE WHEN q.role = 'must' THEN tf.term END) AS must_m,
+         count(DISTINCT CASE WHEN q.role = 'filter' THEN tf.term END) AS filter_m,
+         count(DISTINCT CASE WHEN q.role = 'should' THEN tf.term END) AS should_m,
+         max(CASE WHEN q.role = 'must_not' THEN 1 ELSE 0 END) AS excl
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM agg JOIN need USING (query_id)
+  WHERE must_m = n_must AND filter_m = n_filter AND excl = 0 AND should_m >= msm
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1186,6 +1278,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_fuzzy_topk": _bm25_sql(fuzziness=1, queries=BM25_FUZZY_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "bm25_page2_topk": _bm25_sql(from_=BM25_K),
+        "bm25_bool_topk": _bool_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
         "doc_id_assignment": """

@@ -1,0 +1,189 @@
+"""ES bool query (must / should / must_not / filter occurrence types)
+and the document-delete surface: DELETE by id via the append-only kill
+log, resurrection by a later PUT, physical drop at compact, DELETE
+/index, GET /index/_mapping."""
+
+import pandas as pd
+import pytest
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.index_build import IndexBuilder, load_kills
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+CFG = IndexConfig(n_groups=2, salt_threshold=40, n_salts=3, block_size=32)
+
+
+def _corpus(n=40):
+    rows = []
+    for i in range(n):
+        toks = ["alpha"]
+        if i % 2 == 0:
+            toks.append("even")
+        if i % 3 == 0:
+            toks.append("trip")
+        if i % 5 == 0:
+            toks.append("penta")
+        toks += [f"w{i}", "tail", "words"]
+        rows.append((i, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bool")
+    pdf = _corpus()
+    path = str(root / "idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), path)
+    return root, pdf, path
+
+
+def test_bool_must_is_conjunctive_match(spark, idx):
+    """must-only bool ≡ match with operator:and — same hit set, same
+    scores (both are the sum of the tokens' BM25 contributions)."""
+    root, pdf, path = idx
+    eng = QueryEngine(spark, path)
+    got = eng.bool_topk([(1, {"must": "even trip"})], k=40).toPandas()
+    want = eng.topk_distributed([(1, "even trip")], k=40, min_match="all").toPandas()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score) == pytest.approx(list(want.score), abs=1e-12)
+    assert set(got.doc_id) == {i for i in range(40) if i % 6 == 0}
+
+
+def test_bool_should_only_is_disjunctive_match(spark, idx):
+    root, pdf, path = idx
+    eng = QueryEngine(spark, path)
+    got = eng.bool_topk([(1, {"should": "even trip"})], k=40).toPandas()
+    want = eng.topk_distributed([(1, "even trip")], k=40).toPandas()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score) == pytest.approx(list(want.score), abs=1e-12)
+
+
+def test_bool_must_not_excludes_without_rescoring(spark, idx):
+    root, pdf, path = idx
+    eng = QueryEngine(spark, path)
+    base = eng.bool_topk([(1, {"must": "even"})], k=40).toPandas()
+    got = eng.bool_topk([(1, {"must": "even", "must_not": "trip"})], k=40).toPandas()
+    assert set(got.doc_id) == {i for i in range(40) if i % 2 == 0 and i % 3 != 0}
+    kept = base[base.doc_id.isin(got.doc_id)]
+    assert dict(zip(got.doc_id, got.score)) == pytest.approx(
+        dict(zip(kept.doc_id, kept.score))
+    )
+
+
+def test_bool_filter_constrains_without_scoring(spark, idx):
+    root, pdf, path = idx
+    eng = QueryEngine(spark, path)
+    # must even + filter trip: hit set = both present, score = even only
+    got = eng.bool_topk([(1, {"must": "even", "filter": "trip"})], k=40).toPandas()
+    assert set(got.doc_id) == {i for i in range(40) if i % 6 == 0}
+    only_even = eng.bool_topk([(1, {"must": "even"})], k=40).toPandas()
+    ref = dict(zip(only_even.doc_id, only_even.score))
+    for r in got.itertuples():
+        assert r.score == pytest.approx(ref[r.doc_id])
+    # filter-only bool: ES filter context — matches, score 0
+    fo = eng.bool_topk([(1, {"filter": "even trip"})], k=40).toPandas()
+    assert set(fo.doc_id) == {i for i in range(40) if i % 6 == 0}
+    assert set(fo.score) == {0.0}
+
+
+def test_bool_edge_semantics(spark, idx):
+    root, pdf, path = idx
+    eng = QueryEngine(spark, path)
+    # a must token absent from the corpus matches nothing (ES)
+    assert eng.bool_topk([(1, {"must": "alpha zzz_absent"})], k=5).count() == 0
+    # absent must_not token excludes nothing
+    got = eng.bool_topk([(1, {"must": "penta", "must_not": "zzz_absent"})], k=40)
+    assert got.count() == 8
+    # several queries batch independently
+    two = eng.bool_topk(
+        [(1, {"must": "even"}), (2, {"should": "penta", "must_not": "even"})],
+        k=40,
+    ).toPandas()
+    assert set(two[two.query_id == 2].doc_id) == {5, 15, 25, 35}
+    # same token in two roles is rejected
+    with pytest.raises(ValueError, match="occurrence type"):
+        eng.bool_topk([(1, {"must": "alpha", "must_not": "alpha"})], k=5)
+    with pytest.raises(ValueError, match="unknown bool clause"):
+        eng.bool_topk([(1, {"mustnt": "alpha"})], k=5)
+
+
+def test_delete_matches_rebuild_and_resurrects(spark, tmp_path):
+    """DELETE by id: rankings over the survivor set are bit-equal to a
+    fresh rebuild without the deleted docs (df/N/avgdl all corrected);
+    a later PUT of the same id resurrects it."""
+    pdf = _corpus(20)
+    path = str(tmp_path / "didx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), path)
+    res = IndexBuilder(spark).delete_docs([0, 6, 12, 99], path)
+    assert res["n_deleted"] == 3 and res["n_not_found"] == 1
+    assert set(load_kills(spark, path)) == {0, 6, 12}
+
+    eng = QueryEngine(spark, path)
+    assert eng.n_docs == 17
+    rebuild = str(tmp_path / "rb")
+    IndexBuilder(spark, CFG).build(
+        spark.createDataFrame(pdf[~pdf.doc_id.isin([0, 6, 12])]), rebuild
+    )
+    engr = QueryEngine(spark, rebuild)
+    qs = [(1, "even trip"), (2, "alpha"), (3, "penta tail")]
+    for q in (qs,):
+        a = eng.topk(q, k=20).toPandas()
+        b = engr.topk(q, k=20).toPandas()
+        assert list(a.doc_id) == list(b.doc_id)
+        assert list(a.score) == list(b.score)  # bit-equal
+
+    # resurrection: PUT doc 6 back with new content
+    patch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [6], "text": ["resurrected unique zeta"]})
+    )
+    up = IndexBuilder(spark).upsert(patch, path)
+    assert up["mode"] == "delta" and up["n_new"] == 1 and up["n_changed"] == 0
+    eng2 = QueryEngine(spark, path)
+    assert eng2.n_docs == 18
+    hit = eng2.topk([(1, "zeta")], k=5).toPandas()
+    assert list(hit.doc_id) == [6]
+
+    # fetch must not return the dead versions
+    assert QueryEngine(spark, path).fetch([0, 6, 12]).count() == 1
+
+
+def test_delete_then_compact_drops_physically(spark, tmp_path):
+    pdf = _corpus(15)
+    path = str(tmp_path / "didx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), path)
+    IndexBuilder(spark).delete_docs([1, 2], path)
+    out = str(tmp_path / "c")
+    res = IndexBuilder(spark).compact(path, out)
+    assert res["n_docs"] == 13
+    eng = QueryEngine(spark, out, max_tombstones=0)  # no kill state left
+    assert eng.n_docs == 13
+    assert eng.topk([(1, "w1 w2")], k=5).count() == 0
+    # deletes also combine with upsert tombstones in one kill log
+    IndexBuilder(spark).upsert(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [3], "text": ["patched w3"]})),
+        path,
+    )
+    IndexBuilder(spark).delete_docs([4], path)
+    eng2 = QueryEngine(spark, path)
+    assert eng2.n_docs == 12
+    assert eng2.topk([(1, "w4")], k=5).count() == 0
+    assert list(eng2.topk([(1, "patched")], k=5).toPandas().doc_id) == [3]
+
+
+def test_delete_index_and_get_mapping(spark, tmp_path):
+    pdf = _corpus(8)
+    path = str(tmp_path / "didx")
+    cfg = IndexConfig(n_groups=2, store_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), path)
+    b = IndexBuilder(spark)
+    m = b.get_mapping(path)
+    assert m["indexed_fields"] == ("text",)
+    assert m["store_positions"] is True and m["store_source"] is False
+    assert "token_pattern" in m
+    with pytest.raises(ValueError, match="not an index root"):
+        b.delete_index(str(tmp_path))
+    res = b.delete_index(path)
+    assert res["mode"] == "delete_index"
+    import os
+
+    assert not os.path.exists(path)

@@ -144,6 +144,26 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """ES DELETE surface: ``--ids`` removes documents by id (append-
+    only kill log, no segment rewrite); ``--drop-index`` removes the
+    whole index tree (the reference's deleteIndex,
+    ElasticIndexer.js:133)."""
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    spark = _spark(args)
+    b = IndexBuilder(spark)
+    if args.drop_index:
+        res = b.delete_index(args.index)
+    elif args.ids:
+        ids = [int(x) for x in args.ids.split(",")]
+        res = b.delete_docs(ids, args.index)
+    else:
+        raise SystemExit("delete: pass --ids or --drop-index")
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """LSM compaction: base + deltas + tombstones → one fresh index.
     The stored mapping (fields, positional sidecar, stored source) is
@@ -240,6 +260,13 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--fields", default="text",
                    help="initial build only — an existing index's mapping is inherited")
     u.set_defaults(fn=cmd_upsert)
+
+    dl = sub.add_parser("delete", help="delete docs by id, or the whole index")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", default=None, help="comma-separated doc ids")
+    dl.add_argument("--drop-index", action="store_true",
+                    help="remove the entire index tree (ES DELETE /index)")
+    dl.set_defaults(fn=cmd_delete)
 
     k = sub.add_parser("compact", help="merge base+deltas+tombstones into a fresh index"
                                        " (mapping inherited from the input index)")

@@ -103,28 +103,54 @@ def index_dirs(index_dir: str) -> list[tuple[int, str]]:
     return out
 
 
-def load_kills(spark: SparkSession, index_dir: str) -> dict[int, int]:
-    """doc_id → max kill_ord from the tombstone log. A posting for doc
-    x stored in dir ord o is live iff o ≥ kills.get(x, 0). Tombstones
-    exist only for UPDATED docs (a re-crawl of an already-indexed
-    url), so between compactions this set stays small relative to the
-    corpus; the query engine broadcasts it.
+def _kills_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Merged kill log as (doc_id, kill_ord) — max per doc across:
 
-    Tombstones whose kill_ord exceeds the highest COMMITTED dir ord
-    belong to a crashed upsert (written before its delta committed)
-    and are ignored — the old doc versions stay live."""
+    - ``tombstones`` (upsert supersessions), crash-filtered to
+      committed ords: a tombstone whose kill_ord exceeds the highest
+      COMMITTED dir ord belongs to a crashed upsert (written before
+      its delta's commit marker) and is ignored — the old versions
+      stay live;
+    - ``deletes`` (ES DELETE by id, :meth:`IndexBuilder.delete_docs`),
+      NOT ord-filtered: a delete is self-committing (its parquet
+      append is the whole operation). Its kill_ord is
+      max-committed-ord + 1 at delete time, which kills every stored
+      version; a LATER upsert that re-PUTs the id builds its delta at
+      that same ord (the delete created no dir), so the new version
+      satisfies ord ≥ kill_ord and the doc resurrects — exact ES
+      delete-then-index semantics.
+
+    Returns None when neither log exists."""
+    dirs = index_dirs(index_dir)
+    max_ord = max(o for o, _ in dirs)
+    parts = []
     t = Path(index_dir) / "tombstones"
-    if not t.exists():
+    if t.exists():
+        parts.append(
+            spark.read.parquet(str(t)).filter(F.col("kill_ord") <= max_ord)
+        )
+    d = Path(index_dir) / "deletes"
+    if d.exists():
+        parts.append(spark.read.parquet(str(d)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_id").agg(F.max("kill_ord").alias("kill_ord"))
+
+
+def load_kills(spark: SparkSession, index_dir: str) -> dict[int, int]:
+    """doc_id → max kill_ord from the merged kill log (tombstones +
+    deletes — see :func:`_kills_df`). A posting for doc x stored in
+    dir ord o is live iff o ≥ kills.get(x, 0). Kills exist only for
+    UPDATED or DELETED docs, so between compactions this set stays
+    small relative to the corpus; the query engine broadcasts it
+    (bounded by ``max_tombstones``)."""
+    kdf = _kills_df(spark, index_dir)
+    if kdf is None:
         return {}
-    max_ord = max(o for o, _ in index_dirs(index_dir))
-    rows = (
-        spark.read.parquet(str(t))
-        .filter(F.col("kill_ord") <= max_ord)
-        .groupBy("doc_id")
-        .agg(F.max("kill_ord").alias("kill_ord"))
-        .collect()
-    )
-    return {int(r["doc_id"]): int(r["kill_ord"]) for r in rows}
+    return {int(r["doc_id"]): int(r["kill_ord"]) for r in kdf.collect()}
 
 
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -151,15 +177,8 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     all_docs = parts[0]
     for part in parts[1:]:
         all_docs = all_docs.unionByName(part)
-    t = Path(index_dir) / "tombstones"
-    if t.exists():
-        max_ord = max(o for o, _ in dirs)
-        kills = (
-            spark.read.parquet(str(t))
-            .filter(F.col("kill_ord") <= max_ord)
-            .groupBy("doc_id")
-            .agg(F.max("kill_ord").alias("kill_ord"))
-        )
+    kills = _kills_df(spark, index_dir)
+    if kills is not None:
         all_docs = all_docs.join(F.broadcast(kills), "doc_id", "left").filter(
             F.col("kill_ord").isNull() | (F.col("ord") >= F.col("kill_ord"))
         ).drop("kill_ord")
@@ -692,6 +711,79 @@ class IndexBuilder:
             }
         finally:
             docs.unpersist()
+
+    # -- deletes / index lifecycle (ES DELETE doc, DELETE index) -------------
+
+    def delete_docs(self, doc_ids, index_dir: str) -> dict:
+        """ES ``DELETE /index/_doc/{id}``: append a kill record per
+        live doc to the ``deletes`` log — no segment rewrite, O(ids)
+        work regardless of corpus size. ``doc_ids`` is an iterable of
+        ints or a DataFrame with a ``doc_id`` column.
+
+        The recorded kill_ord is max-committed-ord + 1, which kills
+        every stored version of the doc; the log is self-committing
+        (see :func:`_kills_df` — visible immediately, no marker), and
+        a later upsert that re-PUTs the id resurrects it. Ids not
+        currently live are reported ``n_not_found`` (ES 404) and not
+        logged. Deleted docs leave stats/df exactly as a rebuild
+        without them would (the engine merges live-doc stats and
+        corrects df via the kill set); ``compact`` physically drops
+        them and resets the log."""
+        base = Path(index_dir)
+        if not (base / "stats").exists():
+            raise ValueError(f"{index_dir} is not an index (no stats)")
+        if isinstance(doc_ids, DataFrame):
+            ids = doc_ids.select("doc_id").distinct()
+        else:
+            ids = self.spark.createDataFrame(
+                [(int(d),) for d in doc_ids], schema="doc_id long"
+            ).distinct()
+        del_ord = max(o for o, _ in index_dirs(index_dir)) + 1
+        found = ids.join(
+            live_docs(self.spark, index_dir).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).persist()
+        n_found = found.count()
+        n_req = ids.count()
+        if n_found:
+            found.select(
+                F.col("doc_id").cast("long"),
+                F.lit(del_ord).cast("int").alias("kill_ord"),
+            ).coalesce(1).write.mode("append").parquet(str(base / "deletes"))
+        found.unpersist()
+        return {
+            "mode": "delete",
+            "n_deleted": int(n_found),
+            "n_not_found": int(n_req - n_found),
+            "kill_ord": del_ord,
+        }
+
+    def get_mapping(self, index_dir: str) -> dict:
+        """ES ``GET /index/_mapping``: the stored analysis/storage
+        config (indexed_fields, store_positions, store_source,
+        analyzer pin, physical layout) stamped into stats at build
+        time. {} for legacy indexes predating the mapping columns."""
+        from xml_to_es_spark.config import TOKEN_PATTERN  # noqa: F401
+
+        return self._stored_mapping(index_dir)
+
+    def delete_index(self, index_dir: str) -> dict:
+        """ES ``DELETE /index`` (the reference's deleteIndex,
+        ElasticIndexer.js:133): remove the whole index tree. Refuses a
+        path that does not look like an index root (must contain the
+        stats and postings tables) — a typo'd path must not rm -rf
+        arbitrary data."""
+        import shutil
+
+        base = Path(index_dir)
+        if not ((base / "stats").exists() and (base / "postings").exists()):
+            raise ValueError(
+                f"{index_dir} is not an index root (stats/postings missing); "
+                "refusing to delete"
+            )
+        shutil.rmtree(index_dir)
+        return {"mode": "delete_index", "deleted": str(index_dir)}
 
     # -- compaction ----------------------------------------------------------
 

@@ -180,8 +180,10 @@ class QueryEngine:
         )
         self.fielded = self.fields != ("text",)
         self.default_field = "text" if "text" in self.fields else self.fields[0]
-        if len(self.dirs) == 1:
-            self.kills: dict[int, int] = {}
+        # the kill set spans upsert tombstones AND the deletes log, so
+        # even a single-dir (base-only) index can carry kills
+        self.kills: dict[int, int] = load_kills(spark, index_dir)
+        if len(self.dirs) == 1 and not self.kills:
             self.n_docs = int(d["n_docs"])
             self.avgdl = float(d["avgdl"])
             if d.get("min_doc") is None or d.get("max_doc") is None:
@@ -208,7 +210,6 @@ class QueryEngine:
             # merged corpus-wide stats over the LIVE doc set: exact,
             # not per-batch (avg over int64 doc_len sums exactly, so
             # avgdl is bit-equal to a full rebuild's)
-            self.kills = load_kills(spark, index_dir)
             from xml_to_es_spark.operators.index_build import live_docs
 
             per_field = (
@@ -224,18 +225,19 @@ class QueryEngine:
                 *per_field,
             ).first()
             self.n_docs = int(st["n"])
-            self.avgdl = float(st["avgdl"])
-            self.min_doc = int(st["lo"])
-            self.max_doc = int(st["hi"])
+            # an index whose docs are ALL deleted still answers
+            # (with zero hits) instead of crashing on null aggs
+            self.avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+            self.min_doc = int(st["lo"]) if st["lo"] is not None else 0
+            self.max_doc = int(st["hi"]) if st["hi"] is not None else 0
             if self.fielded:
                 self._avgdl_by_field = {
-                    f: float(st[f"a__{f}"]) for f in self.fields
+                    f: float(st[f"a__{f}"]) if st[f"a__{f}"] is not None else 0.0
+                    for f in self.fields
                 }
         if not self.fielded:
             self._avgdl_by_field = {self.default_field: self.avgdl}
-        if max_tombstones is not None and len(
-            load_kills(spark, index_dir) if len(self.dirs) > 1 else {}
-        ) > max_tombstones:
+        if max_tombstones is not None and len(self.kills) > max_tombstones:
             raise ValueError(
                 f"tombstone set exceeds max_tombstones={max_tombstones} — the "
                 "engine broadcasts it to every task; run IndexBuilder.compact() "
@@ -627,6 +629,142 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    _BOOL_ROLES = ("must", "should", "must_not", "filter")
+
+    def bool_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``bool`` query over term clauses. Each query is
+        ``(query_id, {"must": text, "should": text, "must_not": text,
+        "filter": text})`` — every TOKEN of a clause text is one term
+        clause of that occurrence type (``must: "hash join"`` ≙ two
+        must term clauses, ES ``operator: and`` inside the clause):
+
+        - ``must``: every token required; contributes BM25 score.
+        - ``should``: optional; contributes score. With no
+          must/filter clauses, at least one should token must match
+          (the ES default ``minimum_should_match`` behaviour).
+        - ``filter``: every token required; NO score contribution
+          (the ES filter context — a filter-only bool scores 0).
+        - ``must_not``: any token present excludes the doc; no score.
+
+        One postings scan covers all roles: the broadcast query table
+        carries (query_id, term, idf, role) with idf pinned to 0 for
+        non-scoring roles, so the ordinary decode kernel prices every
+        row and the role aggregation is one JVM hash-agg —
+        score = Σ contrib (non-scoring roles add 0.0),
+        must/filter satisfied by distinct-term counts against the
+        clause counts, exclusion by a max() flag. A must/filter token
+        absent from the whole corpus matches nothing (ES semantics).
+        Scale shape identical to :meth:`topk_distributed`: broadcast
+        query table, term+group-pruned scans, one shuffle on
+        (query_id, doc_id), WindowGroupLimit top-k."""
+        from pyspark.sql import Window as W
+
+        fld = self._resolve_field(field)
+        avg = self._avgdl_of(fld)
+        rows: list[tuple[int, str, str]] = []  # (qid, stored term, role)
+        need: list[tuple[int, int, int, int]] = []
+        for qid, clauses in queries:
+            bad = set(clauses) - set(self._BOOL_ROLES)
+            if bad:
+                raise ValueError(
+                    f"unknown bool clause(s) {sorted(bad)}; "
+                    f"expected {self._BOOL_ROLES}"
+                )
+            toks = {
+                r: sorted(set(tokenize(clauses.get(r, "") or "")))
+                for r in self._BOOL_ROLES
+            }
+            seen: dict[str, str] = {}
+            for r in self._BOOL_ROLES:
+                for t in toks[r]:
+                    if t in seen:
+                        raise ValueError(
+                            f"query {qid}: token {t!r} appears in both "
+                            f"{seen[t]!r} and {r!r} clauses — one occurrence "
+                            "type per token"
+                        )
+                    seen[t] = r
+                    rows.append((qid, self._term_of(t, fld), r))
+            msm = 0 if (toks["must"] or toks["filter"]) else (
+                1 if toks["should"] else 0
+            )
+            need.append((qid, len(toks["must"]), len(toks["filter"]), msm))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        meta = self._term_meta(sorted({t for _, t, _ in rows}))
+        present = [
+            (
+                qid,
+                t,
+                _idf(self.n_docs, meta[t]["df"])
+                if role in ("must", "should")
+                else 0.0,
+                avg,
+                role,
+            )
+            for qid, t, role in rows
+            if t in meta and meta[t]["df"] > 0
+        ]
+        if not present:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qdf = self.spark.createDataFrame(
+            present,
+            schema="query_id long, term string, idf double, avgdl double,"
+            " role string",
+        )
+        matched = self._pruned_postings(meta).join(
+            F.broadcast(qdf.drop("role")), "term"
+        )
+        contribs = matched.mapInPandas(
+            _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+            schema=CONTRIB_SCHEMA,
+        )
+        roles = qdf.select("query_id", "term", "role")
+        agg = (
+            contribs.join(F.broadcast(roles), ["query_id", "term"])
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("role").isin("must", "should"), F.col("contrib")
+                    ).otherwise(F.lit(0.0))
+                ).alias("score"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must", F.col("term"))
+                ).alias("must_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "filter", F.col("term"))
+                ).alias("filter_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "should", F.col("term"))
+                ).alias("should_m"),
+                F.max(
+                    F.when(F.col("role") == "must_not", 1).otherwise(0)
+                ).alias("excl"),
+            )
+        )
+        need_df = self.spark.createDataFrame(
+            need, schema="query_id long, n_must int, n_filter int, msm int"
+        )
+        hits = agg.join(F.broadcast(need_df), "query_id").filter(
+            (F.col("must_m") == F.col("n_must"))
+            & (F.col("filter_m") == F.col("n_filter"))
+            & (F.col("excl") == 0)
+            & (F.col("should_m") >= F.col("msm"))
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 
     def phrase_topk(
@@ -955,7 +1093,10 @@ class QueryEngine:
         if not rows:
             return hits
         ids = sorted({int(r["doc_id"]) for r in rows})
-        docs = self.fetch(ids).drop("text_md5")
+        # _source is the STORED fields only — internal change-detection
+        # and length-stats columns stay out of the hit payload
+        docs = self.fetch(ids).drop("text_md5", "doc_len")
+        docs = docs.drop(*[c for c in docs.columns if c.startswith("doc_len__")])
         hits_df = self.spark.createDataFrame(rows, schema=hits.schema)
         out = hits_df.join(F.broadcast(docs), "doc_id").select(
             "query_id", "rank", "doc_id", "score",
