@@ -139,7 +139,7 @@ def main():
     # excludes them so per-round walls stay comparable) ----
     new_in_r3 = [
         "fielded_index_build", "bm25_title_topk", "multi_match_topk",
-        "phrase_stopword_topk", "bm25_page2_topk",
+        "phrase_stopword_topk", "bm25_page2_topk", "bm25_bool_topk",
     ]
 
     # 8. fielded + positional index (title = first 4 tokens, the
@@ -184,6 +184,11 @@ def main():
         lambda: eng.topk_wand(
             entry.BM25_QUERIES, k=10, n_ranges=8, from_=10
         ).collect(),
+    )
+    # 12. ES bool query: all four occurrence types in one pruned scan
+    timed(
+        "bm25_bool_topk",
+        lambda: eng.bool_topk(entry.BOOL_QUERIES, k=10).collect(),
     )
     fdocs.unpersist()
 

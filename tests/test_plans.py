@@ -148,6 +148,37 @@ def test_merged_engine_plan_union_pruned_broadcast(spark, tmp_path):
     assert_no_cartesian(matched)
 
 
+def test_bool_topk_plan_one_agg_no_extra_shuffle(spark, tmp_path):
+    """The bool query's role machinery must not add passes: every
+    occurrence type rides the ONE pruned scan + decode, the role/need
+    tables join broadcast, and the only hash shuffles are the
+    (query_id, doc_id) aggregation and the per-query top-k window."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(30), "text": [f"alpha beta w{i} tail" for i in range(30)]}
+        )
+    )
+    idx = str(tmp_path / "bool_idx")
+    IndexBuilder(spark, IndexConfig(n_groups=2)).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    out = eng.bool_topk(
+        [(1, {"must": "alpha", "should": "tail", "must_not": "beta"})], k=5
+    )
+    plan = explain_str(out, "simple")  # each node appears exactly once
+    assert_no_cartesian(out)
+    assert_broadcast_join(out)
+    assert "BatchEvalPython" not in plan  # only the Arrow decode kernel
+    assert plan.count("MapInPandas") == 1
+    # shuffles: one for the role agg, one for the rank window — the
+    # role and clause-count tables must NOT induce extra exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in plan
+
+
 def test_mapping_stays_projection(spark):
     from pyspark.sql import Row
 

@@ -735,14 +735,21 @@ class QueryEngine:
                         F.col("role").isin("must", "should"), F.col("contrib")
                     ).otherwise(F.lit(0.0))
                 ).alias("score"),
-                F.count_distinct(
-                    F.when(F.col("role") == "must", F.col("term"))
+                # (query_id, term, doc_id) rows are UNIQUE here — the
+                # decode kernel dead-masks superseded versions, so each
+                # live (term, doc) pair comes from exactly one dir (the
+                # same invariant the score sum relies on). Conditional
+                # counts therefore equal count-distinct, without the
+                # Expand + extra shuffle Spark plans for multi-distinct
+                # aggregates (plan-asserted: ≤2 hash exchanges total).
+                F.sum(
+                    F.when(F.col("role") == "must", 1).otherwise(0)
                 ).alias("must_m"),
-                F.count_distinct(
-                    F.when(F.col("role") == "filter", F.col("term"))
+                F.sum(
+                    F.when(F.col("role") == "filter", 1).otherwise(0)
                 ).alias("filter_m"),
-                F.count_distinct(
-                    F.when(F.col("role") == "should", F.col("term"))
+                F.sum(
+                    F.when(F.col("role") == "should", 1).otherwise(0)
                 ).alias("should_m"),
                 F.max(
                     F.when(F.col("role") == "must_not", 1).otherwise(0)
