@@ -219,11 +219,12 @@ def _codec_index(spark, sf):
         from xml_to_es_spark.operators.index_build import IndexBuilder
 
         out = tempfile.mkdtemp(prefix="entry_idx_") + "/index"
-        docs = _docs(spark, sf).select("doc_id", "text")
+        docs = _docs(spark, sf).select("doc_id", "text", "lang", "source", "n_chars")
         IndexBuilder(
             spark,
             IndexConfig(
-                n_groups=2, salt_threshold=200, n_salts=4, store_positions=True
+                n_groups=2, salt_threshold=200, n_salts=4, store_positions=True,
+                stored_fields=("lang", "source", "n_chars"),
             ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
@@ -307,6 +308,29 @@ def _q_bool(spark, sf):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+    )
+
+
+def _q_search_aggs(spark, sf):
+    """ES search aggregations over the FULL match set: terms bucket on
+    the stored `source` doc-value with avg/max sub-aggs on `n_chars`
+    — nothing collected, match set deduped by one (query, doc)
+    partial-agg shuffle, doc-values joined on doc_id, bucket agg is a
+    second partial-agg shuffle."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.search_aggs(
+        BM25_QUERIES,
+        group_by="source",
+        metrics={"avg_chars": ("avg", "n_chars"), "max_chars": ("max", "n_chars")},
+    )
+    return out.select(
+        "query_id",
+        "source",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("avg_chars", 6).alias("avg_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
     )
 
 
@@ -692,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_codec_topk": _q_bm25_wand,
         "bm25_page2_topk": _q_bm25_page2,
         "bm25_bool_topk": _q_bool,
+        "search_aggs_source": _q_search_aggs,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -828,6 +853,34 @@ tf AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked
 WHERE rank > {from_} AND rank <= {from_ + BM25_K}
+"""
+
+
+def _search_aggs_sql() -> str:
+    """Twin of the full-match-set terms aggregation: match = ≥1 query
+    token present (ES `match` OR semantics), buckets = stored `source`
+    doc-value, sub-aggs avg/max over n_chars."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+)
+SELECT hits.query_id, d.source,
+       count(*)::BIGINT AS doc_count,
+       round(avg(d.n_chars), 6)::DOUBLE AS avg_chars,
+       max(d.n_chars)::BIGINT AS max_chars
+FROM hits JOIN documents d USING (doc_id)
+GROUP BY hits.query_id, d.source
 """
 
 
@@ -1279,6 +1332,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_wand_codec_topk": _bm25_sql(),
         "bm25_page2_topk": _bm25_sql(from_=BM25_K),
         "bm25_bool_topk": _bool_sql(BM25_K),
+        "search_aggs_source": _search_aggs_sql(),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
         "doc_id_assignment": """

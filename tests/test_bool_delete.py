@@ -170,6 +170,73 @@ def test_delete_then_compact_drops_physically(spark, tmp_path):
     assert list(eng2.topk([(1, "patched")], k=5).toPandas().doc_id) == [3]
 
 
+def test_search_aggs_full_match_set(spark, tmp_path):
+    """ES aggregations run over EVERY matching doc (not the top-k
+    page): terms bucket on a stored doc-value + avg/max sub-aggs,
+    verified against a pandas ground truth; doc values survive
+    upsert (inherited mapping) and the deleted docs drop out."""
+    pdf = _corpus(30)
+    pdf["cat"] = ["c" + str(i % 3) for i in range(30)]
+    pdf["n_chars"] = [len(t) for t in pdf.text]
+    path = str(tmp_path / "agg_idx")
+    cfg = IndexConfig(
+        n_groups=2, salt_threshold=40, n_salts=3,
+        stored_fields=("cat", "n_chars"),
+    )
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), path)
+    eng = QueryEngine(spark, path)
+    got = eng.search_aggs(
+        [(1, "even"), (2, "trip penta")],
+        group_by="cat",
+        metrics={"avg_chars": ("avg", "n_chars"), "max_chars": ("max", "n_chars")},
+    ).toPandas()
+
+    def want(mask):
+        g = pdf[mask].groupby("cat")
+        return {
+            c: (len(x), x.n_chars.mean(), x.n_chars.max())
+            for c, x in g
+        }
+    w1 = want(pdf.doc_id % 2 == 0)
+    w2 = want((pdf.doc_id % 3 == 0) | (pdf.doc_id % 5 == 0))
+    for qid, w in ((1, w1), (2, w2)):
+        rows = got[got.query_id == qid]
+        assert {
+            r.cat: (r.doc_count, r.avg_chars, r.max_chars)
+            for r in rows.itertuples()
+        } == pytest.approx(w)
+    # min_match="all": conjunctive match set
+    conj = eng.search_aggs(
+        [(1, "trip penta")], group_by="cat", min_match="all"
+    ).toPandas()
+    w = want((pdf.doc_id % 3 == 0) & (pdf.doc_id % 5 == 0))
+    assert {r.cat: r.doc_count for r in conj.itertuples()} == {
+        c: n for c, (n, _a, _m) in w.items()
+    }
+    # an unstored column errors with guidance; docs= override works
+    with pytest.raises(ValueError, match="not stored in this index"):
+        eng.search_aggs([(1, "even")], group_by="nope")
+    ext = eng.search_aggs(
+        [(1, "even")], group_by="cat",
+        docs=spark.createDataFrame(pdf[["doc_id", "cat"]]),
+    ).toPandas()
+    assert {r.cat: r.doc_count for r in ext.itertuples()} == {
+        c: n for c, (n, _a, _m) in w1.items()
+    }
+    # mapping records stored_fields; delete removes docs from buckets
+    assert IndexBuilder(spark).get_mapping(path)["stored_fields"] == (
+        "cat", "n_chars",
+    )
+    IndexBuilder(spark).delete_docs([0], path)
+    after = QueryEngine(spark, path).search_aggs(
+        [(1, "even")], group_by="cat"
+    ).toPandas()
+    w1d = want((pdf.doc_id % 2 == 0) & (pdf.doc_id != 0))
+    assert {r.cat: r.doc_count for r in after.itertuples()} == {
+        c: n for c, (n, _a, _m) in w1d.items()
+    }
+
+
 def test_delete_index_and_get_mapping(spark, tmp_path):
     pdf = _corpus(8)
     path = str(tmp_path / "didx")

@@ -81,6 +81,11 @@ class IndexConfig:
     store_source: bool = False
     store_positions: bool = False
     indexed_fields: tuple[str, ...] = ("text",)
+    # ES doc-values: non-analyzed columns of the input docs stored in
+    # the index's docs table (ride through deltas and compaction), so
+    # search-time aggregations (:meth:`QueryEngine.search_aggs`) and
+    # _source hits can use them without an external doc store
+    stored_fields: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict)
 
     @property

@@ -347,6 +347,24 @@ class IndexBuilder:
             out = c if out is None else out + c
         return out
 
+    def _stored_only(self, docs: DataFrame) -> list[str]:
+        """The stored_fields (ES doc-values) columns to persist in the
+        docs table, minus any already stored by other means; raises if
+        the input docs lack a declared one."""
+        missing = [f for f in self.cfg.stored_fields if f not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"docs is missing stored_fields column(s) {missing}; "
+                f"cfg.stored_fields={self.cfg.stored_fields}, "
+                f"docs columns={docs.columns}"
+            )
+        skip = {"doc_id", "url"} | (
+            set(dict.fromkeys(("text", *self.cfg.indexed_fields)))
+            if self.cfg.store_source
+            else set()
+        )
+        return [f for f in self.cfg.stored_fields if f not in skip]
+
     def _snapshot(self, docs: DataFrame) -> str:
         """Deterministic input lineage key (Iceberg snapshot id
         stand-in at test scale): count + xor-ish hash aggregate. Keyed
@@ -390,6 +408,7 @@ class IndexBuilder:
             ]
         if "url" in docs.columns:
             cols.append(F.col("url"))
+        cols += [F.col(f) for f in self._stored_only(docs)]
         docs.select(*cols).write.mode("overwrite").parquet(str(out / "docs_meta"))
 
     def _snapshot_from_meta(self, out: Path) -> str:
@@ -408,7 +427,9 @@ class IndexBuilder:
 
     # -- stored-mapping inheritance / validation ------------------------------
 
-    _ANALYSIS_KEYS = ("indexed_fields", "store_positions", "store_source")
+    _ANALYSIS_KEYS = (
+        "indexed_fields", "store_positions", "store_source", "stored_fields",
+    )
 
     def _stored_mapping(self, index_dir: str) -> dict:
         """The mapping/config columns stamped into an index's stats
@@ -417,6 +438,10 @@ class IndexBuilder:
         out = {}
         if st.get("indexed_fields"):
             out["indexed_fields"] = tuple(st["indexed_fields"].split(","))
+        if st.get("stored_fields") is not None:
+            out["stored_fields"] = tuple(
+                f for f in st["stored_fields"].split(",") if f
+            )
         for key in ("store_positions", "store_source"):
             if st.get(key) is not None:
                 out[key] = bool(st[key])
@@ -936,6 +961,9 @@ class IndexBuilder:
             .withColumn(
                 "indexed_fields", F.lit(",".join(self.cfg.indexed_fields))
             )
+            .withColumn(
+                "stored_fields", F.lit(",".join(self.cfg.stored_fields))
+            )
             .withColumn("token_pattern", F.lit(TOKEN_PATTERN))
         )
 
@@ -975,6 +1003,7 @@ class IndexBuilder:
                     else []
                 ),
                 *(["url"] if "url" in docs.columns else []),
+                *self._stored_only(docs),
             )
         d = base.join(dl, "doc_id", "left").fillna(fill)
         if self.cfg.fielded:

@@ -1133,6 +1133,92 @@ class QueryEngine:
             )
         return out
 
+    _AGG_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+    def _doc_values(self, cols: list[str]) -> DataFrame:
+        """Live-version doc-value columns from the index's own docs
+        tables (populated by ``IndexConfig(stored_fields=...)``)."""
+        from xml_to_es_spark.operators.index_build import live_docs
+
+        lv = live_docs(self.spark, self.dir)
+        missing = [c for c in cols if c not in lv.columns]
+        if missing:
+            raise ValueError(
+                f"column(s) {missing} are not stored in this index — build "
+                "with IndexConfig(stored_fields=...) or pass docs= explicitly"
+            )
+        return lv.select("doc_id", *cols)
+
+    def search_aggs(
+        self,
+        queries: list[tuple[int, str]],
+        group_by: str,
+        metrics: dict[str, tuple[str, str]] | None = None,
+        min_match: int | str | None = None,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES search aggregations: a ``terms`` bucket agg (plus
+        optional numeric sub-aggs) over the FULL match set of each
+        query — not the top-k page; ES aggs run on every matching doc.
+
+        ``metrics``: {alias: (fn, column)} with fn in avg/sum/min/max
+        (the ES avg/sum/min/max sub-aggregations). Bucket and metric
+        columns come from the index's stored doc values
+        (``IndexConfig(stored_fields=...)``) or an explicit ``docs``
+        DataFrame (doc_id + attribute columns).
+
+        Scale shape: the match set is unbounded (a stopword query
+        matches the whole corpus), so nothing is collected — match
+        doc_ids come off the same term+group-pruned postings decode as
+        scoring, are deduped by one (query_id, doc_id) partial-agg
+        shuffle, shuffle-join the doc-values table on doc_id, and the
+        bucket agg is a second partial-agg shuffle on
+        (query_id, bucket). Returns (query_id, <group_by>, doc_count
+        [, metric aliases…])."""
+        metrics = metrics or {}
+        for alias, (fn, _c) in metrics.items():
+            if fn not in self._AGG_FNS:
+                raise ValueError(
+                    f"metric {alias!r}: unsupported fn {fn!r}; "
+                    f"expected one of {sorted(self._AGG_FNS)}"
+                )
+        matched = self._matched_segments(queries, field=field)
+        if matched is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, n_matched long"
+            )
+        else:
+            contribs = matched.mapInPandas(
+                _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+                schema=CONTRIB_SCHEMA,
+            )
+            # (query_id, term, doc_id) rows are unique (dead-masked,
+            # one live dir per pair) so count == count-distinct
+            hits = contribs.groupBy("query_id", "doc_id").agg(
+                F.count("term").alias("n_matched")
+            )
+        if min_match is not None:
+            need = {
+                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                for qid, text in queries
+            }
+            need_df = self.spark.createDataFrame(
+                list(need.items()), schema="query_id long, need int"
+            )
+            hits = hits.join(F.broadcast(need_df), "query_id").filter(
+                F.col("n_matched") >= F.col("need")
+            )
+        cols = [group_by] + sorted({c for _fn, c in metrics.values()})
+        src = docs.select("doc_id", *cols) if docs is not None else (
+            self._doc_values(cols)
+        )
+        aggs = [F.count("*").alias("doc_count")] + [
+            self._AGG_FNS[fn](c).alias(alias)
+            for alias, (fn, c) in metrics.items()
+        ]
+        return hits.join(src, "doc_id").groupBy("query_id", group_by).agg(*aggs)
+
     def topk_distributed(
         self,
         queries: list[tuple[int, str]],
