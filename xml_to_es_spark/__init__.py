@@ -17,9 +17,14 @@ see /root/reference) as an idiomatic Spark engine:
 - **Query engine**: BM25 (k1=1.2, b=0.75) top-k over the compressed
   postings with block-max WAND pruning, distributed per (query,
   doc-range); the full ES match surface — OR/AND/minimum_should_match,
-  match_phrase (positional sidecar), fuzziness (dictionary expansion),
-  highlight snippets, GET/_source fetch — plus PUT-by-id upsert with
-  LSM deltas/tombstones/compaction (`operators.query_engine`,
+  match_phrase (positional sidecar, vectorized adjacency), fuzziness
+  (dictionary expansion), bool queries (must/should/must_not/filter),
+  fielded indexes (per-field BM25 + multi_match best/most_fields),
+  pagination (from/size, search_after), search aggregations over
+  stored doc values, highlight snippets, GET/_source fetch — plus
+  PUT-by-id upsert with crash-atomic LSM deltas/tombstones/compaction,
+  DELETE-by-id via an append-only kill log, and an immutable stored
+  mapping inherited by every delta (`operators.query_engine`,
   `operators.index_build`).
 - **Training-data ops**: dedup (exact / MinHash-LSH / SimHash / n-gram
   Jaccard / embedding-cosine / connected-component clustering +
@@ -33,6 +38,6 @@ selection; custom physics (codec, scoring) live in Arrow-batched
 pandas UDFs — never per-row Python.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from xml_to_es_spark.config import BM25Config, IndexConfig  # noqa: F401

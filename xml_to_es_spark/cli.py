@@ -38,6 +38,7 @@ def cmd_build(args) -> int:
         store_source=args.store_source,
         store_positions=args.store_positions,
         indexed_fields=fields,
+        stored_fields=tuple(f for f in args.stored_fields.split(",") if f),
     )
     if args.input_format == "pages":
         pages = read_pages(spark, args.input, langs=tuple(args.langs.split(",")))
@@ -49,6 +50,7 @@ def cmd_build(args) -> int:
             "text",
             *[f for f in fields if f != "text"],
             "url",
+            *[f for f in cfg.stored_fields if f not in ("text", "url", *fields)],
         )
         # cheap collision gate before committing a build: a hash
         # collision would silently merge two urls into one doc
@@ -83,6 +85,11 @@ def cmd_query(args) -> int:
     eng = QueryEngine(spark, args.index)
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
     mfields = args.multi_match.split(",") if args.multi_match else None
+    if args.aggs:
+        out = eng.search_aggs(queries, group_by=args.aggs, field=args.field)
+        for r in out.orderBy("query_id", args.aggs).collect():
+            print(json.dumps({k: r[k] for k in out.columns}))
+        return 0
     if args.fetch:
         out = eng.search(
             queries, k=args.k,
@@ -137,6 +144,7 @@ def cmd_upsert(args) -> int:
         store_source=args.store_source,
         store_positions=args.store_positions,
         indexed_fields=tuple(args.fields.split(",")),
+        stored_fields=tuple(f for f in args.stored_fields.split(",") if f),
     )
     docs = spark.read.parquet(args.input)
     res = IndexBuilder(spark, cfg).upsert(docs, args.index)
@@ -221,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--fields", default="text",
                    help="comma-separated analyzed fields, e.g. text,title "
                         "(ES mapping with several analyzed fields)")
+    b.add_argument("--stored-fields", default="",
+                   help="comma-separated non-analyzed doc-value columns kept "
+                        "in the docs table (query --aggs / search_aggs)")
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -246,6 +257,9 @@ def main(argv: list[str] | None = None) -> int:
                    default="best_fields")
     q.add_argument("--from", dest="from_", type=int, default=0,
                    help="ES pagination offset (rows from+1..from+k)")
+    q.add_argument("--aggs", default=None, metavar="FIELD",
+                   help="terms aggregation over a stored doc-value field "
+                        "(full match set, not top-k)")
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
 
@@ -258,6 +272,8 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--store-positions", action="store_true",
                    help="initial build only — an existing index's mapping is inherited")
     u.add_argument("--fields", default="text",
+                   help="initial build only — an existing index's mapping is inherited")
+    u.add_argument("--stored-fields", default="",
                    help="initial build only — an existing index's mapping is inherited")
     u.set_defaults(fn=cmd_upsert)
 
