@@ -334,6 +334,26 @@ def _q_search_aggs(spark, sf):
     )
 
 
+def _q_search_aggs_histogram(spark, sf):
+    """ES histogram aggregation: n_chars bucketed by 400 over the full
+    match set, with an exact count_distinct(lang) sub-agg per bucket
+    (the ES cardinality shape, exact variant for the SQL twin)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.search_aggs(
+        BM25_QUERIES,
+        group_by=("n_chars", 400),
+        metrics={"n_langs": ("count_distinct", "lang")},
+    )
+    return out.select(
+        "query_id",
+        F.col("n_chars_bucket").cast("long").alias("n_chars_bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+    )
+
+
 # fielded index: title = the document's first 4 tokens (deterministic,
 # SQL-expressible twin: list_slice of the token array) — the two-field
 # ES mapping shape of the reference (body + title, mapping.json:11-12)
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2_topk": _q_bm25_page2,
         "bm25_bool_topk": _q_bool,
         "search_aggs_source": _q_search_aggs,
+        "search_aggs_histogram": _q_search_aggs_histogram,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -881,6 +902,33 @@ SELECT hits.query_id, d.source,
        max(d.n_chars)::BIGINT AS max_chars
 FROM hits JOIN documents d USING (doc_id)
 GROUP BY hits.query_id, d.source
+"""
+
+
+def _search_aggs_histogram_sql() -> str:
+    """Twin of the histogram aggregation: same match-set CTEs as the
+    terms-agg twin, bucket = floor(n_chars/400)*400 as BIGINT."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+)
+SELECT hits.query_id,
+       (floor(d.n_chars / 400.0) * 400)::BIGINT AS n_chars_bucket,
+       count(*)::BIGINT AS doc_count,
+       count(DISTINCT d.lang)::BIGINT AS n_langs
+FROM hits JOIN documents d USING (doc_id)
+GROUP BY hits.query_id, n_chars_bucket
 """
 
 
@@ -1333,6 +1381,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_page2_topk": _bm25_sql(from_=BM25_K),
         "bm25_bool_topk": _bool_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
+        "search_aggs_histogram": _search_aggs_histogram_sql(),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
         "doc_id_assignment": """

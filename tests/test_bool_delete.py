@@ -237,6 +237,43 @@ def test_search_aggs_full_match_set(spark, tmp_path):
     }
 
 
+def test_search_aggs_histogram_and_cardinality(spark, tmp_path):
+    """ES histogram buckets (floor(col/interval)·interval) and the
+    cardinality sub-agg (approximate, HLL) / count_distinct (exact)."""
+    pdf = _corpus(20)
+    pdf["cat"] = ["c" + str(i % 4) for i in range(20)]
+    pdf["n_chars"] = [len(t) for t in pdf.text]
+    path = str(tmp_path / "h_idx")
+    IndexBuilder(
+        spark,
+        IndexConfig(n_groups=2, stored_fields=("cat", "n_chars")),
+    ).build(spark.createDataFrame(pdf), path)
+    eng = QueryEngine(spark, path)
+    hist = eng.search_aggs(
+        [(1, "even")], group_by=("n_chars", 5),
+        metrics={"cats": ("count_distinct", "cat")},
+    ).toPandas()
+    m = pdf[pdf.doc_id % 2 == 0].copy()
+    m["bucket"] = (m.n_chars // 5) * 5
+    want = {
+        int(b): (len(x), x.cat.nunique())
+        for b, x in m.groupby("bucket")
+    }
+    assert {
+        int(r.n_chars_bucket): (r.doc_count, r.cats) for r in hist.itertuples()
+    } == want
+    card = eng.search_aggs(
+        [(1, "even")], group_by="cat",
+        metrics={"approx": ("cardinality", "n_chars")},
+    ).toPandas()
+    truth = m.groupby("cat").n_chars.nunique()
+    for r in card.itertuples():
+        assert 1 <= r.approx <= truth[r.cat] * 2  # HLL estimate, sane range
+    with pytest.raises(ValueError, match="unsupported fn"):
+        eng.search_aggs([(1, "even")], group_by="cat",
+                        metrics={"x": ("median", "n_chars")})
+
+
 def test_delete_index_and_get_mapping(spark, tmp_path):
     pdf = _corpus(8)
     path = str(tmp_path / "didx")

@@ -1133,7 +1133,17 @@ class QueryEngine:
             )
         return out
 
-    _AGG_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    _AGG_FNS = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        # exact distinct count (SQL-twin-able); "cardinality" is the
+        # ES behaviour — approximate (HyperLogLog++), constant memory
+        # per bucket at any corpus size
+        "count_distinct": F.count_distinct,
+        "cardinality": F.approx_count_distinct,
+    }
 
     def _doc_values(self, cols: list[str]) -> DataFrame:
         """Live-version doc-value columns from the index's own docs
@@ -1152,18 +1162,23 @@ class QueryEngine:
     def search_aggs(
         self,
         queries: list[tuple[int, str]],
-        group_by: str,
+        group_by: str | tuple[str, float],
         metrics: dict[str, tuple[str, str]] | None = None,
         min_match: int | str | None = None,
         field: str | None = None,
         docs: DataFrame | None = None,
     ) -> DataFrame:
-        """ES search aggregations: a ``terms`` bucket agg (plus
-        optional numeric sub-aggs) over the FULL match set of each
-        query — not the top-k page; ES aggs run on every matching doc.
+        """ES search aggregations: a ``terms`` bucket agg — or, when
+        ``group_by`` is ``(column, interval)``, an ES ``histogram``
+        agg (bucket = floor(col/interval)·interval, emitted as
+        ``<col>_bucket``) — plus optional sub-aggs, over the FULL
+        match set of each query, not the top-k page; ES aggs run on
+        every matching doc.
 
-        ``metrics``: {alias: (fn, column)} with fn in avg/sum/min/max
-        (the ES avg/sum/min/max sub-aggregations). Bucket and metric
+        ``metrics``: {alias: (fn, column)} with fn in
+        avg/sum/min/max/count_distinct/cardinality (``cardinality``
+        is the ES semantics — approximate HLL++, constant memory per
+        bucket; ``count_distinct`` is exact). Bucket and metric
         columns come from the index's stored doc values
         (``IndexConfig(stored_fields=...)``) or an explicit ``docs``
         DataFrame (doc_id + attribute columns).
@@ -1209,7 +1224,18 @@ class QueryEngine:
             hits = hits.join(F.broadcast(need_df), "query_id").filter(
                 F.col("n_matched") >= F.col("need")
             )
-        cols = [group_by] + sorted({c for _fn, c in metrics.values()})
+        if isinstance(group_by, tuple):
+            gcol, interval = group_by
+            bucket_name = f"{gcol}_bucket"
+            bucket = F.floor(F.col(gcol) / F.lit(float(interval))) * F.lit(interval)
+            if float(interval).is_integer():
+                bucket = bucket.cast("long")
+            bucket = bucket.alias(bucket_name)
+        else:
+            gcol, bucket, bucket_name = group_by, F.col(group_by), group_by
+        cols = list(dict.fromkeys([gcol] + sorted(
+            {c for _fn, c in metrics.values()}
+        )))
         src = docs.select("doc_id", *cols) if docs is not None else (
             self._doc_values(cols)
         )
@@ -1217,7 +1243,12 @@ class QueryEngine:
             self._AGG_FNS[fn](c).alias(alias)
             for alias, (fn, c) in metrics.items()
         ]
-        return hits.join(src, "doc_id").groupBy("query_id", group_by).agg(*aggs)
+        return (
+            hits.join(src, "doc_id")
+            .withColumn(bucket_name, bucket)
+            .groupBy("query_id", bucket_name)
+            .agg(*aggs)
+        )
 
     def topk_distributed(
         self,
