@@ -105,6 +105,10 @@ def test_bool_edge_semantics(spark, idx):
         eng.bool_topk([(1, {"must": "alpha", "must_not": "alpha"})], k=5)
     with pytest.raises(ValueError, match="unknown bool clause"):
         eng.bool_topk([(1, {"mustnt": "alpha"})], k=5)
+    # must_not-only ≙ match_all minus exclusions: explicit error, not
+    # a silent empty result
+    with pytest.raises(ValueError, match="must_not-only"):
+        eng.bool_topk([(1, {"must_not": "even"})], k=5)
 
 
 def test_delete_matches_rebuild_and_resurrects(spark, tmp_path):

@@ -691,6 +691,14 @@ class QueryEngine:
                         )
                     seen[t] = r
                     rows.append((qid, self._term_of(t, fld), r))
+            if toks["must_not"] and not (
+                toks["must"] or toks["should"] or toks["filter"]
+            ):
+                raise ValueError(
+                    f"query {qid}: must_not-only bool is ES match_all minus "
+                    "exclusions — an unbounded corpus scan; add a must/"
+                    "should/filter clause to bound the match set"
+                )
             msm = 0 if (toks["must"] or toks["filter"]) else (
                 1 if toks["should"] else 0
             )
