@@ -334,6 +334,29 @@ def _q_search_aggs(spark, sf):
     )
 
 
+# ES match_bool_prefix query set: last token is a prefix ("jo" →
+# join/…, "mer" → merge/…), "wind" exercises a single-token prefix,
+# "zzzq" an empty expansion (matches nothing)
+PREFIX_QUERIES = [(1, "hash jo"), (2, "wind"), (3, "sort mer"), (4, "zzzq")]
+
+
+def _q_prefix(spark, sf):
+    """ES match_bool_prefix (search-as-you-type): the last query token
+    expands against the terms dictionary (term-order cap 50), every
+    expansion is one more WAND cursor with its own idf; distributed
+    ranges as in the flagship WAND entry."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.prefix_topk(PREFIX_QUERIES, k=BM25_K, n_ranges=4)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_search_aggs_histogram(spark, sf):
     """ES histogram aggregation: n_chars bucketed by 400 over the full
     match set, with an exact count_distinct(lang) sub-agg per bucket
@@ -738,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_topk": _q_bool,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
+        "bm25_prefix_topk": _q_prefix,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -902,6 +926,63 @@ SELECT hits.query_id, d.source,
        max(d.n_chars)::BIGINT AS max_chars
 FROM hits JOIN documents d USING (doc_id)
 GROUP BY hits.query_id, d.source
+"""
+
+
+def _prefix_sql(k: int) -> str:
+    """Twin of match_bool_prefix: the last token joins the vocabulary
+    by LIKE-prefix (term-order row_number cap 50, the ES
+    max_expansions rule), other tokens exactly; DISTINCT merges an
+    exact token that is also one of its own expansions. Scoring CTEs
+    are textually identical to _bm25_sql."""
+    import re
+
+    qvals = []
+    for qid, text in PREFIX_QUERIES:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        for t in sorted(set(toks[:-1])):
+            qvals.append(f"({qid}, '{t}', false)")
+        qvals.append(f"({qid}, '{toks[-1]}', true)")
+    values = ", ".join(qvals)
+    return f"""
+WITH vterms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
+qraw(query_id, qt, is_last) AS (VALUES {values}),
+q AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT qraw.query_id, v.term,
+           row_number() OVER (
+             PARTITION BY qraw.query_id, qraw.qt ORDER BY v.term
+           ) AS rn
+    FROM vterms v JOIN qraw
+      ON (qraw.is_last AND v.term LIKE qraw.qt || '%')
+      OR (NOT qraw.is_last AND v.term = qraw.qt)
+  ) WHERE rn <= 50
+),
+toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1382,6 +1463,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_bool_topk": _bool_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),
+        "bm25_prefix_topk": _prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
         "doc_id_assignment": """

@@ -174,6 +174,46 @@ def test_delete_then_compact_drops_physically(spark, tmp_path):
     assert list(eng2.topk([(1, "patched")], k=5).toPandas().doc_id) == [3]
 
 
+def test_prefix_topk_match_bool_prefix(spark, tmp_path):
+    """ES match_bool_prefix: last token expands against the dictionary
+    (term order, capped), others match exactly; expansions score with
+    their own idf — equivalent to a regular match over the expanded
+    token set."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "alpha joint w%d" % i if i % 3 == 0 else
+                "alpha join w%d" % i if i % 3 == 1 else
+                "alpha jolt w%d" % i
+                for i in range(12)
+            ],
+        }
+    )
+    path = str(tmp_path / "p_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), path)
+    eng = QueryEngine(spark, path)
+    assert eng.prefix_variants(["jo"])["jo"] == ["join", "joint", "jolt"]
+    assert eng.prefix_variants(["jo"], max_expansions=2)["jo"] == ["join", "joint"]
+    got = eng.prefix_topk([(1, "alpha jo")], k=12, n_ranges=2).toPandas()
+    want = eng.topk_distributed([(1, "alpha join joint jolt")], k=12).toPandas()
+    assert set(got.doc_id) == set(range(12)) == set(want.doc_id)
+    assert dict(zip(got.doc_id, got.score)) == pytest.approx(
+        dict(zip(want.doc_id, want.score))
+    )
+    # cap changes the expansion set: only join/joint cursors remain
+    capped = eng.prefix_topk([(1, "alpha jo")], k=12, max_expansions=2).toPandas()
+    want2 = eng.topk_distributed([(1, "alpha join joint")], k=12).toPandas()
+    assert dict(zip(capped.doc_id, capped.score)) == pytest.approx(
+        dict(zip(want2.doc_id, want2.score))
+    )
+    # no expansion → query contributes nothing (ES: prefix matches 0 terms)
+    assert eng.prefix_topk([(1, "alpha zzz")], k=12).toPandas().pipe(
+        lambda d: set(d.doc_id)
+    ) == set(range(12))  # 'alpha' still matches; zzz* adds no cursor
+    assert eng.prefix_topk([(1, "zzzq")], k=5).count() == 0
+
+
 def test_search_aggs_full_match_set(spark, tmp_path):
     """ES aggregations run over EVERY matching doc (not the top-k
     page): terms bucket on a stored doc-value + avg/max sub-aggs,

@@ -440,6 +440,7 @@ class QueryEngine:
         field: str | None = None,
         fields: list[str] | None = None,
         from_: int = 0,
+        prefix_expansions: int | None = None,
     ) -> DataFrame:
         """Block-max WAND path: doc-at-a-time evaluation skipping
         blocks whose upper bound cannot beat the running threshold —
@@ -460,8 +461,14 @@ class QueryEngine:
         ``fuzziness``: ES fuzzy match via dictionary expansion (each
         variant is just another WAND cursor with its own idf).
         ``field``/``fields``: see :meth:`topk` — every (field, token)
-        is an independent cursor with its field's idf and avgdl."""
-        matched = self._matched_segments(queries, fuzziness, field, fields)
+        is an independent cursor with its field's idf and avgdl.
+        ``prefix_expansions``: ES match_bool_prefix — the LAST query
+        token expands to the terms it prefixes (see
+        :meth:`prefix_topk`)."""
+        matched = self._matched_segments(
+            queries, fuzziness, field, fields,
+            prefix_expansions=prefix_expansions,
+        )
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         k_local = from_ + k  # pagination: page p needs the top from_+k
@@ -987,12 +994,77 @@ class QueryEngine:
             out[r["qt"]].append(r["term"])
         return {t: sorted(v) for t, v in out.items()}
 
+    def prefix_variants(
+        self,
+        prefixes: list[str],
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> dict[str, list[str]]:
+        """ES prefix expansion against the terms DICTIONARY: each
+        prefix → indexed terms starting with it, in term order, capped
+        at ``max_expansions`` (the ES prefix / match_bool_prefix
+        behaviour). One job over the unioned per-dir term tables; on
+        fielded indexes the scan is pruned to ``field`` and prefixes
+        compare on the bare token. Returned variants are STORED term
+        keys."""
+        scans = [
+            self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
+        ]
+        vocab = scans[0]
+        for sc in scans[1:]:
+            vocab = vocab.unionByName(sc)
+        vocab = vocab.distinct()
+        if field is not None:
+            fp = f"{field}:"
+            vocab = vocab.filter(F.col("term").startswith(fp)).withColumn(
+                "bare", F.expr(f"substring(term, {len(fp) + 1})")
+            )
+        else:
+            vocab = vocab.withColumn("bare", F.col("term"))
+        pairs = (
+            vocab.select(
+                "term", "bare",
+                F.explode(F.array(*[F.lit(p) for p in prefixes])).alias("qp"),
+            )
+            .filter(F.col("bare").startswith(F.col("qp")))
+            .collect()
+        )
+        out: dict[str, list[str]] = {p: [] for p in prefixes}
+        for r in pairs:
+            out[r["qp"]].append(r["term"])
+        # term-order cap — the same first-N-in-index-order rule ES uses
+        return {p: sorted(v)[:max_expansions] for p, v in out.items()}
+
+    def prefix_topk(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        max_expansions: int = 50,
+        field: str | None = None,
+        n_ranges: int | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``match_bool_prefix`` (the search-as-you-type primitive):
+        every token of the query matches exactly except the LAST,
+        which matches every indexed term it prefixes — each expansion
+        scores as its own term with its own df/idf, disjunctively
+        (should semantics), exactly like ES. Routed through the
+        distributed WAND machinery: an expansion is just another
+        cursor, so the scale shape is identical to :meth:`topk_wand`
+        and the dictionary scan (never the postings) is the only extra
+        cost."""
+        return self.topk_wand(
+            queries, k=k, n_ranges=n_ranges, field=field, from_=from_,
+            prefix_expansions=max_expansions,
+        )
+
     def _matched_segments(
         self,
         queries: list[tuple[int, str]],
         fuzziness: int = 0,
         field: str | None = None,
         fields: list[str] | None = None,
+        prefix_expansions: int | None = None,
     ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
@@ -1017,6 +1089,25 @@ class QueryEngine:
                         {v for t in set(tokenize(text)) for v in variants[t]}
                     )
                     qterms += [(qid, v, avg) for v in expanded]
+            elif prefix_expansions:
+                # match_bool_prefix: last token expands as a prefix,
+                # the rest match exactly (disjunctive, per-variant idf)
+                per_q = {
+                    qid: toks
+                    for qid, text in queries
+                    if (toks := tokenize(text))
+                }
+                vmap = self.prefix_variants(
+                    sorted({t[-1] for t in per_q.values()}),
+                    field=fld,
+                    max_expansions=prefix_expansions,
+                )
+                for qid, toks in per_q.items():
+                    terms = sorted(
+                        {self._term_of(t, fld) for t in toks[:-1]}
+                        | set(vmap[toks[-1]])
+                    )
+                    qterms += [(qid, t, avg) for t in terms]
             else:
                 for qid, text in queries:
                     for t in sorted(set(tokenize(text))):
