@@ -51,7 +51,9 @@ def test_incremental_index_foreachbatch(spark, tmp_path):
 
     # batch 1 = base build; batch 2 = delta + tombstone for doc 1
     assert glob.glob(f"{out}/deltas/delta=*")
-    assert glob.glob(f"{out}/tombstones/*")
+    # tombstones are STAGED inside the committed delta dir (atomic
+    # with its commit marker), not in a shared root log
+    assert glob.glob(f"{out}/deltas/delta=*/tombstones/*")
     # ONE logical index over base + deltas, corpus-wide stats
     eng = QueryEngine(spark, out)
     assert eng.n_docs == 3

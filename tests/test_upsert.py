@@ -305,3 +305,101 @@ def test_compact_collapses_to_single_dir(spark, built):
         compacted,
     )
     assert r2["mode"] == "delta" and r2["n_new"] == 1
+
+
+def test_crashed_upsert_then_different_upsert_no_orphan_kill(spark, tmp_path):
+    """The round-3 ADVICE scenario: upsert U1 (changes doc 3) crashes
+    AFTER staging its tombstones; a LATER upsert U2 with a DIFFERENT
+    change-set (doc 7) commits at the same ord. U1's tombstones must
+    NOT activate — doc 3's original version stays live (its
+    replacement was never written), doc 7 is updated, and the merged
+    ranking equals a rebuild where ONLY doc 7 changed."""
+    from xml_to_es_spark.operators.index_build import live_docs
+
+    v1 = pd.DataFrame(
+        {"doc_id": range(30), "text": [f"alpha w{i} beta" for i in range(30)]}
+    )
+    idx = str(tmp_path / "orphan_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v1), idx)
+
+    u1 = pd.DataFrame({"doc_id": [3], "text": ["omega rewritten three"]})
+    b = IndexBuilder(spark, CFG)
+    b._fail_after_tombstones = True
+    with pytest.raises(RuntimeError, match="injected failure after tombstone"):
+        b.upsert(spark.createDataFrame(u1), idx)
+    assert load_kills(spark, idx) == {}
+
+    u2 = pd.DataFrame({"doc_id": [7], "text": ["gamma replaced seven"]})
+    res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(u2), idx)
+    assert res["mode"] == "delta" and res["n_changed"] == 1
+    # ONLY doc 7 is killed; U1's staged tombstone for doc 3 died with
+    # its crashed dir (overwritten by U2's build at the same ord)
+    assert load_kills(spark, idx) == {7: res["ord"]}
+    lv = live_docs(spark, idx).toPandas()
+    assert len(lv) == 30 and lv["doc_id"].is_unique
+    assert "alpha" in lv[lv.doc_id == 3]["text"].iat[0] if "text" in lv else True
+
+    v2 = _mutate(v1, {7: "gamma replaced seven"}, {})
+    rebuild = str(tmp_path / "orphan_rebuild")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v2), rebuild)
+    got = QueryEngine(spark, idx).topk(QUERIES, k=10).toPandas()
+    want = QueryEngine(spark, rebuild).topk(QUERIES, k=10).toPandas()
+    _assert_same(got, want)
+
+
+def test_legacy_shared_log_orphans_never_activate(spark, tmp_path):
+    """Orphan rows a PRE-STAGING (v0.3) crashed upsert left in the
+    shared tombstones log must stay inert even after later upserts
+    commit: ord allocation skips past every shared-log ord."""
+    v1 = pd.DataFrame(
+        {"doc_id": range(20), "text": [f"alpha w{i} beta" for i in range(20)]}
+    )
+    idx = str(tmp_path / "legacy_orphan_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v1), idx)
+    # simulate the v0.3 crash debris: a shared-log tombstone at ord 1
+    # whose delta was never committed
+    spark.createDataFrame(
+        [(5, 1)], schema="doc_id long, kill_ord int"
+    ).coalesce(1).write.mode("append").parquet(f"{idx}/tombstones")
+    assert load_kills(spark, idx) == {}
+
+    u = pd.DataFrame({"doc_id": [9], "text": ["omega nine new"]})
+    res = IndexBuilder(spark, CFG).upsert(spark.createDataFrame(u), idx)
+    # the new delta allocates PAST the orphan ord — never lands on 1
+    assert res["ord"] == 2
+    assert load_kills(spark, idx) == {9: 2}  # doc 5 still live
+    eng = QueryEngine(spark, idx)
+    assert eng.n_docs == 20
+    hits = eng.topk([(1, "alpha")], k=20).toPandas()
+    assert 5 in set(hits["doc_id"])
+
+
+def test_legacy_markerless_delta_still_visible(spark, tmp_path):
+    """Upgrade path: a delta written by a pre-marker version (no
+    _COMMITTED, no _INFLIGHT sibling, tombstones in the shared root
+    log) must stay committed — queries keep serving the upserted
+    state, not silently reverting to the base."""
+    import os
+    import shutil as sh
+
+    from xml_to_es_spark.operators.index_build import COMMIT_MARKER
+
+    v1 = pd.DataFrame(
+        {"doc_id": range(20), "text": [f"alpha w{i} beta" for i in range(20)]}
+    )
+    idx = str(tmp_path / "legacy_idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(v1), idx)
+    u = pd.DataFrame({"doc_id": [3], "text": ["omega rewritten three"]})
+    IndexBuilder(spark, CFG).upsert(spark.createDataFrame(u), idx)
+    before = QueryEngine(spark, idx).topk(QUERIES, k=10).toPandas()
+
+    # rewrite the modern layout into the legacy one: strip the commit
+    # marker, move staged tombstones to the shared root log
+    ddir = f"{idx}/deltas/delta=1"
+    os.remove(f"{ddir}/{COMMIT_MARKER}")
+    sh.move(f"{ddir}/tombstones", f"{idx}/tombstones")
+
+    assert len(index_dirs(idx)) == 2  # legacy delta recognized
+    assert load_kills(spark, idx) == {3: 1}  # legacy shared-log kill valid
+    after = QueryEngine(spark, idx).topk(QUERIES, k=10).toPandas()
+    _assert_same(after, before)

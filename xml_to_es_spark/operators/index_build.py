@@ -76,12 +76,21 @@ MANIFEST_SCHEMA = (
 
 TOMBSTONE_SCHEMA = "doc_id long, kill_ord int"
 
-# delta commit marker: an upsert writes tombstones FIRST (they refer
-# to a not-yet-visible ord and are ignored until the delta commits),
-# builds the delta, then drops this marker — so a crash at any point
-# leaves the index readable in its exact pre-upsert state and a
-# replayed upsert self-heals (see :meth:`IndexBuilder.upsert`)
+# delta commit marker: an upsert stages its tombstones INSIDE the
+# delta dir, builds the delta, then drops this marker — the marker
+# makes delta AND tombstones visible in one atomic step, so a crash at
+# any point leaves the index readable in its exact pre-upsert state
+# and a replayed upsert self-heals (see :meth:`IndexBuilder.upsert`)
 COMMIT_MARKER = "_COMMITTED"
+
+# in-flight marker (deltas/_INFLIGHT_<ord>): dropped in the deltas
+# root BEFORE a delta build starts, removed after its commit marker
+# lands. Distinguishes a crashed MODERN upsert (marker present →
+# delta invisible even if its build completed) from a LEGACY
+# pre-marker delta (no such marker was ever written → committed iff
+# its build artifacts are complete) — so upgrading an old index
+# neither loses committed deltas nor resurrects crashed ones.
+INFLIGHT_PREFIX = "_INFLIGHT_"
 
 
 def index_dirs(index_dir: str) -> list[tuple[int, str]]:
@@ -89,28 +98,51 @@ def index_dirs(index_dir: str) -> list[tuple[int, str]]:
     index, in version order: [(0, base), (1, deltas/delta=1), …]. An
     upsert or streaming micro-batch adds a delta; a doc's LIVE version
     is the one in the highest dir whose ord ≥ the doc's max tombstone
-    kill_ord (see :meth:`IndexBuilder.upsert`). A delta dir without
-    its commit marker is an in-flight/crashed upsert and is invisible."""
+    kill_ord (see :meth:`IndexBuilder.upsert`).
+
+    A delta dir is committed iff its :data:`COMMIT_MARKER` exists —
+    or, for deltas written by pre-marker versions of this library
+    (which have no ``_INFLIGHT_<ord>`` sibling either), iff its build
+    artifacts are complete (stats + _manifest, both written at the
+    end of a build). A dir with an in-flight marker and no commit
+    marker is a crashed or in-progress modern upsert: invisible."""
     out = [(0, index_dir)]
     droot = Path(index_dir) / "deltas"
     if droot.exists():
-        deltas = sorted(
-            (int(p.name.split("=")[1]), str(p))
-            for p in droot.glob("delta=*")
-            if p.is_dir() and (p / COMMIT_MARKER).exists()
-        )
-        out += deltas
+        deltas = []
+        for p in droot.glob("delta=*"):
+            if not p.is_dir():
+                continue
+            o = int(p.name.split("=")[1])
+            if (p / COMMIT_MARKER).exists() or (
+                not (droot / f"{INFLIGHT_PREFIX}{o}").exists()
+                and (p / "stats").exists()
+                and (p / "_manifest").exists()
+            ):
+                deltas.append((o, str(p)))
+        out += sorted(deltas)
     return out
 
 
 def _kills_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Merged kill log as (doc_id, kill_ord) — max per doc across:
 
-    - ``tombstones`` (upsert supersessions), crash-filtered to
-      committed ords: a tombstone whose kill_ord exceeds the highest
-      COMMITTED dir ord belongs to a crashed upsert (written before
-      its delta's commit marker) and is ignored — the old versions
-      stay live;
+    - per-delta staged ``tombstones`` (``<delta_dir>/tombstones``,
+      upsert supersessions): read from COMMITTED dirs only, so the
+      delta's commit marker gates delta and tombstones atomically —
+      a crashed upsert's staged tombstones are structurally invisible
+      and can never orphan-kill docs whose replacement was never
+      written, even when a later upsert with a different change-set
+      commits at the same ord (its build overwrites the crashed dir,
+      staged tombstones included);
+    - the LEGACY shared ``tombstones`` log (pre-staging layout),
+      filtered to kill_ords that have a committed delta dir: a legacy
+      tombstone is valid exactly when the delta it belongs to
+      committed. Orphan rows from a crashed legacy upsert reference
+      an ord no committed dir occupies — modern upserts allocate
+      PAST every ord in this log (see :meth:`IndexBuilder.upsert`),
+      so such rows stay invalid forever instead of silently
+      activating when an unrelated delta lands on their ord;
     - ``deletes`` (ES DELETE by id, :meth:`IndexBuilder.delete_docs`),
       NOT ord-filtered: a delete is self-committing (its parquet
       append is the whole operation). Its kill_ord is
@@ -120,14 +152,20 @@ def _kills_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
       satisfies ord ≥ kill_ord and the doc resurrects — exact ES
       delete-then-index semantics.
 
-    Returns None when neither log exists."""
+    Returns None when no log exists."""
     dirs = index_dirs(index_dir)
-    max_ord = max(o for o, _ in dirs)
+    committed = [int(o) for o, _ in dirs]
     parts = []
+    # dirs[0] is the base dir itself, whose tombstones path IS the
+    # legacy shared log handled (ord-filtered) below — skip it here
+    for _o, p in dirs[1:]:
+        st = Path(p) / "tombstones"
+        if st.exists():
+            parts.append(spark.read.parquet(str(st)))
     t = Path(index_dir) / "tombstones"
     if t.exists():
         parts.append(
-            spark.read.parquet(str(t)).filter(F.col("kill_ord") <= max_ord)
+            spark.read.parquet(str(t)).filter(F.col("kill_ord").isin(committed))
         )
     d = Path(index_dir) / "deletes"
     if d.exists():
@@ -326,15 +364,21 @@ class IndexBuilder:
     def _md5_col(self) -> F.Column:
         """The per-doc content hash driving upsert change-detection
         and the input snapshot. Single-field: md5(text) (round-1/2
-        formula, unchanged). Fielded: md5 over ALL indexed fields
-        joined with an out-of-alphabet separator, so a title-only
-        re-crawl is detected as a change too."""
+        formula, unchanged). Fielded: md5 over the CONCATENATION OF
+        PER-FIELD md5s — each inner digest is exactly 32 hex chars,
+        so the encoding is injective in the field tuple (a separator
+        join is not: raw text can contain any separator byte, making
+        ("a<sep>", "") collide with ("a", "<sep>") and silently skip
+        an upsert — round-3 ADVICE). A title-only re-crawl is
+        detected as a change too."""
         if not self.cfg.fielded:
             return F.md5("text")
         return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(f), F.lit("")) for f in self.cfg.indexed_fields],
+            F.concat(
+                *[
+                    F.md5(F.coalesce(F.col(f), F.lit("")))
+                    for f in self.cfg.indexed_fields
+                ]
             )
         )
 
@@ -664,17 +708,25 @@ class IndexBuilder:
         docs, so a 10^12-doc index absorbs a small re-crawl without
         touching the corpus.
 
-        Crash safety: tombstones are written FIRST (they carry the
-        new, not-yet-committed ord and are ignored by every reader
-        until the delta's commit marker lands — see
-        :data:`COMMIT_MARKER`), then the delta builds, then the marker
-        commits it atomically. A crash at any point leaves the index
-        readable in its exact pre-upsert state; replaying the upsert
-        reuses the same ord (the uncommitted dir is invisible, so
-        ``max+1`` is stable), overwrites the partial delta, and
-        appends duplicate tombstone rows that every reader collapses
-        with ``max(kill_ord) per doc_id`` — counts stay exact.
-        ``_fail_before_commit`` injects a crash in that window (tests).
+        Crash safety: an in-flight marker is dropped first (the delta
+        stays invisible while it exists), the delta builds, its
+        tombstones are staged INSIDE the delta dir, then the commit
+        marker lands — making delta and tombstones visible in one
+        atomic step (readers merge staged tombstones from committed
+        dirs only, :func:`_kills_df`). A crash at any point leaves
+        the index readable in its exact pre-upsert state; replaying
+        ANY upsert afterwards — same change-set or different — reuses
+        the orphaned ord, and its build rmtree's the crashed dir
+        (stale staged tombstones included) before rebuilding, so no
+        tombstone can ever outlive the delta it belongs to.
+        ``_fail_before_commit`` / ``_fail_after_tombstones`` inject
+        crashes in those windows (tests).
+
+        Concurrency: ord allocation is read-modify-write on the
+        directory listing — this is a SINGLE-WRITER protocol (one
+        upsert/delete at a time per index, the usual Spark batch-job
+        discipline). Readers are always safe; concurrent writers
+        could allocate the same ord.
         """
         base = Path(index_dir)
         if not (base / "stats").exists():
@@ -701,12 +753,28 @@ class IndexBuilder:
             if n_new + n_changed == 0:
                 delta_ids.unpersist()
                 return {"mode": "noop", "n_new": 0, "n_changed": 0}
-            new_ord = max(o for o, _ in index_dirs(index_dir)) + 1
+            new_ord = self._next_ord(index_dir)
             delta_docs = docs.join(
                 delta_ids.select("doc_id"), "doc_id", "left_semi"
             )
-            delta_dir = str(base / "deltas" / f"delta={new_ord}")
-            # 1. tombstones (inert until the delta commits)
+            droot = base / "deltas"
+            droot.mkdir(parents=True, exist_ok=True)
+            delta_dir = str(droot / f"delta={new_ord}")
+            # 1. in-flight marker: while it exists (and no commit
+            #    marker), delta=<new_ord> is invisible even if its
+            #    build completes — see INFLIGHT_PREFIX
+            (droot / f"{INFLIGHT_PREFIX}{new_ord}").touch()
+            # 2. self-contained delta index (a replay overwrites a
+            #    crashed partial build: build() rmtree's the dir,
+            #    stale staged tombstones included)
+            res = IndexBuilder(self.spark, self.cfg).build(delta_docs, delta_dir)
+            if getattr(self, "_fail_before_commit", False):
+                raise RuntimeError("injected failure before delta commit")
+            # 3. tombstones STAGED INSIDE the delta dir: readers only
+            #    merge them from committed dirs, so the commit marker
+            #    gates delta + tombstones atomically and a crashed
+            #    upsert can never orphan-kill docs whose replacement
+            #    was never written (_kills_df)
             if n_changed:
                 tombs = (
                     delta_ids.filter(F.col("is_update"))
@@ -715,16 +783,14 @@ class IndexBuilder:
                         F.lit(new_ord).cast("int").alias("kill_ord"),
                     )
                 )
-                tombs.coalesce(1).write.mode("append").parquet(
-                    str(base / "tombstones")
+                tombs.coalesce(1).write.mode("overwrite").parquet(
+                    str(Path(delta_dir) / "tombstones")
                 )
-            # 2. self-contained delta index (a replay overwrites a
-            #    crashed partial build: build() rmtree's the dir)
-            res = IndexBuilder(self.spark, self.cfg).build(delta_docs, delta_dir)
-            if getattr(self, "_fail_before_commit", False):
-                raise RuntimeError("injected failure before delta commit")
-            # 3. commit: the marker makes delta + tombstones visible
+            if getattr(self, "_fail_after_tombstones", False):
+                raise RuntimeError("injected failure after tombstone staging")
+            # 4. commit: the marker makes delta + tombstones visible
             (Path(delta_dir) / COMMIT_MARKER).touch()
+            (droot / f"{INFLIGHT_PREFIX}{new_ord}").unlink(missing_ok=True)
             delta_ids.unpersist()
             return {
                 "mode": "delta",
@@ -737,6 +803,22 @@ class IndexBuilder:
         finally:
             docs.unpersist()
 
+    def _next_ord(self, index_dir: str) -> int:
+        """The next delta/delete ord: past every committed dir AND
+        past every ord in the legacy shared tombstone log — so orphan
+        rows a crashed PRE-STAGING upsert left there can never match
+        a newly committed ord and activate (see :func:`_kills_df`)."""
+        hi = max(o for o, _ in index_dirs(index_dir))
+        shared = Path(index_dir) / "tombstones"
+        if shared.exists():
+            v = (
+                self.spark.read.parquet(str(shared))
+                .agg(F.max("kill_ord"))
+                .first()[0]
+            )
+            hi = max(hi, int(v or 0))
+        return hi + 1
+
     # -- deletes / index lifecycle (ES DELETE doc, DELETE index) -------------
 
     def delete_docs(self, doc_ids, index_dir: str) -> dict:
@@ -745,12 +827,19 @@ class IndexBuilder:
         work regardless of corpus size. ``doc_ids`` is an iterable of
         ints or a DataFrame with a ``doc_id`` column.
 
-        The recorded kill_ord is max-committed-ord + 1, which kills
-        every stored version of the doc; the log is self-committing
-        (see :func:`_kills_df` — visible immediately, no marker), and
-        a later upsert that re-PUTs the id resurrects it. Ids not
-        currently live are reported ``n_not_found`` (ES 404) and not
-        logged. Deleted docs leave stats/df exactly as a rebuild
+        The recorded kill_ord is the next unallocated ord (past every
+        committed dir, past any in-flight upsert's reserved ord, and
+        past the legacy tombstone log), which kills every stored
+        version of the doc; the log is self-committing (see
+        :func:`_kills_df` — visible immediately, no marker), and a
+        later upsert that re-PUTs the id resurrects it. Single-writer
+        protocol (see :meth:`upsert`): a delete must not race an
+        in-flight upsert — skipping past in-flight ords makes the
+        common crashed-upsert-then-delete sequence safe (the replayed
+        upsert commits BELOW the delete's kill_ord, so the delete
+        still wins), but two simultaneous writers are undefined. Ids
+        not currently live are reported ``n_not_found`` (ES 404) and
+        not logged. Deleted docs leave stats/df exactly as a rebuild
         without them would (the engine merges live-doc stats and
         corrects df via the kill set); ``compact`` physically drops
         them and resets the log."""
@@ -763,7 +852,11 @@ class IndexBuilder:
             ids = self.spark.createDataFrame(
                 [(int(d),) for d in doc_ids], schema="doc_id long"
             ).distinct()
-        del_ord = max(o for o, _ in index_dirs(index_dir)) + 1
+        del_ord = self._next_ord(index_dir)
+        droot = base / "deltas"
+        if droot.exists():
+            for m in droot.glob(f"{INFLIGHT_PREFIX}*"):
+                del_ord = max(del_ord, int(m.name[len(INFLIGHT_PREFIX):]) + 1)
         found = ids.join(
             live_docs(self.spark, index_dir).select("doc_id"),
             "doc_id",
