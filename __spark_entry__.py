@@ -138,6 +138,18 @@ def _q_bm25_and(spark, sf):
     )
 
 
+# slop exercises all regimes: qid 1/2 gain one-gap matches at slop=1,
+# qid 3 is the TRANSPOSITION of "hash join" (matches at slop=2 exactly
+# where qid 1's exact phrase does, plus its own order), qid 4 a
+# same-term pair
+BM25_PHRASE_SLOP_QUERIES = [
+    (1, "hash join"),
+    (2, "sort merge"),
+    (3, "join hash"),
+    (4, "merge sort"),
+]
+PHRASE_SLOP = 2
+
 BM25_PHRASE_QUERIES = [
     (1, "hash join"),
     (2, "sort merge"),
@@ -219,12 +231,22 @@ def _codec_index(spark, sf):
         from xml_to_es_spark.operators.index_build import IndexBuilder
 
         out = tempfile.mkdtemp(prefix="entry_idx_") + "/index"
-        docs = _docs(spark, sf).select("doc_id", "text", "lang", "source", "n_chars")
+        # warc_ts: the input_hint's crawl timestamp, synthesized
+        # deterministically from doc_id (UTC; no external data) so the
+        # date_histogram path has a real timestamp doc value
+        docs = _docs(spark, sf).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + (F.col("doc_id") % 37) * 86400
+                + (F.col("doc_id") * 7919) % 86400
+            ).alias("warc_ts"),
+        )
         IndexBuilder(
             spark,
             IndexConfig(
                 n_groups=2, salt_threshold=200, n_salts=4, store_positions=True,
-                stored_fields=("lang", "source", "n_chars"),
+                stored_fields=("lang", "source", "n_chars", "warc_ts"),
             ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
@@ -239,6 +261,26 @@ def _q_bm25_phrase_codec(spark, sf):
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
     out = eng.phrase_topk(BM25_PHRASE_QUERIES, k=BM25_K, n_ranges=4)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_phrase_slop(spark, sf):
+    """ES match_phrase with slop over the positional codec: the exact
+    shift-and-intersect generalizes to an anchored window
+    intersection (shifted-position span <= slop), still vectorized
+    across the candidate axis; slop=2 admits one-word gaps and
+    transpositions (oracle: the same span semantics in SQL)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.phrase_topk(
+        BM25_PHRASE_SLOP_QUERIES, k=BM25_K, n_ranges=4, slop=PHRASE_SLOP
+    )
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -280,6 +322,31 @@ def _q_bm25_page2(spark, sf):
     )
 
 
+def _q_bm25_cursor(spark, sf):
+    """ES search_after cursor pagination on the WAND path: page 1's
+    last (score, doc_id) feeds back as the cursor; served docs are
+    excluded INSIDE the kernels by exact sort-key comparison (WAND
+    sums are the pinned deterministic order, bit-stable across jobs),
+    so the heap stays k-sized at any depth. Oracle: rows 11..20 of
+    the full ranking, re-ranked 1..10 (cursor pages restart at 1)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    p1 = eng.topk_wand(BM25_QUERIES, k=BM25_K, n_ranges=4).toPandas()
+    cur = {
+        int(qid): (float(g.score.iat[-1]), int(g.doc_id.iat[-1]))
+        for qid, g in p1.sort_values(["query_id", "rank"]).groupby("query_id")
+        if len(g)
+    }
+    out = eng.topk_wand(BM25_QUERIES, k=BM25_K, n_ranges=4, search_after=cur)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # ES bool query set over the documents vocabulary: every occurrence
 # type exercised — conjunctive must, scoring should beside a
 # non-scoring filter, filter-only (score 0), pure disjunctive should,
@@ -303,6 +370,41 @@ def _q_bool(spark, sf):
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
     out = eng.bool_topk(BOOL_QUERIES, k=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ES bool + STRUCTURED filter context over stored doc values: range on
+# a numeric doc value, term/terms on keyword doc values, a
+# match_all+filter query (score 0), and must_not beside a term filter
+BOOL_RANGE_QUERIES = [
+    (1, {"must": "hash join",
+         "filter": [{"range": {"n_chars": {"gte": 150, "lt": 450}}}]}),
+    (2, {"must": "sort",
+         "filter": [{"term": {"lang": "en"}},
+                    {"range": {"n_chars": {"gte": 100}}}]}),
+    (3, {"filter": [{"terms": {"lang": ["de", "fr"]}},
+                    {"range": {"n_chars": {"lt": 300}}}]}),
+    (4, {"should": "merge dup", "must_not": "window",
+         "filter": [{"term": {"source": "src7"}}]}),
+]
+
+
+def _q_bool_range(spark, sf):
+    """ES bool with the STRUCTURED filter context (term/terms/range
+    over stored doc values — the reference mapping's not_analyzed id /
+    formatted date shape, examples/mapping.json:10,13): the doc-values
+    projection is pre-filtered with the OR of all query predicates
+    (pushed parquet filter) and joined to the text match set; a
+    structured-only query is ES match_all+filter with score 0."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.bool_topk(BOOL_RANGE_QUERIES, k=BM25_K)
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -374,6 +476,29 @@ def _q_search_aggs_histogram(spark, sf):
         F.col("n_chars_bucket").cast("long").alias("n_chars_bucket"),
         F.col("doc_count").cast("long").alias("doc_count"),
         F.col("n_langs").cast("long").alias("n_langs"),
+    )
+
+
+def _q_search_aggs_date_histogram(spark, sf):
+    """ES date_histogram (calendar_interval=day over the stored
+    `warc_ts` crawl timestamp) with terms-agg `size` semantics: only
+    the top-5 buckets per query by doc_count (bucket key asc on ties
+    — the ES tiebreak), selected IN-PLAN by a rank window so a
+    high-cardinality bucket set never leaves the cluster unbounded."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.search_aggs(
+        BM25_QUERIES,
+        group_by=("warc_ts", "day"),
+        metrics={"max_chars": ("max", "n_chars")},
+        size=5,
+    )
+    return out.select(
+        "query_id",
+        F.col("warc_ts_bucket").cast("string").alias("day_bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("max_chars").cast("long").alias("max_chars"),
     )
 
 
@@ -755,12 +880,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and,
         "bm25_phrase_topk": _q_bm25_phrase,
         "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
+        "bm25_phrase_slop_topk": _q_bm25_phrase_slop,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "bm25_page2_topk": _q_bm25_page2,
+        "bm25_cursor_topk": _q_bm25_cursor,
         "bm25_bool_topk": _q_bool,
+        "bm25_bool_range_topk": _q_bool_range,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
+        "search_aggs_date_histogram": _q_search_aggs_date_histogram,
         "bm25_prefix_topk": _q_prefix,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
@@ -804,6 +933,7 @@ def _bm25_sql(
     queries: list[tuple[int, str]] | None = None,
     fuzziness: int = 0,
     from_: int = 0,
+    slop: int = 0,
 ) -> str:
     import re
 
@@ -858,11 +988,19 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
     and_join = "JOIN need USING (query_id)" if conjunctive else ""
     and_filter = "WHERE n_matched >= need" if conjunctive else ""
     if phrase:
-        from xml_to_es_spark.functions.analysis import sql_phrase_match
+        from xml_to_es_spark.functions.analysis import (
+            sql_phrase_match,
+            sql_phrase_slop_match,
+        )
+
+        def pm(text):
+            if slop:
+                return sql_phrase_slop_match("tk", text, slop)
+            return sql_phrase_match("tk", text)
 
         parts = " UNION ALL ".join(
             f"SELECT {qid}::BIGINT AS query_id, doc_id FROM tcte"
-            f" WHERE {sql_phrase_match('tk', text)}"
+            f" WHERE {pm(text)}"
             for qid, text in queries
         )
         and_cte += (
@@ -1013,6 +1151,45 @@ GROUP BY hits.query_id, n_chars_bucket
 """
 
 
+def _search_aggs_date_histogram_sql(k: int = 5) -> str:
+    """Twin of date_histogram+size: same synthesized warc_ts formula
+    (UTC, make_timestamp from epoch seconds), date_trunc('day') cast
+    to DATE then VARCHAR (both engines emit ISO yyyy-mm-dd), top-k
+    buckets per query by (doc_count DESC, bucket ASC)."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT DISTINCT q.query_id, toks.doc_id FROM toks JOIN q USING (term)
+), dv AS (
+  SELECT doc_id, n_chars,
+         make_timestamp(((1704067200 + (doc_id % 37) * 86400
+                          + (doc_id * 7919) % 86400))::BIGINT * 1000000) AS warc_ts
+  FROM documents
+), buckets AS (
+  SELECT hits.query_id,
+         date_trunc('day', dv.warc_ts)::DATE::VARCHAR AS day_bucket,
+         count(*)::BIGINT AS doc_count,
+         max(dv.n_chars)::BIGINT AS max_chars
+  FROM hits JOIN dv USING (doc_id)
+  GROUP BY hits.query_id, date_trunc('day', dv.warc_ts)::DATE::VARCHAR
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, day_bucket ASC
+  ) AS brank FROM buckets
+)
+SELECT query_id, day_bucket, doc_count, max_chars FROM ranked WHERE brank <= {k}
+"""
+
+
 def _bool_sql(k: int) -> str:
     """DuckDB twin of the ES bool query: same tf/stats/df CTEs and the
     same float expression text as _bm25_sql, with a role column on the
@@ -1068,6 +1245,128 @@ tf AS (
          doc_id, round(score_raw, 6) AS score
   FROM agg JOIN need USING (query_id)
   WHERE must_m = n_must AND filter_m = n_filter AND excl = 0 AND should_m >= msm
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_lit(v) -> str:
+    return f"'{v}'" if isinstance(v, str) else str(v)
+
+
+def _struct_pred_sql(clauses: list) -> str:
+    """One query's structured filter clauses → a DuckDB predicate over
+    documents d — the SQL twin of QueryEngine._structured_pred."""
+    ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+    parts = []
+    for cl in clauses:
+        (kind, spec), = cl.items()
+        if kind == "term":
+            (c, v), = spec.items()
+            parts.append(f"d.{c} = {_sql_lit(v)}")
+        elif kind == "terms":
+            (c, vs), = spec.items()
+            parts.append(f"d.{c} IN ({', '.join(_sql_lit(v) for v in vs)})")
+        elif kind == "range":
+            (c, bounds), = spec.items()
+            parts += [f"d.{c} {ops[b]} {_sql_lit(v)}" for b, v in bounds.items()]
+        elif kind == "exists":
+            parts.append(f"d.{spec['field']} IS NOT NULL")
+    return " AND ".join(parts)
+
+
+def _bool_range_sql(k: int) -> str:
+    """DuckDB twin of bool + structured filter context: the _bool_sql
+    agg joined to documents with a per-query CASE predicate; a
+    structured-only query unions in as match_all+filter at score 0."""
+    import re
+
+    qvals, needs, preds, match_all = [], [], {}, []
+    for qid, clauses in BOOL_RANGE_QUERIES:
+        counts = {"must": 0, "filter": 0, "should": 0}
+        fval = clauses.get("filter")
+        ftext_parts, sclauses = [], []
+        if isinstance(fval, (list, tuple)):
+            for cl in fval:
+                if "match" in cl:
+                    ftext_parts.append(cl["match"])
+                else:
+                    sclauses.append(cl)
+        elif fval:
+            ftext_parts.append(fval)
+        texts = {
+            "must": clauses.get("must", ""),
+            "should": clauses.get("should", ""),
+            "must_not": clauses.get("must_not", ""),
+            "filter": " ".join(ftext_parts),
+        }
+        has_text = False
+        for role in ("must", "should", "must_not", "filter"):
+            toks = sorted(set(re.findall("[a-z0-9]+", texts[role].lower())))
+            if role in counts:
+                counts[role] = len(toks)
+            if role != "must_not" and toks:
+                has_text = True
+            for t in toks:
+                qvals.append(f"({qid}, '{t}', '{role}')")
+        if sclauses:
+            preds[qid] = _struct_pred_sql(sclauses)
+            if not has_text:
+                match_all.append(qid)
+        msm = 0 if (counts["must"] or counts["filter"]) else (
+            1 if counts["should"] else 0
+        )
+        needs.append(f"({qid}, {counts['must']}, {counts['filter']}, {msm})")
+    values = ", ".join(qvals)
+    need_values = ", ".join(needs)
+    case = " ".join(
+        f"WHEN {qid} THEN ({p})"
+        for qid, p in preds.items()
+        if qid not in match_all
+    )
+    case = f"CASE agg.query_id {case} ELSE TRUE END" if case else "TRUE"
+    union = "".join(
+        f"""
+  UNION ALL
+  SELECT {qid} AS query_id, d.doc_id, 0.0 AS score_raw
+  FROM documents d WHERE {preds[qid]}"""
+        for qid in match_all
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term, role) AS (VALUES {values}),
+need(query_id, n_must, n_filter, msm) AS (VALUES {need_values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CASE WHEN q.role IN ('must', 'should')
+             THEN ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                  * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+             ELSE 0.0 END) AS score_raw,
+         count(DISTINCT CASE WHEN q.role = 'must' THEN tf.term END) AS must_m,
+         count(DISTINCT CASE WHEN q.role = 'filter' THEN tf.term END) AS filter_m,
+         count(DISTINCT CASE WHEN q.role = 'should' THEN tf.term END) AS should_m,
+         max(CASE WHEN q.role = 'must_not' THEN 1 ELSE 0 END) AS excl
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), matched AS (
+  SELECT agg.query_id, agg.doc_id, agg.score_raw
+  FROM agg JOIN need USING (query_id) JOIN documents d ON agg.doc_id = d.doc_id
+  WHERE must_m = n_must AND filter_m = n_filter AND excl = 0
+    AND should_m >= msm AND ({case}){union}
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM matched
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
@@ -1457,12 +1756,16 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_phrase_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
         "bm25_phrase_codec_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
+        "bm25_phrase_slop_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_SLOP_QUERIES, slop=PHRASE_SLOP),
         "bm25_fuzzy_topk": _bm25_sql(fuzziness=1, queries=BM25_FUZZY_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "bm25_page2_topk": _bm25_sql(from_=BM25_K),
+        "bm25_cursor_topk": f"SELECT query_id, rank - {BM25_K} AS rank, doc_id, score FROM ({_bm25_sql(from_=BM25_K)})",
         "bm25_bool_topk": _bool_sql(BM25_K),
+        "bm25_bool_range_topk": _bool_range_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),
+        "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),
         "bm25_prefix_topk": _prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),

@@ -335,3 +335,81 @@ def test_delete_index_and_get_mapping(spark, tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_bool_structured_filter_context(spark, tmp_path):
+    """ES structured filter context: term/terms/range/exists clauses
+    over stored doc values combine with match clauses (score from
+    text only), and a structured-only query is match_all+filter with
+    score 0. Oracle-style cross-check against a DataFrame twin."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [f"alpha w{i} {'beta' if i % 2 else 'gamma'}" for i in range(30)],
+            "lang": [["en", "de", "fr"][i % 3] for i in range(30)],
+            "n_chars": [50 + 10 * i for i in range(30)],
+        }
+    )
+    idx = str(tmp_path / "structidx")
+    IndexBuilder(
+        spark,
+        IndexConfig(n_groups=1, stored_fields=("lang", "n_chars")),
+    ).build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+
+    out = eng.bool_topk(
+        [
+            # match + term + range: alpha docs, lang=en, 100<=n_chars<250
+            (1, {"must": "alpha",
+                 "filter": [{"term": {"lang": "en"}},
+                            {"range": {"n_chars": {"gte": 100, "lt": 250}}}]}),
+            # structured-only: match_all + filter, score 0
+            (2, {"filter": [{"terms": {"lang": ["de", "fr"]}},
+                            {"range": {"n_chars": {"lte": 90}}}]}),
+            # structured + must_not exclusion
+            (3, {"filter": [{"term": {"lang": "en"}}],
+                 "must_not": "beta"}),
+            # mixed list: match-in-filter + structured
+            (4, {"should": "beta",
+                 "filter": [{"match": "alpha"},
+                            {"exists": {"field": "lang"}},
+                            {"range": {"n_chars": {"gt": 300}}}]}),
+        ],
+        k=30,
+    ).toPandas().sort_values(["query_id", "rank"])
+
+    q1 = out[out.query_id == 1]
+    want1 = set(
+        pdf[(pdf.lang == "en") & (pdf.n_chars >= 100) & (pdf.n_chars < 250)].doc_id
+    )
+    assert set(q1.doc_id) == want1 and (q1.score > 0).all()
+
+    q2 = out[out.query_id == 2]
+    want2 = pdf[(pdf.lang.isin(["de", "fr"])) & (pdf.n_chars <= 90)]
+    assert list(q2.doc_id) == sorted(want2.doc_id)  # score-0 ties → doc_id order
+    assert (q2.score == 0.0).all()
+
+    q3 = out[out.query_id == 3]
+    want3 = pdf[(pdf.lang == "en") & (pdf.doc_id % 2 == 0)]  # beta = odd ids
+    assert set(q3.doc_id) == set(want3.doc_id)
+    assert (q3.score == 0.0).all()  # filter-only scoring context
+
+    q4 = out[out.query_id == 4]
+    want4 = pdf[pdf.n_chars > 300]
+    assert set(q4.doc_id) == set(want4.doc_id)
+    # should-clause scores only beta (odd) docs; alpha filter scores 0
+    assert (q4[q4.doc_id % 2 == 1].score > 0).all()
+    assert (q4[q4.doc_id % 2 == 0].score == 0.0).all()
+
+    # unknown structured kind / bad range bound are rejected
+    with pytest.raises(ValueError, match="unknown structured"):
+        eng.bool_topk([(1, {"filter": [{"regexp": {"lang": "e.*"}}]})])
+    with pytest.raises(ValueError, match="unknown bound"):
+        eng.bool_topk([(1, {"filter": [{"range": {"n_chars": {"ge": 1}}}]})])
+    # must_not-only is still rejected WITHOUT a bounding filter
+    with pytest.raises(ValueError, match="must_not-only"):
+        eng.bool_topk([(1, {"must_not": "alpha"})])

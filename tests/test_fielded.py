@@ -248,3 +248,79 @@ def test_tombstone_growth_guard(spark, tmp_path):
     out = str(tmp_path / "guard_c")
     IndexBuilder(spark, cfg).compact(idx, out)
     assert QueryEngine(spark, out, max_tombstones=3).n_docs == 10
+
+
+def test_search_after_rank_anchored_survives_ulp_drift(spark, tmp_path):
+    """The cursor must be anchored on the cursor DOC's position in the
+    current job's ranking, not on bit-exact float equality with the
+    fed-back score: a one-ulp perturbation of the cursor score (the
+    cross-job F.sum accumulation-order drift the round-3 ADVICE
+    flagged) must neither skip nor duplicate boundary docs. Also:
+    paging the whole ranking by cursor reproduces it exactly, and a
+    VANISHED cursor doc falls back to the fed ordering key."""
+    import math
+
+    cfg = IndexConfig(n_groups=2, block_size=32)
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [f"alpha w{i} beta" for i in range(40)]}
+    )
+    idx = str(tmp_path / "cursor_idx")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+    q = [(1, "alpha"), (2, "beta")]
+    full = eng.topk_distributed(q, k=40).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+
+    # page through the entire ranking with a one-ulp-perturbed cursor
+    # score each time — rank anchoring must make the drift irrelevant
+    for qid in (1, 2):
+        want = list(full[full.query_id == qid]["doc_id"])
+        got, cur = [], None
+        while True:
+            kw = {"search_after": {qid: cur}} if cur else {}
+            page = eng.topk_distributed([(qid, dict(q)[qid])], k=7, **kw).toPandas()
+            if page.empty:
+                break
+            got += list(page["doc_id"])
+            s = float(page["score"].iat[-1])
+            drifted = math.nextafter(s, math.inf if len(got) % 2 else -math.inf)
+            cur = (drifted, int(page["doc_id"].iat[-1]))
+        assert got == want  # no skips, no duplicates, full coverage
+
+    # vanished cursor doc (id not in the index): fed-key ordering
+    # fallback. Single-term docs → one addend per score → recompute
+    # is bit-stable, so the expectation is exact. (A cursor doc
+    # DELETED between pages also takes this fallback, but a delete
+    # shifts df/idf — every score moves, and like ES without a
+    # point-in-time reader the fed sort key then lands best-effort.)
+    pdf2 = pd.DataFrame(
+        {"doc_id": range(30), "text": [("alpha " * (i + 1)).strip() for i in range(30)]}
+    )
+    idx2 = str(tmp_path / "cursor_idx2")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf2), idx2)
+    eng2 = QueryEngine(spark, idx2)
+    full2 = eng2.topk_distributed([(1, "alpha")], k=30).toPandas().sort_values("rank")
+    s10 = float(full2.score.iat[9])
+    nxt = eng2.topk_distributed(
+        [(1, "alpha")], k=30, search_after={1: (s10, 10**9)}
+    ).toPandas().sort_values("rank")
+    want = list(full2[full2.score < s10]["doc_id"])
+    assert list(nxt["doc_id"]) == want
+
+
+def test_fielded_md5_injective_on_separator_bytes(spark, tmp_path):
+    """Change-detection md5 must be injective in the field TUPLE:
+    ("a\\x1f", "") and ("a", "\\x1f") are different documents and an
+    upsert from one to the other must register as a change (a
+    separator-joined digest collides here — round-3 ADVICE)."""
+    cfg = IndexConfig(n_groups=1, indexed_fields=("text", "title"))
+    v1 = pd.DataFrame({"doc_id": [0], "text": ["a\x1f"], "title": [""]})
+    idx = str(tmp_path / "inj_idx")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(v1), idx)
+    v2 = pd.DataFrame({"doc_id": [0], "text": ["a"], "title": ["\x1f"]})
+    res = IndexBuilder(spark, cfg).upsert(spark.createDataFrame(v2), idx)
+    assert res["mode"] == "delta" and res["n_changed"] == 1
+    # and the unchanged replay is still a noop
+    res2 = IndexBuilder(spark, cfg).upsert(spark.createDataFrame(v2), idx)
+    assert res2["mode"] == "noop"

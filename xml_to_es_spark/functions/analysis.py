@@ -114,6 +114,28 @@ def sql_phrase_match(tokens_expr: str, phrase: str) -> str:
     )
 
 
+def sql_phrase_slop_match(tokens_expr: str, phrase: str, slop: int) -> str:
+    """DuckDB twin of the slop kernel's shifted-position-span
+    semantics (see QueryEngine.phrase_topk): anchor a runs over every
+    possible window start; slot j matches iff some position in
+    [a+j, a+j+slop] holds term j. 1-based list indexing; greatest()
+    clamps keep list_slice away from DuckDB's negative-index
+    (from-the-end) semantics."""
+    from xml_to_es_spark.pyref import tokenize
+
+    terms = tokenize(phrase)
+    m = len(terms)
+    conds = " AND ".join(
+        f"list_contains(list_slice({tokens_expr}, greatest(a + {j}, 1),"
+        f" greatest(a + {j} + {slop}, 0)), '{t}')"
+        for j, t in enumerate(terms)
+    )
+    return (
+        f"(len(list_filter(range(1 - {m}, len({tokens_expr}) + 1),"
+        f" a -> {conds})) > 0)"
+    )
+
+
 # DuckDB-SQL fragment equivalents, used to assemble oracle_sql() strings.
 SQL_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 SQL_DOC_LEN = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"

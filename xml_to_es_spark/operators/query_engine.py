@@ -441,6 +441,7 @@ class QueryEngine:
         fields: list[str] | None = None,
         from_: int = 0,
         prefix_expansions: int | None = None,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """Block-max WAND path: doc-at-a-time evaluation skipping
         blocks whose upper bound cannot beat the running threshold —
@@ -464,7 +465,17 @@ class QueryEngine:
         is an independent cursor with its field's idf and avgdl.
         ``prefix_expansions``: ES match_bool_prefix — the LAST query
         token expands to the terms it prefixes (see
-        :meth:`prefix_topk`)."""
+        :meth:`prefix_topk`).
+
+        ``search_after``: ES cursor pagination — per query_id the
+        (score, doc_id) of the last hit served. WAND scores are the
+        pinned deterministic sum (bit-stable across jobs), so the
+        cursor filters by exact sort-key comparison INSIDE the
+        kernels: served docs never enter the heap, the heap stays
+        k-sized at any depth, and block-max pruning still applies —
+        deep cursor pages are never slower than page one (unlike
+        ``from_``, which ranks from_+k rows). Ranks restart at 1 per
+        page."""
         matched = self._matched_segments(
             queries, fuzziness, field, fields,
             prefix_expansions=prefix_expansions,
@@ -476,7 +487,9 @@ class QueryEngine:
             # per-(query, dir, range) local top-k, global merge: a
             # doc's live contributions all sit in ONE (dir, range)
             # group, so the merge needs no re-summation
-            partials = self._wand_partials(matched, k_local, n_ranges or 1)
+            partials = self._wand_partials(
+                matched, k_local, n_ranges or 1, search_after
+            )
             from pyspark.sql import Window as W
 
             w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -485,13 +498,18 @@ class QueryEngine:
                 .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
                 .select("query_id", "rank", "doc_id", "score")
             )
-        run = self._wand_group_kernel(k_local)
+        run = self._wand_group_kernel(k_local, after=search_after)
         out = matched.groupBy("query_id", "ord").applyInPandas(
             run, schema=TOPK_SCHEMA
         )
         return out.filter(F.col("rank") > from_) if from_ else out
 
-    def _wand_group_kernel(self, k: int, ranged: bool = False):
+    def _wand_group_kernel(
+        self,
+        k: int,
+        ranged: bool = False,
+        after: dict[int, tuple[float, int]] | None = None,
+    ):
         """applyInPandas kernel: one (query, dir[, range]) group →
         local block-max WAND top-k over that group's segments.
         Tombstoned doc versions for the group's dir are skipped at
@@ -532,11 +550,12 @@ class QueryEngine:
             dead = dead_by_ord.get(int(pdf["ord"].iat[0]))
             lo = int(pdf["range_lo"].iat[0]) if ranged else None
             hi = int(pdf["range_hi"].iat[0]) if ranged else None
+            qid = int(pdf["query_id"].iat[0])
             hits = wand_topk(
                 list(entries.values()), k, k1, b, avgdl, bs,
                 doc_lo=lo, doc_hi=hi, dead=dead,
+                after=None if after is None else after.get(qid),
             )
-            qid = int(pdf["query_id"].iat[0])
             out = {
                 "query_id": np.full(len(hits), qid, dtype=np.int64),
                 "rank": np.arange(1, len(hits) + 1, dtype=np.int32),
@@ -576,10 +595,16 @@ class QueryEngine:
             (F.col("first_doc") < F.col("range_hi")) & (seg_last >= F.col("range_lo")),
         )
 
-    def _wand_partials(self, matched: DataFrame, k: int, n_ranges: int) -> DataFrame:
+    def _wand_partials(
+        self,
+        matched: DataFrame,
+        k: int,
+        n_ranges: int,
+        after: dict[int, tuple[float, int]] | None = None,
+    ) -> DataFrame:
         """Per-(query, dir, range) local WAND top-k rows (pre-merge)."""
         ranged = self._ranged(matched, n_ranges)
-        run = self._wand_group_kernel(k, ranged=True)
+        run = self._wand_group_kernel(k, ranged=True, after=after)
         return ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
@@ -637,6 +662,42 @@ class QueryEngine:
         )
 
     _BOOL_ROLES = ("must", "should", "must_not", "filter")
+    _STRUCTURED_KINDS = ("term", "terms", "range", "exists", "match")
+
+    @staticmethod
+    def _structured_pred(clause: dict) -> F.Column:
+        """One ES structured filter clause → a Column predicate over
+        the stored doc values: {"term": {col: v}}, {"terms": {col:
+        [v…]}}, {"range": {col: {gte/gt/lte/lt: v}}}, {"exists":
+        {"field": col}}. Values compare with the stored column's own
+        type (a string bound against a timestamp/date column coerces,
+        the ES format-driven behaviour)."""
+        (kind, spec), = clause.items()
+        if kind == "term":
+            (c, v), = spec.items()
+            return F.col(c) == F.lit(v)
+        if kind == "terms":
+            (c, vs), = spec.items()
+            return F.col(c).isin(list(vs))
+        if kind == "range":
+            (c, bounds), = spec.items()
+            ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+            bad = set(bounds) - set(ops)
+            if bad:
+                raise ValueError(f"range on {c!r}: unknown bound(s) {sorted(bad)}")
+            pred = None
+            for b, v in bounds.items():
+                p = getattr(F.col(c), ops[b])(F.lit(v))
+                pred = p if pred is None else (pred & p)
+            if pred is None:
+                raise ValueError(f"range on {c!r}: no bounds given")
+            return pred
+        if kind == "exists":
+            return F.col(spec["field"]).isNotNull()
+        raise ValueError(
+            f"unknown structured filter kind {kind!r}; expected one of "
+            f"{QueryEngine._STRUCTURED_KINDS}"
+        )
 
     def bool_topk(
         self,
@@ -644,6 +705,7 @@ class QueryEngine:
         k: int = 10,
         field: str | None = None,
         from_: int = 0,
+        docs: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``bool`` query over term clauses. Each query is
         ``(query_id, {"must": text, "should": text, "must_not": text,
@@ -658,6 +720,33 @@ class QueryEngine:
         - ``filter``: every token required; NO score contribution
           (the ES filter context — a filter-only bool scores 0).
         - ``must_not``: any token present excludes the doc; no score.
+
+        ``filter`` also accepts a LIST mixing analyzed and STRUCTURED
+        clauses over stored doc values (``IndexConfig(stored_fields=
+        ...)`` or an explicit ``docs`` DataFrame) — the ES keyword/
+        date/numeric filter context the reference mapping declares
+        (examples/mapping.json:10,13 — a not_analyzed id and a
+        formatted date)::
+
+            {"must": "hash join",
+             "filter": [{"term": {"lang": "en"}},
+                        {"range": {"n_chars": {"gte": 100, "lt": 5000}}},
+                        {"match": "spark"}]}
+
+        Structured kinds: ``term`` (equality), ``terms`` (isin),
+        ``range`` (gte/gt/lte/lt), ``exists``; ``{"match": text}``
+        tokens behave exactly like string-filter tokens. A query with
+        ONLY structured filters is ES match_all + filter: every live
+        doc satisfying the predicates, score 0 (ranked by doc_id) —
+        corpus-scan shaped by design, bounded by filter selectivity
+        and the top-k window, nothing collected.
+
+        Scale shape of the structured path: the doc-values projection
+        is pre-filtered with the OR of every query's predicate (a
+        pushed parquet filter), then joined to the (query_id, doc_id)
+        match set on doc_id and checked per-query — one extra
+        shuffle-join against a column-pruned scan, no new driver
+        state.
 
         One postings scan covers all roles: the broadcast query table
         carries (query_id, term, idf, role) with idf pinned to 0 for
@@ -676,6 +765,9 @@ class QueryEngine:
         avg = self._avgdl_of(fld)
         rows: list[tuple[int, str, str]] = []  # (qid, stored term, role)
         need: list[tuple[int, int, int, int]] = []
+        struct: dict[int, list[dict]] = {}   # qid → structured clauses
+        match_all: list[int] = []            # structured-only (no text clauses)
+        has_mnot: set[int] = set()
         for qid, clauses in queries:
             bad = set(clauses) - set(self._BOOL_ROLES)
             if bad:
@@ -683,10 +775,30 @@ class QueryEngine:
                     f"unknown bool clause(s) {sorted(bad)}; "
                     f"expected {self._BOOL_ROLES}"
                 )
+            fval = clauses.get("filter")
+            if isinstance(fval, (list, tuple)):
+                ftext_parts, sclauses = [], []
+                for cl in fval:
+                    if not (isinstance(cl, dict) and len(cl) == 1):
+                        raise ValueError(
+                            f"query {qid}: each filter clause must be a "
+                            f"single-key dict, got {cl!r}"
+                        )
+                    if "match" in cl:
+                        ftext_parts.append(cl["match"])
+                    else:
+                        self._structured_pred(cl)  # validate kind/bounds
+                        sclauses.append(cl)
+                ftext = " ".join(ftext_parts)
+                if sclauses:
+                    struct[qid] = sclauses
+            else:
+                ftext = fval or ""
             toks = {
                 r: sorted(set(tokenize(clauses.get(r, "") or "")))
-                for r in self._BOOL_ROLES
+                for r in ("must", "should", "must_not")
             }
+            toks["filter"] = sorted(set(tokenize(ftext)))
             seen: dict[str, str] = {}
             for r in self._BOOL_ROLES:
                 for t in toks[r]:
@@ -698,21 +810,24 @@ class QueryEngine:
                         )
                     seen[t] = r
                     rows.append((qid, self._term_of(t, fld), r))
-            if toks["must_not"] and not (
-                toks["must"] or toks["should"] or toks["filter"]
-            ):
+            if toks["must_not"]:
+                has_mnot.add(qid)
+            has_text = bool(toks["must"] or toks["should"] or toks["filter"])
+            if toks["must_not"] and not has_text and qid not in struct:
                 raise ValueError(
                     f"query {qid}: must_not-only bool is ES match_all minus "
                     "exclusions — an unbounded corpus scan; add a must/"
                     "should/filter clause to bound the match set"
                 )
+            if not has_text and qid in struct:
+                match_all.append(qid)   # ES match_all + filter, score 0
             msm = 0 if (toks["must"] or toks["filter"]) else (
                 1 if toks["should"] else 0
             )
             need.append((qid, len(toks["must"]), len(toks["filter"]), msm))
-        if not rows:
+        if not rows and not struct:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        meta = self._term_meta(sorted({t for _, t, _ in rows}))
+        meta = self._term_meta(sorted({t for _, t, _ in rows})) if rows else {}
         present = [
             (
                 qid,
@@ -726,8 +841,23 @@ class QueryEngine:
             for qid, t, role in rows
             if t in meta and meta[t]["df"] > 0
         ]
-        if not present:
+        if not present and not struct:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        agg = None if not present else self._bool_agg(present, meta)
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        hits = self._bool_hits(agg, need, struct, match_all, has_mnot, docs)
+        if hits is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def _bool_agg(self, present: list[tuple], meta: dict) -> DataFrame:
+        """The one-scan/one-hash-agg core of :meth:`bool_topk`:
+        per (query_id, doc_id) — summed scoring contribs, per-role
+        distinct-term counts, must_not exclusion flag."""
         qdf = self.spark.createDataFrame(
             present,
             schema="query_id long, term string, idf double, avgdl double,"
@@ -741,7 +871,7 @@ class QueryEngine:
             schema=CONTRIB_SCHEMA,
         )
         roles = qdf.select("query_id", "term", "role")
-        agg = (
+        return (
             contribs.join(F.broadcast(roles), ["query_id", "term"])
             .groupBy("query_id", "doc_id")
             .agg(
@@ -771,21 +901,112 @@ class QueryEngine:
                 ).alias("excl"),
             )
         )
-        need_df = self.spark.createDataFrame(
-            need, schema="query_id long, n_must int, n_filter int, msm int"
+
+    @staticmethod
+    def _clause_col(clause: dict) -> str:
+        (kind, spec), = clause.items()
+        if kind == "exists":
+            return spec["field"]
+        (c, _), = spec.items()
+        return c
+
+    def _bool_hits(
+        self,
+        agg: DataFrame | None,
+        need: list[tuple[int, int, int, int]],
+        struct: dict[int, list[dict]],
+        match_all: list[int],
+        has_mnot: set[int],
+        docs: DataFrame | None,
+    ) -> DataFrame | None:
+        """Assemble the (query_id, doc_id, score) bool match set from
+        the text-clause agg and the structured filter context.
+
+        Text-bounded queries flow through the occurrence-count filter
+        as before; queries with structured clauses additionally join
+        the pre-filtered doc-values projection (the OR of every
+        query's predicate is pushed into the scan, the per-query
+        predicate is an exact CASE after the join). match_all+filter
+        queries take their candidates straight from that projection
+        with score 0, minus any must_not matches from the agg."""
+        text_hits = None
+        if agg is not None:
+            need_df = self.spark.createDataFrame(
+                need, schema="query_id long, n_must int, n_filter int, msm int"
+            )
+            text_hits = (
+                agg.join(F.broadcast(need_df), "query_id")
+                .filter(
+                    (F.col("must_m") == F.col("n_must"))
+                    & (F.col("filter_m") == F.col("n_filter"))
+                    & (F.col("excl") == 0)
+                    & (F.col("should_m") >= F.col("msm"))
+                )
+                .select("query_id", "doc_id", "score")
+            )
+            if match_all:
+                # structured-only queries never rank via the agg (their
+                # agg rows, if any, are pure must_not matches)
+                text_hits = text_hits.filter(~F.col("query_id").isin(match_all))
+        if not struct:
+            return text_hits
+        cols = sorted(
+            {self._clause_col(cl) for cls in struct.values() for cl in cls}
         )
-        hits = agg.join(F.broadcast(need_df), "query_id").filter(
-            (F.col("must_m") == F.col("n_must"))
-            & (F.col("filter_m") == F.col("n_filter"))
-            & (F.col("excl") == 0)
-            & (F.col("should_m") >= F.col("msm"))
+        dv = (
+            docs.select("doc_id", *cols)
+            if docs is not None
+            else self._doc_values(cols)
         )
-        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            hits.withColumn("rank", F.row_number().over(w))
-            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
-            .select("query_id", "rank", "doc_id", "score")
-        )
+        preds: dict[int, F.Column] = {}
+        for qid, cls in struct.items():
+            p = None
+            for cl in cls:
+                q = self._structured_pred(cl)
+                p = q if p is None else (p & q)
+            preds[qid] = p
+        any_pred = None
+        for p in preds.values():
+            any_pred = p if any_pred is None else (any_pred | p)
+        # pushed parquet filter: only docs satisfying SOME query's
+        # predicate ever leave the scan
+        dvf = dv.filter(any_pred)
+        case = None
+        for qid, p in preds.items():
+            case = (
+                F.when(F.col("query_id") == qid, p)
+                if case is None
+                else case.when(F.col("query_id") == qid, p)
+            )
+        parts: list[DataFrame] = []
+        if text_hits is not None:
+            sqids = sorted(q for q in struct if q not in match_all)
+            parts.append(text_hits.filter(~F.col("query_id").isin(sorted(struct))))
+            if sqids:
+                parts.append(
+                    text_hits.filter(F.col("query_id").isin(sqids))
+                    .join(dvf, "doc_id")
+                    .filter(case.otherwise(F.lit(False)))
+                    .select("query_id", "doc_id", "score")
+                )
+        for qid in match_all:
+            base = dvf.filter(preds[qid]).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "doc_id",
+                F.lit(0.0).alias("score"),
+            )
+            if qid in has_mnot and agg is not None:
+                excluded = agg.filter(
+                    (F.col("query_id") == qid) & (F.col("excl") == 1)
+                ).select("doc_id")
+                base = base.join(excluded, "doc_id", "left_anti")
+            parts.append(base)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 
@@ -796,6 +1017,7 @@ class QueryEngine:
         n_ranges: int | None = None,
         field: str | None = None,
         from_: int = 0,
+        slop: int = 0,
     ) -> DataFrame:
         """ES ``match_phrase`` over the compressed POSITIONAL postings
         (index built with ``IndexConfig(store_positions=True)``): a hit
@@ -806,7 +1028,19 @@ class QueryEngine:
         over range-pruned segments, global WindowGroupLimit merge
         (exact: a live doc's postings sit in one (dir, range)).
         ``field`` scopes the phrase to one analyzed field of a fielded
-        index (positions are within-field offsets)."""
+        index (positions are within-field offsets).
+
+        ``slop``: ES match_phrase slop as SHIFTED-POSITION SPAN — a
+        doc matches iff each phrase slot j has an occurrence at some
+        position p_j with max_j(p_j − j) − min_j(p_j − j) ≤ slop.
+        slop=0 is exact adjacency; a one-word insertion needs slop 1;
+        a transposition needs slop 2 — the Lucene sloppy-phrase
+        distances for the common cases, in a form that stays fully
+        vectorized (anchored window intersection, see the kernel) and
+        SQL-twinnable. Deviations from Lucene's move-based matcher:
+        repeated-term phrases may satisfy two slots with one
+        occurrence when slop ≥ 1, and scoring ignores slop distance
+        (BM25 over the phrase terms, like the exact path)."""
         from pyspark.sql import Window as W
 
         fld = self._resolve_field(field)
@@ -819,7 +1053,7 @@ class QueryEngine:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
-        run = self._phrase_group_kernel(k_local, seqs)
+        run = self._phrase_group_kernel(k_local, seqs, slop=slop)
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
@@ -830,7 +1064,9 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
-    def _phrase_group_kernel(self, k: int, seqs: dict[int, list[str]]):
+    def _phrase_group_kernel(
+        self, k: int, seqs: dict[int, list[str]], slop: int = 0
+    ):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
         doc sets, verify positional adjacency, score survivors
@@ -910,8 +1146,13 @@ class QueryEngine:
                 return empty
             # shift-and-intersect over packed (candidate_idx, start)
             # keys; position lists are ascending per doc and owners
-            # ascend, so each key stream is sorted + unique
-            survivors: np.ndarray | None = None
+            # ascend, so each key stream is sorted + unique. Shifted
+            # positions are offset by m-1 so negative shifts (needed
+            # for slop — a transposed token shifts left) stay
+            # packable; a uniform offset changes neither the exact
+            # intersection nor the span.
+            m = len(seq)
+            slot_keys: list[np.ndarray] = []
             for j, t in enumerate(seq):
                 e = by_term[t]
                 idxs = np.searchsorted(e["docs"], cand)
@@ -919,15 +1160,38 @@ class QueryEngine:
                 counts = np.array([p.size for p in plists], dtype=np.int64)
                 flat = (
                     np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
-                ) - j
+                ) - j + (m - 1)
                 owner = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
-                valid = flat >= 0
-                keys = (owner[valid] << np.int64(33)) | (flat[valid] + 1)
-                survivors = (
-                    keys
-                    if j == 0
-                    else np.intersect1d(survivors, keys, assume_unique=True)
-                )
+                keys = (owner << np.int64(33)) | (flat + 1)
+                slot_keys.append(keys)
+            if slop == 0:
+                survivors: np.ndarray | None = None
+                for keys in slot_keys:
+                    survivors = (
+                        keys
+                        if survivors is None
+                        else np.intersect1d(survivors, keys, assume_unique=True)
+                    )
+                    if survivors.size == 0:
+                        return empty
+            else:
+                # anchored window intersection: anchor a runs over the
+                # union of shifted positions; slot j matches iff it
+                # has a shifted position in [a, a+slop] for the same
+                # candidate — first-key-ge probe on the packed order
+                vmask = np.int64((1 << 33) - 1)
+                anchors = np.unique(np.concatenate(slot_keys))
+                ok = np.ones(anchors.size, dtype=bool)
+                for keys in slot_keys:
+                    if not keys.size:
+                        return empty
+                    idx = np.searchsorted(keys, anchors)
+                    hit = idx < keys.size
+                    nxt = keys[np.minimum(idx, keys.size - 1)]
+                    hit &= (nxt >> np.int64(33)) == (anchors >> np.int64(33))
+                    hit &= (nxt & vmask) <= (anchors & vmask) + slop
+                    ok &= hit
+                survivors = anchors[ok]
                 if survivors.size == 0:
                     return empty
             sdocs = cand[np.unique(survivors >> np.int64(33))]
@@ -957,56 +1221,51 @@ class QueryEngine:
         return run
 
     def fuzzy_variants(
-        self, tokens: list[str], fuzziness: int, field: str | None = None
-    ) -> dict[str, list[str]]:
-        """ES fuzzy expansion against the terms DICTIONARY: each query
-        token → every indexed term within levenshtein ≤ fuzziness.
-        One job over the unioned per-dir term tables (the dictionary
-        is tiny next to the postings). On fielded indexes the scan is
-        prefix-pruned to ``field`` and the distance is computed on the
-        bare token; returned variants are STORED term keys."""
-        scans = [
-            self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
-        ]
-        vocab = scans[0]
-        for sc in scans[1:]:
-            vocab = vocab.unionByName(sc)
-        vocab = vocab.distinct()
-        if field is not None:
-            prefix = f"{field}:"
-            vocab = vocab.filter(F.col("term").startswith(prefix)).withColumn(
-                "bare", F.expr(f"substring(term, {len(prefix) + 1})")
-            )
-        else:
-            vocab = vocab.withColumn("bare", F.col("term"))
-        # ONE job: vocabulary × query tokens (tokens exploded from a
-        # literal array), levenshtein filtered JVM-side
-        pairs = (
-            vocab.select(
-                "term", "bare",
-                F.explode(F.array(*[F.lit(t) for t in tokens])).alias("qt"),
-            )
-            .filter(F.levenshtein(F.col("bare"), F.col("qt")) <= fuzziness)
-            .collect()
-        )
-        out: dict[str, list[str]] = {t: [] for t in tokens}
-        for r in pairs:
-            out[r["qt"]].append(r["term"])
-        return {t: sorted(v) for t, v in out.items()}
-
-    def prefix_variants(
         self,
-        prefixes: list[str],
+        tokens: list[str],
+        fuzziness: int,
         field: str | None = None,
         max_expansions: int = 50,
     ) -> dict[str, list[str]]:
-        """ES prefix expansion against the terms DICTIONARY: each
-        prefix → indexed terms starting with it, in term order, capped
-        at ``max_expansions`` (the ES prefix / match_bool_prefix
-        behaviour). One job over the unioned per-dir term tables; on
-        fielded indexes the scan is pruned to ``field`` and prefixes
-        compare on the bare token. Returned variants are STORED term
-        keys."""
+        """ES fuzzy expansion against the terms DICTIONARY: each query
+        token → indexed terms within levenshtein ≤ fuzziness, capped
+        at ``max_expansions`` per token in term order (the ES
+        ``fuzzy.max_expansions`` default, 50). One job over the
+        unioned per-dir term tables; the cap is applied IN-PLAN, so
+        the driver collect is ≤ tokens×cap rows by construction. On
+        fielded indexes the scan is prefix-pruned to ``field`` and the
+        distance is computed on the bare token; returned variants are
+        STORED term keys."""
+        capped = self._capped_expansion(
+            tokens,
+            lambda bare, probe: F.levenshtein(bare, probe) <= fuzziness,
+            field,
+            max_expansions,
+        )
+        out: dict[str, list[str]] = {t: [] for t in tokens}
+        for r in capped.collect():
+            out[r["qp"]].append(r["term"])
+        return {t: sorted(v) for t, v in out.items()}
+
+    def _capped_expansion(
+        self,
+        probes: list[str],
+        pred,
+        field: str | None,
+        max_expansions: int,
+    ) -> DataFrame:
+        """Shared dictionary-expansion plan: vocabulary × probes
+        (probes exploded from a literal array), ``pred(bare, probe)``
+        filtered JVM-side, then capped IN-PLAN per probe —
+        ``row_number() OVER (PARTITION BY probe ORDER BY bare) ≤
+        max_expansions`` — BEFORE any collect. A 1-character prefix
+        over a 10^9-term Common-Crawl vocabulary therefore reaches the
+        driver as ≤ probes×max_expansions rows, never as the matching
+        vocabulary slice (the round-3 scale defect). Returns
+        DataFrame(qp, term, bare) with ≤ max_expansions rows per qp,
+        first-N in term order (the ES expansion rule)."""
+        from pyspark.sql import Window as W
+
         scans = [
             self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
         ]
@@ -1021,19 +1280,42 @@ class QueryEngine:
             )
         else:
             vocab = vocab.withColumn("bare", F.col("term"))
-        pairs = (
-            vocab.select(
-                "term", "bare",
-                F.explode(F.array(*[F.lit(p) for p in prefixes])).alias("qp"),
-            )
-            .filter(F.col("bare").startswith(F.col("qp")))
-            .collect()
+        pairs = vocab.select(
+            "term", "bare",
+            F.explode(F.array(*[F.lit(p) for p in probes])).alias("qp"),
+        ).filter(pred(F.col("bare"), F.col("qp")))
+        w = W.partitionBy("qp").orderBy("bare")
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_expansions)
+            .drop("_rn")
+        )
+
+    def prefix_variants(
+        self,
+        prefixes: list[str],
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> dict[str, list[str]]:
+        """ES prefix expansion against the terms DICTIONARY: each
+        prefix → indexed terms starting with it, in term order, capped
+        at ``max_expansions`` (the ES prefix / match_bool_prefix
+        behaviour). The cap is applied IN-PLAN (see
+        :meth:`_capped_expansion`), so the driver materializes at most
+        prefixes×max_expansions rows regardless of vocabulary size.
+        On fielded indexes the scan is pruned to ``field`` and
+        prefixes compare on the bare token. Returned variants are
+        STORED term keys."""
+        capped = self._capped_expansion(
+            prefixes,
+            lambda bare, probe: bare.startswith(probe),
+            field,
+            max_expansions,
         )
         out: dict[str, list[str]] = {p: [] for p in prefixes}
-        for r in pairs:
+        for r in capped.collect():
             out[r["qp"]].append(r["term"])
-        # term-order cap — the same first-N-in-index-order rule ES uses
-        return {p: sorted(v)[:max_expansions] for p, v in out.items()}
+        return {p: sorted(v) for p, v in out.items()}
 
     def prefix_topk(
         self,
@@ -1258,21 +1540,35 @@ class QueryEngine:
             )
         return lv.select("doc_id", *cols)
 
+    _DATE_INTERVALS = (
+        "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    )
+
     def search_aggs(
         self,
         queries: list[tuple[int, str]],
-        group_by: str | tuple[str, float],
+        group_by: str | tuple[str, float] | tuple[str, str],
         metrics: dict[str, tuple[str, str]] | None = None,
         min_match: int | str | None = None,
         field: str | None = None,
         docs: DataFrame | None = None,
+        size: int | None = None,
     ) -> DataFrame:
         """ES search aggregations: a ``terms`` bucket agg — or, when
         ``group_by`` is ``(column, interval)``, an ES ``histogram``
-        agg (bucket = floor(col/interval)·interval, emitted as
-        ``<col>_bucket``) — plus optional sub-aggs, over the FULL
-        match set of each query, not the top-k page; ES aggs run on
-        every matching doc.
+        agg (numeric interval: bucket = floor(col/interval)·interval)
+        or ``date_histogram`` (string calendar_interval in
+        {year, quarter, month, week, day, hour, minute, second}:
+        bucket = date_trunc over a timestamp/date doc value, the ES
+        calendar-interval semantics), emitted as ``<col>_bucket`` —
+        plus optional sub-aggs, over the FULL match set of each
+        query, not the top-k page; ES aggs run on every matching doc.
+
+        ``size``: the ES terms-agg ``size`` — only the top ``size``
+        buckets PER QUERY by doc_count desc (bucket key asc on ties,
+        the ES tiebreak) are returned; applied in-plan as a rank
+        window over the bucket agg, so a high-cardinality group_by at
+        CC scale never ships an unbounded bucket set to the caller.
 
         ``metrics``: {alias: (fn, column)} with fn in
         avg/sum/min/max/count_distinct/cardinality (``cardinality``
@@ -1326,9 +1622,21 @@ class QueryEngine:
         if isinstance(group_by, tuple):
             gcol, interval = group_by
             bucket_name = f"{gcol}_bucket"
-            bucket = F.floor(F.col(gcol) / F.lit(float(interval))) * F.lit(interval)
-            if float(interval).is_integer():
-                bucket = bucket.cast("long")
+            if isinstance(interval, str):
+                if interval not in self._DATE_INTERVALS:
+                    raise ValueError(
+                        f"date_histogram interval {interval!r}; expected one "
+                        f"of {self._DATE_INTERVALS}"
+                    )
+                bucket = F.date_trunc(interval, F.col(gcol))
+                if interval in ("year", "quarter", "month", "week", "day"):
+                    bucket = bucket.cast("date")
+            else:
+                bucket = (
+                    F.floor(F.col(gcol) / F.lit(float(interval))) * F.lit(interval)
+                )
+                if float(interval).is_integer():
+                    bucket = bucket.cast("long")
             bucket = bucket.alias(bucket_name)
         else:
             gcol, bucket, bucket_name = group_by, F.col(group_by), group_by
@@ -1342,12 +1650,24 @@ class QueryEngine:
             self._AGG_FNS[fn](c).alias(alias)
             for alias, (fn, c) in metrics.items()
         ]
-        return (
+        out = (
             hits.join(src, "doc_id")
             .withColumn(bucket_name, bucket)
             .groupBy("query_id", bucket_name)
             .agg(*aggs)
         )
+        if size is not None:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("query_id").orderBy(
+                F.desc("doc_count"), F.asc(bucket_name)
+            )
+            out = (
+                out.withColumn("_brank", F.row_number().over(w))
+                .filter(F.col("_brank") <= size)
+                .drop("_brank")
+            )
+        return out
 
     def topk_distributed(
         self,
@@ -1375,9 +1695,15 @@ class QueryEngine:
         ranks). ``search_after``: ES cursor pagination — per query_id
         the (score, doc_id) of the LAST hit already seen (as returned
         by this method); only strictly-after hits in the (score desc,
-        doc_id asc) order are ranked, so deep paging never materializes
-        the rows already served. Cursor comparison is on this path's
-        own scores — feed back what it returned."""
+        doc_id asc) order are served. The cursor is RANK-ANCHORED on
+        doc_id: the cursor doc's position in THIS job's own ranking
+        defines "after", so the fed-back float score never has to be
+        bit-equal to a re-summed one (this path's F.sum accumulation
+        order is engine-chosen — a last-ulp drift across jobs would
+        otherwise skip or duplicate the boundary doc). The fed score
+        is used only as a fallback ordering key when the cursor doc
+        has vanished from the match set (deleted/updated between
+        pages)."""
         from pyspark.sql import Window as W
 
         matched = self._matched_segments(queries, field=field, fields=fields)
@@ -1402,17 +1728,39 @@ class QueryEngine:
             scored = scored.join(F.broadcast(need_df), "query_id").filter(
                 F.col("n_matched") >= F.col("need")
             )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         if search_after:
             cur = self.spark.createDataFrame(
                 [(int(q), float(s), int(d)) for q, (s, d) in search_after.items()],
                 schema="query_id long, c_score double, c_doc long",
             )
-            scored = scored.join(F.broadcast(cur), "query_id", "left").filter(
-                F.col("c_score").isNull()
-                | (F.col("score") < F.col("c_score"))
-                | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
-            ).drop("c_score", "c_doc")
-        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+            # rank-anchor: locate the cursor DOC in this job's own
+            # ranking and serve what follows it — exact regardless of
+            # float re-summation drift across jobs
+            anchored = (
+                scored.join(F.broadcast(cur), "query_id", "left")
+                .withColumn("g_rank", F.row_number().over(w))
+                .withColumn(
+                    "c_rank",
+                    F.max(
+                        F.when(F.col("doc_id") == F.col("c_doc"), F.col("g_rank"))
+                    ).over(W.partitionBy("query_id")),
+                )
+            )
+            scored = anchored.filter(
+                F.when(
+                    F.col("c_rank").isNotNull(), F.col("g_rank") > F.col("c_rank")
+                ).otherwise(
+                    # cursor doc gone (deleted/updated between pages):
+                    # fall back to the fed (score, doc_id) ordering key
+                    F.col("c_score").isNull()
+                    | (F.col("score") < F.col("c_score"))
+                    | (
+                        (F.col("score") == F.col("c_score"))
+                        & (F.col("doc_id") > F.col("c_doc"))
+                    )
+                )
+            ).select("query_id", "doc_id", "score", "n_matched")
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))

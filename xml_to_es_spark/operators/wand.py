@@ -153,6 +153,7 @@ def wand_topk(
     doc_lo: int | None = None,
     doc_hi: int | None = None,
     dead: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """term_entries: [{term, idf, segments: [segment rows]}]. Returns
     [(doc_id, score)] ranked by (score desc, doc_id asc); scores are
@@ -166,7 +167,15 @@ def wand_topk(
     ``dead`` (sorted int64 array) lists tombstoned doc_ids whose
     stored version here is superseded by a delta index: they are
     advanced past without scoring (block bounds stay valid upper
-    bounds, so pruning is unaffected)."""
+    bounds, so pruning is unaffected).
+
+    ``after`` = (score, doc_id): ES search_after — only hits STRICTLY
+    after that sort key in (score desc, doc_id asc) order enter the
+    heap. Exact float equality is safe here: this path's scores are
+    the pinned deterministic sum, bit-stable across jobs. Deep pages
+    keep a k-sized heap (never from_+k) and the heap threshold still
+    rises normally, so cursor paging gets FASTER with depth, not
+    slower."""
     cursors = [
         TermCursor(
             e["term"], e["idf"], e["segments"], k1, b,
@@ -235,10 +244,15 @@ def wand_topk(
                 if c.cur_doc == pivot_doc:
                     score += c.score_current()
             item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            served = after is not None and (
+                score > after[0]
+                or (score == after[0] and pivot_doc <= after[1])
+            )
+            if not served:
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
             for c in live:
                 if c.cur_doc == pivot_doc:
                     c.next_doc()
