@@ -413,6 +413,24 @@ def _q_bool_range(spark, sf):
     )
 
 
+def _q_sort_by_field(spark, sf):
+    """ES sort-by-field: per query, the top-10 MATCHING docs ordered
+    by the stored n_chars doc value (desc, doc_id tiebreak) over the
+    FULL match set — not a re-sort of the relevance page; BM25 score
+    rides along (ES track_scores)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.sort_topk(BM25_QUERIES, by="n_chars", k=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_search_aggs(spark, sf):
     """ES search aggregations over the FULL match set: terms bucket on
     the stored `source` doc-value with avg/max sub-aggs on `n_chars`
@@ -564,6 +582,28 @@ def _q_multi_match(spark, sf):
     out = eng.multi_match(
         BM25_QUERIES, k=BM25_K, fields=["text", "title"], match_type="best_fields",
         n_ranges=2,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_multi_match_boosted(spark, sf):
+    """ES multi_match best_fields with field boosts (title^2) and
+    dis_max tie_breaker=0.3: per-(query, doc, field) boosted sums in
+    one scan (term keys carry the field prefix), then
+    max + 0.3*(sum - max) per doc — the exact ES dis_max combination,
+    computed over the FULL match set (a containment argument only
+    holds for pure max)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _fielded_index(spark, sf))
+    out = eng.multi_match(
+        BM25_QUERIES, k=BM25_K, fields=["title^2", "text"],
+        match_type="best_fields", tie_breaker=0.3,
     )
     return out.select(
         "query_id",
@@ -887,12 +927,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cursor_topk": _q_bm25_cursor,
         "bm25_bool_topk": _q_bool,
         "bm25_bool_range_topk": _q_bool_range,
+        "bm25_sort_chars_topk": _q_sort_by_field,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
         "search_aggs_date_histogram": _q_search_aggs_date_histogram,
         "bm25_prefix_topk": _q_prefix,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
+        "multi_match_boosted_topk": _q_multi_match_boosted,
         "doc_id_assignment": _q_doc_id_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
         "exact_dedup": _q_exact_dedup,
@@ -1036,6 +1078,45 @@ tf AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked
 WHERE rank > {from_} AND rank <= {from_ + BM25_K}
+"""
+
+
+def _sort_by_field_sql(k: int) -> str:
+    """Twin of sort_topk: same match set and BM25 sum as _bm25_sql,
+    ranked by the n_chars doc value instead of the score."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d.n_chars DESC, doc_id ASC) AS rank,
+         doc_id, d.n_chars, round(score_raw, 6) AS score
+  FROM scored JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank, doc_id, n_chars, score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1429,6 +1510,37 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
     )
 
 
+def _multi_match_boosted_sql(k: int, title_boost: float, tie: float) -> str:
+    """Boosted dis_max twin: title scores x boost (algebraically equal
+    to boosting each term idf; round(6) hides the fold-order ulp),
+    combined as max + tie*(sum - max) over the full per-field match
+    sets."""
+    return (
+        "WITH "
+        + _field_scored_ctes(TOK, "_b", BM25_QUERIES)
+        + ",\n"
+        + _field_scored_ctes(_title_tok(), "_t", BM25_QUERIES)
+        + f""",
+u AS (
+  SELECT query_id, doc_id, score_raw FROM scored_b
+  UNION ALL
+  SELECT query_id, doc_id, {title_boost} * score_raw FROM scored_t
+),
+best AS (
+  SELECT query_id, doc_id,
+         max(score_raw) + {tie} * (sum(score_raw) - max(score_raw)) AS score_raw
+  FROM u GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM best)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def _multi_match_sql(k: int) -> str:
     """best_fields dis_max twin: max over the two per-field scored
     sets, then the usual (score desc, doc_id asc) rank window."""
@@ -1763,12 +1875,14 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_cursor_topk": f"SELECT query_id, rank - {BM25_K} AS rank, doc_id, score FROM ({_bm25_sql(from_=BM25_K)})",
         "bm25_bool_topk": _bool_sql(BM25_K),
         "bm25_bool_range_topk": _bool_range_sql(BM25_K),
+        "bm25_sort_chars_topk": _sort_by_field_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),
         "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),
         "bm25_prefix_topk": _prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
+        "multi_match_boosted_topk": _multi_match_boosted_sql(BM25_K, 2.0, 0.3),
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id
 FROM documents

@@ -190,11 +190,87 @@ def main():
         "bm25_bool_topk",
         lambda: eng.bool_topk(entry.BOOL_QUERIES, k=10).collect(),
     )
+    # ---- round-4 additions (also excluded from r2_comparable) ----
+    new_in_r4 = [
+        "bm25_bool_range_topk", "bm25_phrase_slop_topk", "bm25_cursor_topk",
+        "bm25_sort_chars_topk", "search_aggs_date_histogram",
+        "multi_match_boosted_topk", "bm25_prefix_1char_topk",
+    ]
+    # doc-values projection passed explicitly so the MAIN index build
+    # stays byte-comparable with earlier rounds (no extra stored cols)
+    dv = full_docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("doc_id") % 37) * 86400
+            + (F.col("doc_id") * 7919) % 86400
+        ).alias("warc_ts"),
+    ).persist()
+    dv.count()
+    # 13. bool + structured filter context (term/terms/range on doc
+    # values; one pushed-filter scan join against the match set)
+    timed(
+        "bm25_bool_range_topk",
+        lambda: eng.bool_topk(entry.BOOL_RANGE_QUERIES, k=10, docs=dv).collect(),
+    )
+    # 14. sloppy phrase (anchored window intersection, slop=2)
+    timed(
+        "bm25_phrase_slop_topk",
+        lambda: feng.phrase_topk(
+            entry.BM25_PHRASE_SLOP_QUERIES, k=10, n_ranges=8,
+            field="text", slop=2,
+        ).collect(),
+    )
+    # 15. cursor paging: page 2 via search_after (k-sized heaps inside
+    # the WAND kernels — contrast with from_-paging's from_+k heaps)
+    p1 = eng.topk_wand(entry.BM25_QUERIES, k=10, n_ranges=8).toPandas()
+    cur = {
+        int(qid): (float(g.score.iat[-1]), int(g.doc_id.iat[-1]))
+        for qid, g in p1.sort_values(["query_id", "rank"]).groupby("query_id")
+        if len(g)
+    }
+    timed(
+        "bm25_cursor_topk",
+        lambda: eng.topk_wand(
+            entry.BM25_QUERIES, k=10, n_ranges=8, search_after=cur
+        ).collect(),
+    )
+    # 16. ES sort-by-field over the full match set
+    timed(
+        "bm25_sort_chars_topk",
+        lambda: eng.sort_topk(
+            entry.BM25_QUERIES, by="n_chars", k=10, docs=dv
+        ).collect(),
+    )
+    # 17. date_histogram + terms-agg size (top-5 buckets in-plan)
+    timed(
+        "search_aggs_date_histogram",
+        lambda: eng.search_aggs(
+            entry.BM25_QUERIES, group_by=("warc_ts", "day"),
+            metrics={"max_chars": ("max", "n_chars")}, size=5, docs=dv,
+        ).collect(),
+    )
+    # 18. boosted dis_max (full-agg tie_breaker path)
+    timed(
+        "multi_match_boosted_topk",
+        lambda: feng.multi_match(
+            entry.BM25_QUERIES, k=10, fields=["title^2", "text"],
+            tie_breaker=0.3,
+        ).collect(),
+    )
+    # 19. 1-char prefix expansion — the round-3 scale defect scenario:
+    # the dictionary slice is huge, but the in-plan cap bounds the
+    # driver collect at prefixes×50 rows
+    timed(
+        "bm25_prefix_1char_topk",
+        lambda: eng.prefix_topk([(1, "a"), (2, "s")], k=10, n_ranges=8).collect(),
+    )
+    dv.unpersist()
     fdocs.unpersist()
 
     total = round(sum(timings.values()), 3)
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k not in new_in_r3), 3
+        sum(v for k, v in timings.items() if k not in new_in_r3 + new_in_r4), 3
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

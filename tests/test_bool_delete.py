@@ -3,6 +3,7 @@ and the document-delete surface: DELETE by id via the append-only kill
 log, resurrection by a later PUT, physical drop at compact, DELETE
 /index, GET /index/_mapping."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -413,3 +414,29 @@ def test_bool_structured_filter_context(spark, tmp_path):
     # must_not-only is still rejected WITHOUT a bounding filter
     with pytest.raises(ValueError, match="must_not-only"):
         eng.bool_topk([(1, {"must_not": "alpha"})])
+
+
+def test_bool_dual_role_tokens(spark, tmp_path):
+    """ES allows one token in several positive roles: must+should
+    double-scores it (sum of both clauses), must+filter scores it once
+    but requires it in both counts; must_not beside a positive role is
+    contradictory and rejected."""
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "text": [f"alpha w{i} {'beta' if i % 2 else 'gam'}"
+                                        for i in range(20)]}
+    )
+    idx = str(tmp_path / "dualidx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+
+    base = eng.bool_topk([(1, {"must": "alpha"})], k=20).toPandas()
+    dbl = eng.bool_topk([(1, {"must": "alpha", "should": "alpha"})], k=20).toPandas()
+    assert list(dbl["doc_id"]) == list(base["doc_id"])
+    np.testing.assert_allclose(dbl["score"], 2.0 * base["score"], rtol=1e-12)
+
+    mf = eng.bool_topk([(1, {"must": "alpha", "filter": "alpha"})], k=20).toPandas()
+    assert list(mf["doc_id"]) == list(base["doc_id"])
+    np.testing.assert_allclose(mf["score"], base["score"], rtol=1e-12)
+
+    with pytest.raises(ValueError, match="must_not AND a positive"):
+        eng.bool_topk([(1, {"must": "alpha", "must_not": "alpha beta"})])

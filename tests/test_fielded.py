@@ -3,6 +3,7 @@ asserted by the reference's FileSpecPage.js:71-87 on BOTH fields),
 multi_match, ES pagination (from/size, search_after), and the
 tombstone-growth guard."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -324,3 +325,75 @@ def test_fielded_md5_injective_on_separator_bytes(spark, tmp_path):
     # and the unchanged replay is still a noop
     res2 = IndexBuilder(spark, cfg).upsert(spark.createDataFrame(v2), idx)
     assert res2["mode"] == "noop"
+
+
+def test_multi_match_boosts_and_tie_breaker(spark, fielded):
+    """field^boost scales that field's idf (score x boost); dis_max
+    tie_breaker combines max + t*(sum of other fields) over the FULL
+    match set — verified against a per-field pandas twin."""
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    q = [(1, "alpha beta"), (2, "gamma")]
+    big = 200
+    ft = eng.topk(q, k=big, field="title").toPandas()
+    fb = eng.topk(q, k=big, field="text").toPandas()
+
+    def combined(tie, tboost):
+        import collections
+        per = collections.defaultdict(dict)
+        for _, r in ft.iterrows():
+            per[(r.query_id, r.doc_id)]["t"] = tboost * r.score
+        for _, r in fb.iterrows():
+            per[(r.query_id, r.doc_id)]["b"] = r.score
+        rows = []
+        for (qid, doc), d in per.items():
+            vals = list(d.values())
+            rows.append((qid, doc, max(vals) + tie * (sum(vals) - max(vals))))
+        out = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+        out = out.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        )
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        return out[out["rank"] <= 5].reset_index(drop=True)
+
+    # pure-max path with boost
+    got = (
+        eng.multi_match(q, k=5, fields=["title^2", "text"])
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = combined(0.0, 2.0)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+
+    # dis_max tie_breaker path (full-agg route)
+    got2 = (
+        eng.multi_match(q, k=5, fields=["title^2", "text"], tie_breaker=0.3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want2 = combined(0.3, 2.0)
+    assert list(got2["doc_id"]) == list(want2["doc_id"])
+    np.testing.assert_allclose(got2["score"], want2["score"], rtol=1e-9)
+
+    # most_fields with boosts: sum of boosted per-field scores
+    got3 = (
+        eng.multi_match(q, k=5, fields=["title^2", "text"],
+                        match_type="most_fields")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    import collections
+    per = collections.defaultdict(float)
+    for _, r in ft.iterrows():
+        per[(r.query_id, r.doc_id)] += 2.0 * r.score
+    for _, r in fb.iterrows():
+        per[(r.query_id, r.doc_id)] += r.score
+    rows = pd.DataFrame(
+        [(q_, d_, s_) for (q_, d_), s_ in per.items()],
+        columns=["query_id", "doc_id", "score"],
+    ).sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    rows["rank"] = rows.groupby("query_id").cumcount() + 1
+    want3 = rows[rows["rank"] <= 5].reset_index(drop=True)
+    assert list(got3["doc_id"]) == list(want3["doc_id"])
+    np.testing.assert_allclose(got3["score"], want3["score"], rtol=1e-9)
+
+    with pytest.raises(ValueError, match="tie_breaker"):
+        eng.multi_match(q, k=5, tie_breaker=1.5)

@@ -442,6 +442,7 @@ class QueryEngine:
         from_: int = 0,
         prefix_expansions: int | None = None,
         search_after: dict[int, tuple[float, int]] | None = None,
+        field_boosts: dict | None = None,
     ) -> DataFrame:
         """Block-max WAND path: doc-at-a-time evaluation skipping
         blocks whose upper bound cannot beat the running threshold —
@@ -479,6 +480,7 @@ class QueryEngine:
         matched = self._matched_segments(
             queries, fuzziness, field, fields,
             prefix_expansions=prefix_expansions,
+            field_boosts=field_boosts,
         )
         if matched is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -609,6 +611,12 @@ class QueryEngine:
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
 
+    @staticmethod
+    def _parse_field_boost(f: str) -> tuple[str, float]:
+        """ES ``field^boost`` syntax → (field, boost)."""
+        name, _, b = f.partition("^")
+        return name, (float(b) if b else 1.0)
+
     def multi_match(
         self,
         queries: list[tuple[int, str]],
@@ -617,6 +625,7 @@ class QueryEngine:
         match_type: str = "best_fields",
         n_ranges: int | None = None,
         from_: int = 0,
+        tie_breaker: float = 0.0,
     ) -> DataFrame:
         """ES ``multi_match`` over a fielded index (the reference's
         mapping declares two analyzed fields — body and title,
@@ -633,28 +642,78 @@ class QueryEngine:
         ``most_fields``: the SUM of per-field scores — each
         (field, token) is an independent scoring term with its own
         idf/avgdl, so one WAND pass over the expanded term set
-        computes it exactly (no second aggregation)."""
-        use = list(fields or self.fields)
+        computes it exactly (no second aggregation).
+
+        Fields accept the ES ``field^boost`` syntax ("title^2"): the
+        boost multiplies that field's idf at cursor level, so every
+        path sees boosted contributions.
+
+        ``tie_breaker`` (best_fields only, ES dis_max): score =
+        max_f + tie_breaker·Σ(other fields). tie_breaker=0 keeps the
+        union-of-per-field-top-k path (the containment argument needs
+        pure max); tie_breaker>0 routes through a full
+        (query, doc, field) aggregation — sums from every matching
+        field are required, so the shape is topk_distributed's (one
+        scan, two hash-aggs, rank window), scores float-summed (not
+        the pinned order; ranks agree except on knife-edge ties)."""
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+        parsed = [self._parse_field_boost(f) for f in (fields or self.fields)]
+        use = [n for n, _ in parsed]
+        boosts = {n: b for n, b in parsed}
         for f in use:
             self._resolve_field(f)
         if match_type == "most_fields":
             return self.topk_wand(
-                queries, k=k, n_ranges=n_ranges, fields=use, from_=from_
+                queries, k=k, n_ranges=n_ranges, fields=use, from_=from_,
+                field_boosts=boosts,
             )
         if match_type != "best_fields":
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         from pyspark.sql import Window as W
 
         k_local = from_ + k
-        parts = [
-            self.topk_wand(queries, k=k_local, n_ranges=n_ranges, field=f)
-            for f in use
-        ]
-        allp = parts[0]
-        for p in parts[1:]:
-            allp = allp.unionByName(p)
-        best = allp.groupBy("query_id", "doc_id").agg(F.max("score").alias("score"))
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        if tie_breaker > 0.0:
+            matched = self._matched_segments(
+                queries, fields=use, field_boosts=boosts
+            )
+            if matched is None:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            contribs = matched.mapInPandas(
+                _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+                schema=CONTRIB_SCHEMA,
+            )
+            # term keys are "<field>:<token>" on fielded indexes, so
+            # the per-field partial sum needs no extra metadata
+            per_field = (
+                contribs.withColumn(
+                    "fld", F.substring_index(F.col("term"), ":", 1)
+                )
+                .groupBy("query_id", "doc_id", "fld")
+                .agg(F.sum("contrib").alias("fscore"))
+            )
+            best = per_field.groupBy("query_id", "doc_id").agg(
+                (
+                    F.max("fscore")
+                    + F.lit(float(tie_breaker))
+                    * (F.sum("fscore") - F.max("fscore"))
+                ).alias("score")
+            )
+        else:
+            parts = [
+                self.topk_wand(
+                    queries, k=k_local, n_ranges=n_ranges, field=f,
+                    field_boosts={f: boosts[f]},
+                )
+                for f in use
+            ]
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            best = allp.groupBy("query_id", "doc_id").agg(
+                F.max("score").alias("score")
+            )
         return (
             best.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
@@ -799,16 +858,22 @@ class QueryEngine:
                 for r in ("must", "should", "must_not")
             }
             toks["filter"] = sorted(set(tokenize(ftext)))
-            seen: dict[str, str] = {}
+            # a token may appear in several POSITIVE roles at once
+            # (ES: must+should double-scores it, must+filter scores it
+            # once and requires it twice over — both reproduced by the
+            # per-role fan-out in _bool_agg); only must_not beside a
+            # positive role is contradictory and rejected
+            contradictory = set(toks["must_not"]) & (
+                set(toks["must"]) | set(toks["should"]) | set(toks["filter"])
+            )
+            if contradictory:
+                raise ValueError(
+                    f"query {qid}: token(s) {sorted(contradictory)} appear in "
+                    "must_not AND a positive clause — a doc can't both "
+                    "require and exclude the same term"
+                )
             for r in self._BOOL_ROLES:
                 for t in toks[r]:
-                    if t in seen:
-                        raise ValueError(
-                            f"query {qid}: token {t!r} appears in both "
-                            f"{seen[t]!r} and {r!r} clauses — one occurrence "
-                            "type per token"
-                        )
-                    seen[t] = r
                     rows.append((qid, self._term_of(t, fld), r))
             if toks["must_not"]:
                 has_mnot.add(qid)
@@ -857,20 +922,32 @@ class QueryEngine:
     def _bool_agg(self, present: list[tuple], meta: dict) -> DataFrame:
         """The one-scan/one-hash-agg core of :meth:`bool_topk`:
         per (query_id, doc_id) — summed scoring contribs, per-role
-        distinct-term counts, must_not exclusion flag."""
-        qdf = self.spark.createDataFrame(
-            present,
-            schema="query_id long, term string, idf double, avgdl double,"
-            " role string",
+        distinct-term counts, must_not exclusion flag.
+
+        The SCAN table is one row per (query_id, term) — idf is the
+        scoring idf when ANY of the token's roles score, else 0 — so
+        a dual-role token is decoded once; the ROLE table keeps one
+        row per (query_id, term, role), and the post-scan join fans
+        each contribution out per role (a must+should token therefore
+        scores twice, the ES sum-of-clauses behaviour)."""
+        scan: dict[tuple[int, str], tuple[float, float]] = {}
+        role_rows: list[tuple[int, str, str]] = []
+        for qid, t, idf, avg, role in present:
+            cur = scan.get((qid, t))
+            scan[(qid, t)] = (max(idf, cur[0]) if cur else idf, avg)
+            role_rows.append((qid, t, role))
+        sdf = self.spark.createDataFrame(
+            [(q, t, i, a) for (q, t), (i, a) in scan.items()],
+            schema="query_id long, term string, idf double, avgdl double",
         )
-        matched = self._pruned_postings(meta).join(
-            F.broadcast(qdf.drop("role")), "term"
-        )
+        matched = self._pruned_postings(meta).join(F.broadcast(sdf), "term")
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
-        roles = qdf.select("query_id", "term", "role")
+        roles = self.spark.createDataFrame(
+            role_rows, schema="query_id long, term string, role string"
+        )
         return (
             contribs.join(F.broadcast(roles), ["query_id", "term"])
             .groupBy("query_id", "doc_id")
@@ -1347,6 +1424,7 @@ class QueryEngine:
         field: str | None = None,
         fields: list[str] | None = None,
         prefix_expansions: int | None = None,
+        field_boosts: dict | None = None,
     ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
@@ -1357,12 +1435,18 @@ class QueryEngine:
         ``fields`` expands every query token across several fields at
         once — each (field, token) is an independent scoring term, so
         the ordinary sum machinery downstream computes exactly ES
-        ``multi_match type=most_fields``."""
+        ``multi_match type=most_fields``. ``field_boosts`` (keyed by
+        the caller's field names) scales each field's idf — the ES
+        ``field^boost`` multiplier, applied at cursor level so every
+        downstream path (sum, WAND, dis_max agg) sees boosted
+        contributions."""
         flist = fields if fields is not None else [field]
-        qterms: list[tuple[int, str, float]] = []  # (qid, stored term, avgdl)
-        for fld in flist:
-            fld = self._resolve_field(fld)
+        boosts = field_boosts or {}
+        qterms: list[tuple[int, str, float, float]] = []
+        for fld_raw in flist:
+            fld = self._resolve_field(fld_raw)
             avg = self._avgdl_of(fld)
+            bst = float(boosts.get(fld_raw, 1.0))
             if fuzziness:
                 toks = sorted({t for _, text in queries for t in tokenize(text)})
                 variants = self.fuzzy_variants(toks, fuzziness, field=fld)
@@ -1370,7 +1454,7 @@ class QueryEngine:
                     expanded = sorted(
                         {v for t in set(tokenize(text)) for v in variants[t]}
                     )
-                    qterms += [(qid, v, avg) for v in expanded]
+                    qterms += [(qid, v, avg, bst) for v in expanded]
             elif prefix_expansions:
                 # match_bool_prefix: last token expands as a prefix,
                 # the rest match exactly (disjunctive, per-variant idf)
@@ -1389,17 +1473,17 @@ class QueryEngine:
                         {self._term_of(t, fld) for t in toks[:-1]}
                         | set(vmap[toks[-1]])
                     )
-                    qterms += [(qid, t, avg) for t in terms]
+                    qterms += [(qid, t, avg, bst) for t in terms]
             else:
                 for qid, text in queries:
                     for t in sorted(set(tokenize(text))):
-                        qterms.append((qid, self._term_of(t, fld), avg))
+                        qterms.append((qid, self._term_of(t, fld), avg, bst))
         if not qterms:
             return None
-        meta = self._term_meta(sorted({t for _, t, _ in qterms}))
+        meta = self._term_meta(sorted({t for _, t, _, _ in qterms}))
         present = [
-            (qid, t, _idf(self.n_docs, meta[t]["df"]), avg)
-            for qid, t, avg in qterms
+            (qid, t, _idf(self.n_docs, meta[t]["df"]) * bst, avg)
+            for qid, t, avg, bst in qterms
             if t in meta and meta[t]["df"] > 0
         ]
         if not present:
@@ -1450,6 +1534,9 @@ class QueryEngine:
         fields: list[str] | None = None,
         match_type: str = "best_fields",
         from_: int = 0,
+        sort_by: str | None = None,
+        sort_ascending: bool = False,
+        tie_breaker: float = 0.0,
     ) -> DataFrame:
         """ES ``match``-query shape: BM25 top-k hits JOINED to their
         stored documents — (query_id, rank, doc_id, score, …source
@@ -1462,15 +1549,23 @@ class QueryEngine:
         ``fuzziness`` expands terms against the dictionary. ``field``
         scopes to one analyzed field; ``fields`` routes through
         :meth:`multi_match` (``match_type`` best_fields/most_fields).
-        ``from_`` pages (ES from/size)."""
-        if phrase:
+        ``from_`` pages (ES from/size). ``sort_by`` orders hits by a
+        STORED doc value over the full match set instead of _score
+        (see :meth:`sort_topk`); ``tie_breaker`` feeds multi_match
+        dis_max."""
+        if sort_by:
+            hits = self.sort_topk(
+                queries, sort_by, k=k, ascending=sort_ascending,
+                field=field, from_=from_,
+            ).drop(sort_by)
+        elif phrase:
             hits = self.phrase_topk(
                 queries, k=k, n_ranges=n_ranges, field=field, from_=from_
             )
         elif fields:
             hits = self.multi_match(
                 queries, k=k, fields=fields, match_type=match_type,
-                n_ranges=n_ranges, from_=from_,
+                n_ranges=n_ranges, from_=from_, tie_breaker=tie_breaker,
             )
         else:
             hits = self.topk_wand(
@@ -1513,6 +1608,71 @@ class QueryEngine:
                 snip if snip is not None else F.substring("text", 1, snippet_width),
             )
         return out
+
+    def sort_topk(
+        self,
+        queries: list[tuple[int, str]],
+        by: str,
+        k: int = 10,
+        ascending: bool = False,
+        min_match: int | str | None = None,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES sort-by-field: the top-k hits of each query ordered by a
+        STORED DOC VALUE over the FULL match set (not a re-sort of the
+        relevance top-k — ES replaces the _score ordering entirely, so
+        the returned docs differ from :meth:`topk`'s). BM25 score
+        still rides along (ES track_scores).
+
+        Scale shape = :meth:`topk_distributed` plus one shuffle-join
+        against the column-pruned doc-values projection: matches come
+        off the same term+group-pruned decode, dedupe in one
+        (query_id, doc_id) partial agg, join doc values on doc_id,
+        rank with one WindowGroupLimit on (value, doc_id). Returns
+        (query_id, rank, doc_id, <by>, score)."""
+        from pyspark.sql import Window as W
+
+        dv = (
+            docs.select("doc_id", by) if docs is not None else self._doc_values([by])
+        )
+        matched = self._matched_segments(queries, field=field)
+        if matched is None:
+            return dv.filter(F.lit(False)).select(
+                F.lit(0).cast("long").alias("query_id"),
+                F.lit(0).cast("int").alias("rank"),
+                "doc_id",
+                by,
+                F.lit(0.0).alias("score"),
+            )
+        contribs = matched.mapInPandas(
+            _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+            schema=CONTRIB_SCHEMA,
+        )
+        hits = contribs.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count("term").alias("n_matched"),
+        )
+        if min_match is not None:
+            need = {
+                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                for qid, text in queries
+            }
+            need_df = self.spark.createDataFrame(
+                list(need.items()), schema="query_id long, need int"
+            )
+            hits = hits.join(F.broadcast(need_df), "query_id").filter(
+                F.col("n_matched") >= F.col("need")
+            )
+        order = F.asc(by) if ascending else F.desc(by)
+        w = W.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
+        return (
+            hits.join(dv, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", by, "score")
+        )
 
     _AGG_FNS = {
         "avg": F.avg,
