@@ -994,8 +994,12 @@ def _bm25_sql(
 WITH vterms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
 qraw(query_id, qt) AS (VALUES {values}),
 q AS (
-  SELECT DISTINCT qraw.query_id, v.term
-  FROM vterms v JOIN qraw ON levenshtein(v.term, qraw.qt) <= {fuzziness}
+  SELECT DISTINCT query_id, term FROM (
+    SELECT qraw.query_id, v.term,
+           row_number() OVER (PARTITION BY qraw.query_id, qraw.qt
+                              ORDER BY v.term) AS rn
+    FROM vterms v JOIN qraw ON levenshtein(v.term, qraw.qt) <= {fuzziness}
+  ) WHERE rn <= 50
 ),
 toks AS (
   SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents

@@ -101,8 +101,9 @@ def test_bool_edge_semantics(spark, idx):
         k=40,
     ).toPandas()
     assert set(two[two.query_id == 2].doc_id) == {5, 15, 25, 35}
-    # same token in two roles is rejected
-    with pytest.raises(ValueError, match="occurrence type"):
+    # must_not beside a positive role for the same token is rejected
+    # (positive dual roles are ALLOWED — see test_bool_dual_role_tokens)
+    with pytest.raises(ValueError, match="must_not AND a positive"):
         eng.bool_topk([(1, {"must": "alpha", "must_not": "alpha"})], k=5)
     with pytest.raises(ValueError, match="unknown bool clause"):
         eng.bool_topk([(1, {"mustnt": "alpha"})], k=5)

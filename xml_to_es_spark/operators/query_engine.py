@@ -1943,6 +1943,7 @@ def bm25_topk_dataframe(
     min_match: int | str | None = None,
     phrase: bool = False,
     fuzziness: int = 0,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """BM25 top-k composed purely of built-in DataFrame ops over
     (doc_id, text): tokenize → tf → df → score → window top-k. Every
@@ -1958,9 +1959,11 @@ def bm25_topk_dataframe(
     corpus-wide (ES semantics: phrase filters, BM25 ranks).
 
     ``fuzziness=N``: ES ``match`` fuzziness — each query token expands
-    to every DICTIONARY term within levenshtein distance N (a
-    dictionary scan, never a corpus scan); each variant scores with
-    its own df/idf, exactly ES's per-expanded-term scoring."""
+    to DICTIONARY terms within levenshtein distance N (a dictionary
+    scan, never a corpus scan), capped at ``max_expansions`` per token
+    in term order (the ES default, 50 — matching the codec engine's
+    capped expansion); each variant scores with its own df/idf,
+    exactly ES's per-expanded-term scoring."""
     cfg = cfg or BM25Config()
     spark = docs.sparkSession
     from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
@@ -1989,9 +1992,14 @@ def bm25_topk_dataframe(
                 for qid, t in qrows
             ]
         )
+        from pyspark.sql import Window as W
+
+        wexp = W.partitionBy("q.query_id", "q.qt").orderBy("term")
         qdf = (
             vocab.select("term", F.explode(qlits).alias("q"))
             .filter(F.levenshtein(F.col("term"), F.col("q.qt")) <= fuzziness)
+            .withColumn("_rn", F.row_number().over(wexp))
+            .filter(F.col("_rn") <= max_expansions)
             .select(F.col("q.query_id").alias("query_id"), "term")
             .distinct()
         )
