@@ -431,6 +431,56 @@ def _q_sort_by_field(spark, sf):
     )
 
 
+def _q_es_dsl_bool_range(spark, sf):
+    """The ES request-DSL entry point (es_search): the SAME four bool+
+    structured-filter queries as bm25_bool_range_topk, but expressed
+    as ES JSON search bodies and routed through
+    xml_to_es_spark.operators.es_query — proving a reference user's
+    ES search bodies produce hash-identical results to the direct
+    engine calls (oracle: the same DuckDB twin)."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    bodies = {
+        1: {"query": {"bool": {
+                "must": [{"match": {"text": "hash"}},
+                         {"match": {"text": "join"}}],
+                "filter": [{"range": {"n_chars": {"gte": 150, "lt": 450}}}]}},
+            "size": BM25_K},
+        2: {"query": {"bool": {
+                "must": {"match": {"text": "sort"}},
+                "filter": [{"term": {"lang": "en"}},
+                           {"range": {"n_chars": {"gte": 100}}}]}},
+            "size": BM25_K},
+        3: {"query": {"bool": {
+                "filter": [{"terms": {"lang": ["de", "fr"]}},
+                           {"range": {"n_chars": {"lt": 300}}}]}},
+            "size": BM25_K},
+        4: {"query": {"bool": {
+                "should": [{"match": {"text": "merge"}},
+                           {"match": {"text": "dup"}}],
+                "must_not": {"match": {"text": "window"}},
+                "filter": [{"term": {"source": "src7"}}]}},
+            "size": BM25_K},
+    }
+    parts = [
+        es_search(eng, b).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, b in bodies.items()
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _q_search_aggs(spark, sf):
     """ES search aggregations over the FULL match set: terms bucket on
     the stored `source` doc-value with avg/max sub-aggs on `n_chars`
@@ -927,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cursor_topk": _q_bm25_cursor,
         "bm25_bool_topk": _q_bool,
         "bm25_bool_range_topk": _q_bool_range,
+        "es_dsl_bool_range_topk": _q_es_dsl_bool_range,
         "bm25_sort_chars_topk": _q_sort_by_field,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
@@ -1879,6 +1930,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_cursor_topk": f"SELECT query_id, rank - {BM25_K} AS rank, doc_id, score FROM ({_bm25_sql(from_=BM25_K)})",
         "bm25_bool_topk": _bool_sql(BM25_K),
         "bm25_bool_range_topk": _bool_range_sql(BM25_K),
+        "es_dsl_bool_range_topk": _bool_range_sql(BM25_K),
         "bm25_sort_chars_topk": _sort_by_field_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),

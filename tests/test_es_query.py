@@ -1,0 +1,153 @@
+"""ES request-DSL entry point (es_search / es_msearch): a reference
+user's ES search bodies route to the engine paths and return exactly
+what the equivalent direct engine call returns."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.es_query import es_msearch, es_search
+from xml_to_es_spark.operators.index_build import IndexBuilder
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"alpha w{i} " + ("beta " * (i % 3)) + ("gamma" if i % 5 == 0 else "")
+                for i in range(40)
+            ],
+            "lang": [["en", "de"][i % 2] for i in range(40)],
+            "n_chars": [100 + 3 * i for i in range(40)],
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("dsl") / "idx")
+    IndexBuilder(
+        spark,
+        IndexConfig(
+            n_groups=2, store_positions=True,
+            stored_fields=("lang", "n_chars"),
+        ),
+    ).build(spark.createDataFrame(pdf), idx)
+    return QueryEngine(spark, idx)
+
+
+def _same(a, b):
+    a = a.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(a["score"], b["score"], rtol=0, atol=0)
+
+
+def test_dsl_match_routes(eng):
+    _same(
+        es_search(eng, {"query": {"match": {"text": "alpha beta"}}, "size": 5}),
+        eng.topk_wand([(0, "alpha beta")], k=5),
+    )
+    _same(
+        es_search(eng, {"query": {"match": {"text": {
+            "query": "alpha beta", "operator": "and"}}}, "size": 5}),
+        eng.topk_distributed([(0, "alpha beta")], k=5, min_match="all"),
+    )
+    _same(
+        es_search(eng, {"query": {"match": {"text": {
+            "query": "alphq", "fuzziness": 1}}}, "size": 5}),
+        eng.topk_wand([(0, "alphq")], k=5, fuzziness=1),
+    )
+    # from/size paging
+    _same(
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "size": 5, "from": 5}),
+        eng.topk_wand([(0, "alpha")], k=5, from_=5),
+    )
+
+
+def test_dsl_phrase_prefix_multimatch(eng):
+    _same(
+        es_search(eng, {"query": {"match_phrase": {"text": {
+            "query": "alpha w3"}}}, "size": 5}),
+        eng.phrase_topk([(0, "alpha w3")], k=5),
+    )
+    _same(
+        es_search(eng, {"query": {"match_phrase": {"text": {
+            "query": "w3 alpha", "slop": 2}}}, "size": 5}),
+        eng.phrase_topk([(0, "w3 alpha")], k=5, slop=2),
+    )
+    _same(
+        es_search(eng, {"query": {"match_bool_prefix": {"text": "alpha w1"}},
+                        "size": 5}),
+        eng.prefix_topk([(0, "alpha w1")], k=5),
+    )
+
+
+def test_dsl_bool_with_structured_filters(eng):
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "alpha"}}],
+            "must_not": {"match": {"text": "gamma"}},
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 120, "lt": 200}}},
+                {"match": {"text": "beta"}},
+            ],
+        }},
+        "size": 20,
+    }
+    want = eng.bool_topk(
+        [(0, {"must": "alpha", "must_not": "gamma",
+              "filter": [{"term": {"lang": "en"}},
+                         {"range": {"n_chars": {"gte": 120, "lt": 200}}},
+                         {"match": "beta"}]})],
+        k=20,
+    )
+    _same(es_search(eng, body), want)
+    # top-level structured query = match_all + filter
+    got = es_search(eng, {"query": {"range": {"n_chars": {"lt": 110}}},
+                          "size": 10}).toPandas()
+    assert list(got["doc_id"]) == [0, 1, 2, 3]
+    assert (got["score"] == 0.0).all()
+
+
+def test_dsl_sort_aggs_cursor(eng):
+    got = es_search(eng, {"query": {"match": {"text": "alpha"}},
+                          "sort": [{"n_chars": {"order": "desc"}}],
+                          "size": 3}).toPandas()
+    assert list(got["doc_id"]) == [39, 38, 37]
+
+    buckets = es_search(eng, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 1},
+                           "aggs": {"mx": {"max": {"field": "n_chars"}}}}},
+    }).toPandas()
+    assert len(buckets) == 1 and buckets["doc_count"].iat[0] == 20
+
+    p1 = es_search(eng, {"query": {"match": {"text": "alpha"}}, "size": 7})
+    p1 = p1.toPandas().sort_values("rank")
+    p2 = es_search(eng, {
+        "query": {"match": {"text": "alpha"}}, "size": 7,
+        "search_after": [float(p1.score.iat[-1]), int(p1.doc_id.iat[-1])],
+    }).toPandas()
+    assert not set(p2["doc_id"]) & set(p1["doc_id"])
+    assert len(p2) == 7
+
+    ms = es_msearch(eng, [
+        {"query": {"match": {"text": "alpha"}}, "size": 4},
+        {"query": {"match": {"text": "beta"}}, "size": 4},
+    ]).toPandas()
+    assert set(ms["query_id"]) == {0, 1}
+
+
+def test_dsl_rejects_unknown(eng):
+    with pytest.raises(ValueError, match="unsupported body key"):
+        es_search(eng, {"query": {"match": {"text": "a"}}, "explain": True})
+    with pytest.raises(ValueError, match="unsupported query kind"):
+        es_search(eng, {"query": {"regexp": {"text": "a.*"}}})
+    with pytest.raises(ValueError, match="match_all"):
+        es_search(eng, {"query": {"match_all": {}}})
+    with pytest.raises(ValueError, match="unsupported match option"):
+        es_search(eng, {"query": {"match": {"text": {
+            "query": "a", "analyzer": "custom"}}}})

@@ -187,3 +187,84 @@ def test_mapping_stays_projection(spark):
     df = spark.createDataFrame([Row(S=Row(A="x"), KEEP="y")])
     out = M.apply_mapping(df, promote_spec={"s": ["a"]})
     assert "Exchange" not in explain_str(out, "simple")
+
+
+def test_bool_structured_filter_pushed_to_doc_values_scan(spark, tmp_path):
+    """The structured filter context must reach the doc-values parquet
+    scan as a PUSHED filter (the OR of every query's predicate), read
+    only the referenced columns, and join without a cartesian."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "text": [f"alpha w{i}" for i in range(30)],
+                "lang": [["en", "de"][i % 2] for i in range(30)],
+                "n_chars": [100 + i for i in range(30)],
+            }
+        )
+    )
+    idx = str(tmp_path / "sf_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, stored_fields=("lang", "n_chars"))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    out = eng.bool_topk(
+        [
+            (1, {"must": "alpha",
+                 "filter": [{"range": {"n_chars": {"gte": 110}}}]}),
+            (2, {"filter": [{"term": {"lang": "en"}}]}),
+        ],
+        k=30,
+    )
+    plan = explain_str(out)
+    # the doc-values scan carries the pushed predicates
+    assert "n_chars" in "".join(
+        l for l in plan.splitlines() if "PushedFilters" in l
+    )
+    assert_no_cartesian(out)
+    # correctness of the same plan (sanity, not the oracle's job here)
+    got = out.toPandas()
+    assert set(got[got.query_id == 2].doc_id) == set(range(0, 30, 2))
+
+
+def test_search_aggs_size_and_sort_topk_plan(spark, tmp_path):
+    """terms-agg size must be a rank window over the bucket agg (no
+    collect barrier in the plan); sort_topk must read only (doc_id,
+    sort column) from the docs table."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": [f"alpha w{i}" for i in range(20)],
+                "lang": [["en", "de", "fr", "es"][i % 4] for i in range(20)],
+                "n_chars": [100 + i for i in range(20)],
+            }
+        )
+    )
+    idx = str(tmp_path / "agg_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, stored_fields=("lang", "n_chars"))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    aggs = eng.search_aggs([(1, "alpha")], group_by="lang", size=2)
+    plan = explain_str(aggs, "simple")
+    assert "Window" in plan  # the in-plan top-N bucket cap
+    assert len(aggs.collect()) == 2
+
+    srt = eng.sort_topk([(1, "alpha")], by="n_chars", k=3)
+    # column pruning: the docs-table scan reads only doc_id + n_chars
+    import re
+
+    plan = explain_str(srt)
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    dv_reads = [r for r in reads if "n_chars" in r]
+    assert dv_reads and all("text" not in r for r in dv_reads), reads
+    assert [int(r["doc_id"]) for r in srt.collect()] == [19, 18, 17]

@@ -1,0 +1,350 @@
+"""ES request-DSL entry point: run an ElasticSearch-style JSON query
+body against a :class:`~xml_to_es_spark.operators.query_engine.QueryEngine`.
+
+The reference talks to ElasticSearch over exactly this surface — it
+PUTs documents and its users query them with the ES search DSL
+(reference ElasticIndexer.js builds the index half; the query half
+lives in ES itself). This module closes that loop: a reference user's
+search bodies run unchanged against the Spark-native engine, routed to
+the already-implemented (and oracle-verified) operator paths.
+
+Supported body shape (the subset the engine implements — unknown keys
+raise, nothing is silently ignored)::
+
+    {
+      "query": {
+        "match":              {field: text | {"query": text,
+                               "operator": "and"|"or",
+                               "fuzziness": N,
+                               "minimum_should_match": M}},
+        "match_phrase":       {field: text | {"query": text, "slop": N}},
+        "match_bool_prefix":  {field: text | {"query": text,
+                               "max_expansions": N}},
+        "multi_match":        {"query": text, "fields": ["title^2", ...],
+                               "type": "best_fields"|"most_fields",
+                               "tie_breaker": t},
+        "bool":               {"must"/"should"/"must_not": clause|[clauses],
+                               "filter": clause|[clauses]}   # text clauses
+                              # are match-queries; term/terms/range/exists
+                              # go to the structured filter context
+        "term"/"terms"/"range"/"exists":  top-level = match_all + filter
+      },
+      "size": k, "from": n,
+      "search_after": [score, doc_id],       # single-query cursor
+      "sort": [{field: {"order": "asc"|"desc"}}] | "_score",
+      "aggs": {name: {"terms": {"field": f, "size": N} |
+                      "histogram": {"field": f, "interval": x} |
+                      "date_histogram": {"field": f,
+                                         "calendar_interval": "day"},
+                      "aggs": {alias: {"avg"/"sum"/"min"/"max"/
+                                       "cardinality"/"value_count":
+                                       {"field": f}}}}},
+      "highlight": {...}                      # any value → snippet col
+    }
+
+Semantics and limits:
+
+- One body = one query (ES msearch batching is the engine's native
+  ``queries`` list — :func:`es_msearch` exposes it).
+- ``match`` on the default field of a single-field index may name the
+  field ``"text"`` or use the stored field name of a fielded index.
+- ``aggs`` run INSTEAD of hits when present without an explicit
+  ``size`` (ES returns both; request hits explicitly with ``size`` to
+  get both here — two jobs, same engine).
+- ``sort`` by one stored doc value (optionally with ``_score`` left
+  out — ES's replace-the-ranking semantics, :meth:`QueryEngine.sort_topk`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+_MATCH_KEYS = {"query", "operator", "fuzziness", "minimum_should_match",
+               "max_expansions", "slop"}
+_STRUCTURED = ("term", "terms", "range", "exists")
+
+
+def _field_text(spec: dict, allowed: set[str] | None = None) -> tuple[str, dict]:
+    """{field: text | {…options}} → (field, options-dict with 'query')."""
+    (fld, v), = spec.items()
+    opts = dict(v) if isinstance(v, dict) else {"query": v}
+    bad = set(opts) - _MATCH_KEYS
+    if bad or "query" not in opts:
+        raise ValueError(f"unsupported match option(s) {sorted(bad)}")
+    if allowed is not None:
+        extra = set(opts) - allowed - {"query"}
+        if extra:
+            raise ValueError(f"option(s) {sorted(extra)} not valid here")
+    return fld, opts
+
+
+class EsRequest:
+    """Parsed ES body → a routed engine call. Use :func:`es_search`."""
+
+    def __init__(self, engine: QueryEngine, body: dict):
+        self.eng = engine
+        bad = set(body) - {
+            "query", "size", "from", "search_after", "sort", "aggs",
+            "highlight", "track_scores",
+        }
+        if bad:
+            raise ValueError(f"unsupported body key(s) {sorted(bad)}")
+        self.body = body
+        self.k = int(body.get("size", 10))
+        self.from_ = int(body.get("from", 0))
+
+    # -- query-clause routing ------------------------------------------------
+
+    def _resolve_match_field(self, fld: str) -> str | None:
+        """ES field name → engine ``field=`` argument (None for the
+        single analyzed field of an unfielded index)."""
+        if self.eng.fielded:
+            return fld
+        return None
+
+    def _hits(self) -> DataFrame:
+        q = self.body.get("query", {"match_all": {}})
+        if len(q) != 1:
+            raise ValueError("query must have exactly one top-level clause")
+        (kind, spec), = q.items()
+        eng, k, from_ = self.eng, self.k, self.from_
+
+        sort = self.body.get("sort")
+        if sort and sort != "_score":
+            if isinstance(sort, list):
+                if len(sort) != 1:
+                    raise ValueError("one sort field supported")
+                sort = sort[0]
+            (sf, sspec), = sort.items()
+            asc = (sspec.get("order", "asc") if isinstance(sspec, dict)
+                   else sspec) == "asc"
+            if kind != "match":
+                raise ValueError("sort-by-field supports match queries")
+            fld, opts = _field_text(spec, allowed={"minimum_should_match"})
+            return eng.sort_topk(
+                [(0, opts["query"])], by=sf, k=k, ascending=asc,
+                min_match=opts.get("minimum_should_match"),
+                field=self._resolve_match_field(fld), from_=from_,
+            ).drop(sf)
+
+        cursor = None
+        if "search_after" in self.body:
+            s, d = self.body["search_after"]
+            cursor = {0: (float(s), int(d))}
+
+        if kind == "match":
+            fld, opts = _field_text(spec)
+            f = self._resolve_match_field(fld)
+            if opts.get("fuzziness"):
+                return eng.topk_wand(
+                    [(0, opts["query"])], k=k, field=f, from_=from_,
+                    fuzziness=int(opts["fuzziness"]), search_after=cursor,
+                )
+            mm = opts.get("minimum_should_match")
+            if opts.get("operator", "or").lower() == "and":
+                mm = "all"
+            if mm is not None:
+                return eng.topk_distributed(
+                    [(0, opts["query"])], k=k, field=f, from_=from_,
+                    min_match=mm, search_after=cursor and cursor,
+                )
+            return eng.topk_wand(
+                [(0, opts["query"])], k=k, field=f, from_=from_,
+                search_after=cursor,
+            )
+        if kind == "match_phrase":
+            fld, opts = _field_text(spec, allowed={"slop"})
+            if cursor:
+                raise ValueError("search_after not supported on match_phrase")
+            return eng.phrase_topk(
+                [(0, opts["query"])], k=k, from_=from_,
+                field=self._resolve_match_field(fld),
+                slop=int(opts.get("slop", 0)),
+            )
+        if kind == "match_bool_prefix":
+            fld, opts = _field_text(spec, allowed={"max_expansions"})
+            return eng.prefix_topk(
+                [(0, opts["query"])], k=k, from_=from_,
+                field=self._resolve_match_field(fld),
+                max_expansions=int(opts.get("max_expansions", 50)),
+            )
+        if kind == "multi_match":
+            opts = dict(spec)
+            bad = set(opts) - {"query", "fields", "type", "tie_breaker"}
+            if bad:
+                raise ValueError(f"unsupported multi_match option(s) {sorted(bad)}")
+            return eng.multi_match(
+                [(0, opts["query"])], k=k, from_=from_,
+                fields=opts.get("fields"),
+                match_type=opts.get("type", "best_fields"),
+                tie_breaker=float(opts.get("tie_breaker", 0.0)),
+            )
+        if kind == "bool":
+            return eng.bool_topk(
+                [(0, self._bool_clauses(spec))], k=k, from_=from_
+            )
+        if kind in _STRUCTURED:
+            # top-level structured query = ES filter-context shortcut
+            return eng.bool_topk(
+                [(0, {"filter": [{kind: spec}]})], k=k, from_=from_
+            )
+        if kind == "match_all":
+            raise ValueError(
+                "bare match_all is an unbounded corpus scan; add a filter "
+                "(use a structured term/range query) or a match clause"
+            )
+        raise ValueError(f"unsupported query kind {kind!r}")
+
+    def _bool_clauses(self, spec: dict) -> dict:
+        """ES bool body → bool_topk clause dict. Text clauses (match /
+        match-like) become role texts; structured clauses in filter
+        context pass through."""
+        bad = set(spec) - {"must", "should", "must_not", "filter",
+                           "minimum_should_match"}
+        if bad:
+            raise ValueError(f"unsupported bool key(s) {sorted(bad)}")
+        if "minimum_should_match" in spec:
+            raise ValueError(
+                "bool minimum_should_match: only the ES default is "
+                "implemented (1 when no must/filter, else 0)"
+            )
+        out: dict[str, Any] = {}
+        for role in ("must", "should", "must_not"):
+            cls = spec.get(role, [])
+            cls = cls if isinstance(cls, list) else [cls]
+            texts = []
+            for cl in cls:
+                (ck, cs), = cl.items()
+                if ck != "match":
+                    raise ValueError(
+                        f"bool {role} supports match clauses, got {ck!r}"
+                    )
+                _fld, opts = _field_text(cs, allowed=set())
+                texts.append(opts["query"])
+            if texts:
+                out[role] = " ".join(texts)
+        fcls = spec.get("filter", [])
+        fcls = fcls if isinstance(fcls, list) else [fcls]
+        flist = []
+        for cl in fcls:
+            (ck, cs), = cl.items()
+            if ck == "match":
+                _fld, opts = _field_text(cs, allowed=set())
+                flist.append({"match": opts["query"]})
+            elif ck in _STRUCTURED:
+                flist.append({ck: cs})
+            else:
+                raise ValueError(f"unsupported filter clause {ck!r}")
+        if flist:
+            out["filter"] = flist
+        return out
+
+    # -- aggs ----------------------------------------------------------------
+
+    _METRIC_FNS = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
+                   "cardinality": "cardinality",
+                   "value_count": "count_distinct"}
+
+    def _aggs(self) -> DataFrame:
+        aggs = self.body["aggs"]
+        if len(aggs) != 1:
+            raise ValueError("one top-level agg supported")
+        (_name, spec), = aggs.items()
+        sub = spec.pop("aggs", {}) if isinstance(spec, dict) else {}
+        (bkind, bspec), = spec.items()
+        if bkind == "terms":
+            group_by: Any = bspec["field"]
+            size = bspec.get("size")
+        elif bkind == "histogram":
+            group_by = (bspec["field"], float(bspec["interval"]))
+            size = bspec.get("size")
+        elif bkind == "date_histogram":
+            group_by = (bspec["field"], bspec["calendar_interval"])
+            size = bspec.get("size")
+        else:
+            raise ValueError(f"unsupported agg kind {bkind!r}")
+        metrics = {}
+        for alias, mspec in sub.items():
+            (mk, ms), = mspec.items()
+            if mk not in self._METRIC_FNS:
+                raise ValueError(f"unsupported metric {mk!r}")
+            metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
+        q = self.body.get("query", {})
+        (kind, spec2), = q.items() if q else (("match", None),)
+        if kind != "match" or spec2 is None:
+            raise ValueError("aggs require a match query")
+        fld, opts = _field_text(spec2, allowed={"minimum_should_match"})
+        return self.eng.search_aggs(
+            [(0, opts["query"])], group_by=group_by, metrics=metrics,
+            min_match=opts.get("minimum_should_match"),
+            field=self._resolve_match_field(fld), size=size,
+        )
+
+    def run(self) -> DataFrame:
+        if "aggs" in self.body and "size" not in self.body:
+            return self._aggs()
+        hits = self._hits()
+        if self.body.get("highlight") is not None:
+            ids = [int(r["doc_id"]) for r in hits.collect()]
+            docs = self.eng.fetch(ids)
+            if "text" not in docs.columns:
+                raise ValueError("highlight needs store_source=True")
+            from pyspark.sql import functions as F
+
+            from xml_to_es_spark.functions.analysis import snippet_col
+            from xml_to_es_spark.pyref import tokenize
+
+            q = self.body.get("query", {})
+            (kind, spec), = q.items()
+            if kind not in ("match", "match_phrase"):
+                raise ValueError("highlight supports match/match_phrase")
+            _fld, opts = _field_text(spec)
+            terms = sorted(set(tokenize(opts["query"])))
+            return hits.join(
+                F.broadcast(docs.select(
+                    "doc_id", snippet_col("text", terms).alias("snippet")
+                )),
+                "doc_id",
+            )
+        return hits
+
+
+def es_search(engine: QueryEngine, body: dict) -> DataFrame:
+    """Run one ES-style search body. Returns the hits DataFrame
+    (query_id 0, rank, doc_id, score[, snippet]) or, for an
+    aggs-only body, the bucket DataFrame."""
+    return EsRequest(engine, dict(body)).run()
+
+
+def es_msearch(engine: QueryEngine, bodies: list[dict]) -> DataFrame:
+    """ES _msearch: several bodies of the SAME shape batched into one
+    engine call (the engine's native multi-query form — one plan, one
+    scan for the whole batch). All bodies must share query kind,
+    size/from, and options; they may differ in query text."""
+    if not bodies:
+        raise ValueError("empty msearch")
+    kinds = {next(iter(b.get("query", {}))) for b in bodies}
+    if len(kinds) != 1:
+        raise ValueError("msearch bodies must share one query kind")
+    (kind,) = kinds
+    if kind != "match":
+        raise ValueError("msearch batches match queries")
+    k = {int(b.get("size", 10)) for b in bodies}
+    if len(k) != 1:
+        raise ValueError("msearch bodies must share size")
+    queries = []
+    fields = set()
+    for i, b in enumerate(bodies):
+        (_, spec), = b["query"].items()
+        fld, opts = _field_text(spec, allowed=set())
+        fields.add(fld)
+        queries.append((i, opts["query"]))
+    if len(fields) != 1:
+        raise ValueError("msearch bodies must share the match field")
+    (fld,) = fields
+    f = fld if engine.fielded else None
+    return engine.topk_wand(queries, k=k.pop(), field=f)
