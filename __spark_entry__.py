@@ -509,6 +509,15 @@ def _q_search_aggs(spark, sf):
 # "zzzq" an empty expansion (matches nothing)
 PREFIX_QUERIES = [(1, "hash jo"), (2, "wind"), (3, "sort mer"), (4, "zzzq")]
 
+# match_phrase_prefix: base term(s) + last-token prefix; "key s" has a
+# MULTI-expansion prefix (sort/spark/slow/…), "zzzq" expands to nothing
+PHRASE_PREFIX_QUERIES = [
+    (1, "hash jo"),
+    (2, "sort mer"),
+    (3, "key s"),
+    (4, "table zzzq"),
+]
+
 
 def _q_prefix(spark, sf):
     """ES match_bool_prefix (search-as-you-type): the last query token
@@ -519,6 +528,24 @@ def _q_prefix(spark, sf):
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
     out = eng.prefix_topk(PREFIX_QUERIES, k=BM25_K, n_ranges=4)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_phrase_prefix(spark, sf):
+    """ES match_phrase_prefix over the positional codec: the last
+    token expands against the dictionary (in-plan cap), each expansion
+    forms an exact phrase evaluated in the positional kernel over the
+    same decoded streams, and a doc scores the MAX over its matching
+    expansion phrases (dis_max across expansions)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.phrase_prefix_topk(PHRASE_PREFIX_QUERIES, k=BM25_K, n_ranges=4)
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -983,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_histogram": _q_search_aggs_histogram,
         "search_aggs_date_histogram": _q_search_aggs_date_histogram,
         "bm25_prefix_topk": _q_prefix,
+        "bm25_phrase_prefix_topk": _q_phrase_prefix,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match,
         "multi_match_boosted_topk": _q_multi_match_boosted,
@@ -1255,6 +1283,86 @@ tf AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
          doc_id, round(score_raw, 6) AS score
   FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _phrase_prefix_sql(k: int) -> str:
+    """Twin of match_phrase_prefix: per query, the capped prefix
+    expansion from the vocabulary (LIKE + row_number, term order);
+    per (doc, expansion) an exact-phrase check with the expansion as
+    the last slot (lambda captures the correlated vterm column); per
+    matching (query, doc, expansion) a BM25 sum over the DISTINCT
+    terms of base+expansion; a doc's score is the MAX over its
+    matching expansions (the engine's dis_max-across-expansions)."""
+    import re
+
+    branches_m, branches_s = [], []
+    pre_vals = []
+    for qid, text in PHRASE_PREFIX_QUERIES:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        base, pre = toks[:-1], toks[-1]
+        pre_vals.append(f"({qid}, '{pre}')")
+        m = len(toks)
+        conds = " AND ".join(
+            [f"t.tk[i + {j}] = '{t}'" for j, t in enumerate(base)]
+            + [f"t.tk[i + {m - 1}] = e.vterm"]
+        )
+        branches_m.append(f"""
+  SELECT e.query_id, t.doc_id, e.vterm
+  FROM tcte t JOIN exp e ON e.query_id = {qid}
+  WHERE len(list_filter(range(1, len(t.tk) - {m} + 2), i -> {conds})) > 0""")
+        base_in = ", ".join(f"'{t}'" for t in sorted(set(base))) or "''"
+        branches_s.append(f"""
+  SELECT DISTINCT mv.query_id, mv.doc_id, mv.vterm, tf.term, tf.tf, tf.dl
+  FROM matchv mv JOIN tf ON tf.doc_id = mv.doc_id
+  WHERE mv.query_id = {qid}
+    AND (tf.term IN ({base_in}) OR tf.term = mv.vterm)""")
+    match_union = " UNION ALL ".join(branches_m)
+    score_union = " UNION ALL ".join(branches_s)
+    pre_values = ", ".join(pre_vals)
+    return f"""
+WITH tcte AS (SELECT doc_id, {TOK} AS tk FROM documents),
+toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+),
+vocab AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
+pre(query_id, p) AS (VALUES {pre_values}),
+exp AS (
+  SELECT query_id, term AS vterm FROM (
+    SELECT pre.query_id, v.term,
+           row_number() OVER (PARTITION BY pre.query_id ORDER BY v.term) AS rn
+    FROM vocab v JOIN pre ON v.term LIKE pre.p || '%'
+  ) WHERE rn <= 50
+),
+matchv AS ({match_union}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+rows_ AS ({score_union}),
+scoredv AS (
+  SELECT r.query_id, r.doc_id, r.vterm,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * r.tf * 2.2 / (r.tf + 1.2*(1.0 - 0.75 + 0.75*r.dl/stats.avgdl))
+         ) AS sc
+  FROM rows_ r JOIN dfreq ON dfreq.term = r.term CROSS JOIN stats
+  GROUP BY r.query_id, r.doc_id, r.vterm
+),
+best AS (
+  SELECT query_id, doc_id, max(sc) AS score_raw
+  FROM scoredv GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM best
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
@@ -1936,6 +2044,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "search_aggs_histogram": _search_aggs_histogram_sql(),
         "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),
         "bm25_prefix_topk": _prefix_sql(BM25_K),
+        "bm25_phrase_prefix_topk": _phrase_prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": _multi_match_sql(BM25_K),
         "multi_match_boosted_topk": _multi_match_boosted_sql(BM25_K, 2.0, 0.3),

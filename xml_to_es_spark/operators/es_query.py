@@ -18,6 +18,8 @@ raise, nothing is silently ignored)::
                                "fuzziness": N,
                                "minimum_should_match": M}},
         "match_phrase":       {field: text | {"query": text, "slop": N}},
+        "match_phrase_prefix": {field: text | {"query": text,
+                               "max_expansions": N}},
         "match_bool_prefix":  {field: text | {"query": text,
                                "max_expansions": N}},
         "multi_match":        {"query": text, "fields": ["title^2", ...],
@@ -164,6 +166,13 @@ class EsRequest:
                 [(0, opts["query"])], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
                 slop=int(opts.get("slop", 0)),
+            )
+        if kind == "match_phrase_prefix":
+            fld, opts = _field_text(spec, allowed={"max_expansions"})
+            return eng.phrase_prefix_topk(
+                [(0, opts["query"])], k=k, from_=from_,
+                field=self._resolve_match_field(fld),
+                max_expansions=int(opts.get("max_expansions", 50)),
             )
         if kind == "match_bool_prefix":
             fld, opts = _field_text(spec, allowed={"max_expansions"})

@@ -1142,7 +1142,11 @@ class QueryEngine:
         )
 
     def _phrase_group_kernel(
-        self, k: int, seqs: dict[int, list[str]], slop: int = 0
+        self,
+        k: int,
+        seqs: dict[int, list[str]],
+        slop: int = 0,
+        variants: dict[int, list[str]] | None = None,
     ):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
@@ -1158,7 +1162,14 @@ class QueryEngine:
         Scoring then gathers tf/dl per surviving doc per term and
         accumulates field-aware BM25 in the pinned term-lex order —
         the same float additions, in the same order, as the scalar
-        path, so scores stay bit-equal."""
+        path, so scores stay bit-equal.
+
+        ``variants`` (match_phrase_prefix): per query, the capped
+        expansion terms of the LAST slot. Each expansion forms its own
+        phrase seq[:-1]+[v], evaluated over the SAME decoded streams;
+        a doc's score is the MAX over its matching expansion phrases
+        (dis_max across expansions — documented deviation from
+        Lucene's MultiPhraseQuery blended statistics)."""
         k1, b = self.cfg.k1, self.cfg.b
         dead_by_ord = self._dead_by_ord
 
@@ -1179,7 +1190,6 @@ class QueryEngine:
             )
             qid = int(pdf["query_id"].iat[0])
             seq = seqs[qid]
-            uniq = sorted(set(seq))
             by_term: dict[str, dict] = {}
             idf: dict[str, float] = {}
             avg: dict[str, float] = {}
@@ -1208,80 +1218,116 @@ class QueryEngine:
                     "dls": np.concatenate(dls_l),
                     "pos": pls,
                 }
-            if any(t not in by_term for t in uniq):
-                return empty  # a phrase term absent from this dir
-            cand = by_term[uniq[0]]["docs"]
-            for t in uniq[1:]:
-                cand = np.intersect1d(cand, by_term[t]["docs"], assume_unique=True)
             lo, hi = int(pdf["range_lo"].iat[0]), int(pdf["range_hi"].iat[0])
-            cand = cand[(cand >= lo) & (cand < hi)]
             dead = dead_by_ord.get(int(pdf["ord"].iat[0]))
-            if dead is not None and dead.size and cand.size:
-                p = np.minimum(np.searchsorted(dead, cand), dead.size - 1)
-                cand = cand[dead[p] != cand]
-            if not cand.size:
-                return empty
-            # shift-and-intersect over packed (candidate_idx, start)
-            # keys; position lists are ascending per doc and owners
-            # ascend, so each key stream is sorted + unique. Shifted
-            # positions are offset by m-1 so negative shifts (needed
-            # for slop — a transposed token shifts left) stay
-            # packable; a uniform offset changes neither the exact
-            # intersection nor the span.
-            m = len(seq)
-            slot_keys: list[np.ndarray] = []
-            for j, t in enumerate(seq):
-                e = by_term[t]
-                idxs = np.searchsorted(e["docs"], cand)
-                plists = [e["pos"][i] for i in idxs]
-                counts = np.array([p.size for p in plists], dtype=np.int64)
-                flat = (
-                    np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
-                ) - j + (m - 1)
-                owner = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
-                keys = (owner << np.int64(33)) | (flat + 1)
-                slot_keys.append(keys)
-            if slop == 0:
-                survivors: np.ndarray | None = None
-                for keys in slot_keys:
-                    survivors = (
-                        keys
-                        if survivors is None
-                        else np.intersect1d(survivors, keys, assume_unique=True)
+
+            def evaluate(sq: list[str]):
+                """One phrase sequence → (matching docs, pinned-sum
+                scores) over the already-decoded streams; None when a
+                term is absent from this dir or nothing matches."""
+                uniq = sorted(set(sq))
+                if any(t not in by_term for t in uniq):
+                    return None
+                cand = by_term[uniq[0]]["docs"]
+                for t in uniq[1:]:
+                    cand = np.intersect1d(
+                        cand, by_term[t]["docs"], assume_unique=True
                     )
+                cand = cand[(cand >= lo) & (cand < hi)]
+                if dead is not None and dead.size and cand.size:
+                    p = np.minimum(np.searchsorted(dead, cand), dead.size - 1)
+                    cand = cand[dead[p] != cand]
+                if not cand.size:
+                    return None
+                # shift-and-intersect over packed (candidate_idx,
+                # start) keys; position lists are ascending per doc
+                # and owners ascend, so each key stream is sorted +
+                # unique. Shifted positions are offset by m-1 so
+                # negative shifts (needed for slop — a transposed
+                # token shifts left) stay packable; a uniform offset
+                # changes neither the intersection nor the span.
+                m = len(sq)
+                slot_keys: list[np.ndarray] = []
+                for j, t in enumerate(sq):
+                    e = by_term[t]
+                    idxs = np.searchsorted(e["docs"], cand)
+                    plists = [e["pos"][i] for i in idxs]
+                    counts = np.array([p.size for p in plists], dtype=np.int64)
+                    flat = (
+                        np.concatenate(plists)
+                        if plists
+                        else np.empty(0, dtype=np.int64)
+                    ) - j + (m - 1)
+                    owner = np.repeat(
+                        np.arange(cand.size, dtype=np.int64), counts
+                    )
+                    keys = (owner << np.int64(33)) | (flat + 1)
+                    slot_keys.append(keys)
+                if slop == 0:
+                    survivors: np.ndarray | None = None
+                    for keys in slot_keys:
+                        survivors = (
+                            keys
+                            if survivors is None
+                            else np.intersect1d(
+                                survivors, keys, assume_unique=True
+                            )
+                        )
+                        if survivors.size == 0:
+                            return None
+                else:
+                    # anchored window intersection: anchor a runs over
+                    # the union of shifted positions; slot j matches
+                    # iff it has a shifted position in [a, a+slop] for
+                    # the same candidate — first-key-ge probe
+                    vmask = np.int64((1 << 33) - 1)
+                    anchors = np.unique(np.concatenate(slot_keys))
+                    ok = np.ones(anchors.size, dtype=bool)
+                    for keys in slot_keys:
+                        if not keys.size:
+                            return None
+                        idx = np.searchsorted(keys, anchors)
+                        hit = idx < keys.size
+                        nxt = keys[np.minimum(idx, keys.size - 1)]
+                        hit &= (nxt >> np.int64(33)) == (anchors >> np.int64(33))
+                        hit &= (nxt & vmask) <= (anchors & vmask) + slop
+                        ok &= hit
+                    survivors = anchors[ok]
                     if survivors.size == 0:
-                        return empty
-            else:
-                # anchored window intersection: anchor a runs over the
-                # union of shifted positions; slot j matches iff it
-                # has a shifted position in [a, a+slop] for the same
-                # candidate — first-key-ge probe on the packed order
-                vmask = np.int64((1 << 33) - 1)
-                anchors = np.unique(np.concatenate(slot_keys))
-                ok = np.ones(anchors.size, dtype=bool)
-                for keys in slot_keys:
-                    if not keys.size:
-                        return empty
-                    idx = np.searchsorted(keys, anchors)
-                    hit = idx < keys.size
-                    nxt = keys[np.minimum(idx, keys.size - 1)]
-                    hit &= (nxt >> np.int64(33)) == (anchors >> np.int64(33))
-                    hit &= (nxt & vmask) <= (anchors & vmask) + slop
-                    ok &= hit
-                survivors = anchors[ok]
-                if survivors.size == 0:
+                        return None
+                sdocs = cand[np.unique(survivors >> np.int64(33))]
+                # pinned term-lex scoring over matching docs
+                score = np.zeros(sdocs.size, dtype=np.float64)
+                for t in uniq:
+                    e = by_term[t]
+                    i = np.searchsorted(e["docs"], sdocs)
+                    tf = e["tfs"][i].astype(np.float64)
+                    dl = e["dls"][i].astype(np.float64)
+                    score += idf[t] * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avg[t])
+                    )
+                return sdocs, score
+
+            if variants is None:
+                r = evaluate(seq)
+                if r is None:
                     return empty
-            sdocs = cand[np.unique(survivors >> np.int64(33))]
-            # pinned term-lex scoring over surviving docs, vectorized
-            score = np.zeros(sdocs.size, dtype=np.float64)
-            for t in uniq:
-                e = by_term[t]
-                i = np.searchsorted(e["docs"], sdocs)
-                tf = e["tfs"][i].astype(np.float64)
-                dl = e["dls"][i].astype(np.float64)
-                score += idf[t] * tf * (k1 + 1.0) / (
-                    tf + k1 * (1.0 - b + b * dl / avg[t])
-                )
+                sdocs, score = r
+            else:
+                # match_phrase_prefix: dis_max over expansion phrases
+                # evaluated against the SAME decoded streams
+                best: dict[int, float] = {}
+                for v in variants.get(qid, []):
+                    r = evaluate(seq[:-1] + [v])
+                    if r is None:
+                        continue
+                    for d_, s_ in zip(r[0].tolist(), r[1].tolist()):
+                        if s_ > best.get(d_, -np.inf):
+                            best[d_] = s_
+                if not best:
+                    return empty
+                sdocs = np.array(sorted(best), dtype=np.int64)
+                score = np.array([best[int(d_)] for d_ in sdocs])
             order = np.lexsort((sdocs, -score))[:k]
             return pd.DataFrame(
                 {
@@ -1415,6 +1461,63 @@ class QueryEngine:
         return self.topk_wand(
             queries, k=k, n_ranges=n_ranges, field=field, from_=from_,
             prefix_expansions=max_expansions,
+        )
+
+    def phrase_prefix_topk(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        n_ranges: int | None = None,
+        field: str | None = None,
+        from_: int = 0,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (search-as-you-type phrases):
+        the query's tokens must occur consecutively, with the LAST
+        token matching any indexed term it prefixes. Expansion is the
+        capped in-plan dictionary scan (≤ max_expansions per prefix,
+        term order — the ES default 50); each expansion forms its own
+        exact phrase, evaluated inside the positional kernel against
+        the SAME decoded streams, and a doc scores the MAX over its
+        matching expansion phrases (dis_max across expansions — a
+        documented deviation from Lucene's MultiPhraseQuery blended
+        statistics, chosen because it is exact, rankable per (dir,
+        range) partition, and SQL-twinnable). Partitioned like
+        :meth:`phrase_topk`: per (query, dir, range) local top-k over
+        range-pruned segments, global WindowGroupLimit merge."""
+        from pyspark.sql import Window as W
+
+        fld = self._resolve_field(field)
+        seqs = {
+            qid: [self._term_of(t, fld) for t in tokenize(text)]
+            for qid, text in queries
+        }
+        last_raw = {
+            qid: toks[-1]
+            for qid, text in queries
+            if (toks := tokenize(text))
+        }
+        vmap = self.prefix_variants(
+            sorted(set(last_raw.values())), field=fld,
+            max_expansions=max_expansions,
+        )
+        variants = {qid: vmap[tok] for qid, tok in last_raw.items()}
+        matched = self._matched_segments(
+            queries, field=field, prefix_expansions=max_expansions
+        )
+        if matched is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        k_local = from_ + k
+        ranged = self._ranged(matched, n_ranges or 1)
+        run = self._phrase_group_kernel(k_local, seqs, variants=variants)
+        partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
+            run, schema=TOPK_SCHEMA + ", range_id int"
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
+            .select("query_id", "rank", "doc_id", "score")
         )
 
     def _matched_segments(
