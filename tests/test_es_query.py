@@ -151,3 +151,19 @@ def test_dsl_rejects_unknown(eng):
     with pytest.raises(ValueError, match="unsupported match option"):
         es_search(eng, {"query": {"match": {"text": {
             "query": "a", "analyzer": "custom"}}}})
+
+
+def test_dsl_ids_and_percent_min_match(eng):
+    got = es_search(eng, {"query": {"ids": {"values": [3, 7, 11, 999]}},
+                          "size": 10}).toPandas()
+    assert list(got["doc_id"]) == [3, 7, 11]  # 999 not live
+    assert (got["score"] == 0.0).all()
+
+    # "50%" of a 2-token query = at least 1 token (ES floor rule)
+    half = es_search(eng, {"query": {"match": {"text": {
+        "query": "alpha gamma", "minimum_should_match": "50%"}}},
+        "size": 40}).toPandas()
+    both = es_search(eng, {"query": {"match": {"text": {
+        "query": "alpha gamma", "operator": "and"}}}, "size": 40}).toPandas()
+    assert set(both["doc_id"]) < set(half["doc_id"])
+    assert len(half) == 40  # every doc has alpha

@@ -30,6 +30,7 @@ raise, nothing is silently ignored)::
                               # are match-queries; term/terms/range/exists
                               # go to the structured filter context
         "term"/"terms"/"range"/"exists":  top-level = match_all + filter
+        "ids":                {"values": [doc_id, ...]}
       },
       "size": k, "from": n,
       "search_after": [score, doc_id],       # single-query cursor
@@ -195,6 +196,11 @@ class EsRequest:
         if kind == "bool":
             return eng.bool_topk(
                 [(0, self._bool_clauses(spec))], k=k, from_=from_
+            )
+        if kind == "ids":
+            vals = [int(v) for v in spec["values"]]
+            return eng.bool_topk(
+                [(0, {"filter": [{"terms": {"doc_id": vals}}]})], k=k, from_=from_
             )
         if kind in _STRUCTURED:
             # top-level structured query = ES filter-context shortcut

@@ -1759,7 +1759,7 @@ class QueryEngine:
         )
         if min_match is not None:
             need = {
-                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                qid: _min_match_count(min_match, len(set(tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(
@@ -1801,7 +1801,8 @@ class QueryEngine:
                 f"column(s) {missing} are not stored in this index — build "
                 "with IndexConfig(stored_fields=...) or pass docs= explicitly"
             )
-        return lv.select("doc_id", *cols)
+        # doc_id itself is a valid filter target (ES ids query)
+        return lv.select("doc_id", *[c for c in cols if c != "doc_id"])
 
     _DATE_INTERVALS = (
         "year", "quarter", "month", "week", "day", "hour", "minute", "second",
@@ -1873,7 +1874,7 @@ class QueryEngine:
             )
         if min_match is not None:
             need = {
-                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                qid: _min_match_count(min_match, len(set(tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(
@@ -1982,7 +1983,7 @@ class QueryEngine:
         )
         if min_match is not None:
             need = {
-                qid: len(set(tokenize(text))) if min_match == "all" else int(min_match)
+                qid: _min_match_count(min_match, len(set(tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(
@@ -2035,6 +2036,18 @@ class QueryEngine:
 # Pure-DataFrame BM25 (no codec) — the ANSI-SQL-expressible twin used
 # for the DuckDB oracle contract and as a cross-check of the codec path.
 # ---------------------------------------------------------------------------
+
+
+def _min_match_count(min_match, n_terms: int) -> int:
+    """ES minimum_should_match value → required count for a query
+    with ``n_terms`` distinct tokens: an int, ``"all"`` (ES
+    operator:and), or an ES percentage string ``"75%"`` (floor, the
+    ES positive-percent rule)."""
+    if min_match == "all":
+        return n_terms
+    if isinstance(min_match, str) and min_match.endswith("%"):
+        return (int(min_match[:-1]) * n_terms) // 100
+    return int(min_match)
 
 
 def bm25_topk_dataframe(
@@ -2133,7 +2146,7 @@ def bm25_topk_dataframe(
         need_rows = [
             (
                 qid,
-                len(set(tokenize(text))) if min_match == "all" else int(min_match),
+                _min_match_count(min_match, len(set(tokenize(text)))),
             )
             for qid, text in queries
         ]
