@@ -167,3 +167,15 @@ def test_dsl_ids_and_percent_min_match(eng):
         "query": "alpha gamma", "operator": "and"}}}, "size": 40}).toPandas()
     assert set(both["doc_id"]) < set(half["doc_id"])
     assert len(half) == 40  # every doc has alpha
+
+
+def test_dsl_simple_query_string(eng):
+    got = es_search(eng, {"query": {"simple_query_string": {
+        "query": "+alpha -gamma beta"}}, "size": 40})
+    want = eng.bool_topk(
+        [(0, {"must": "alpha", "must_not": "gamma", "should": "beta"})], k=40
+    )
+    _same(got, want)
+    with pytest.raises(ValueError, match="simple_query_string"):
+        es_search(eng, {"query": {"simple_query_string": {
+            "query": '"a phrase"'}}})

@@ -30,7 +30,8 @@ raise, nothing is silently ignored)::
                               # are match-queries; term/terms/range/exists
                               # go to the structured filter context
         "term"/"terms"/"range"/"exists":  top-level = match_all + filter
-        "ids":                {"values": [doc_id, ...]}
+        "ids":                {"values": [doc_id, ...]},
+        "simple_query_string": {"query": "+req -excl optional"}
       },
       "size": k, "from": n,
       "search_after": [score, doc_id],       # single-query cursor
@@ -83,6 +84,38 @@ def _field_text(spec: dict, allowed: set[str] | None = None) -> tuple[str, dict]
         if extra:
             raise ValueError(f"option(s) {sorted(extra)} not valid here")
     return fld, opts
+
+
+def _parse_simple_query(text: str) -> dict:
+    """ES simple_query_string (operator subset): ``+term`` → must,
+    ``-term`` → must_not, bare terms → should (the ES default_operator
+    OR). Quoted phrases and grouping are not supported (use
+    match_phrase / bool bodies); a quote raises rather than being
+    silently stripped."""
+    if '"' in text or "(" in text or ")" in text or "|" in text:
+        raise ValueError(
+            "simple_query_string: only +term / -term / bare-term syntax is "
+            "supported (no quotes or grouping) — use match_phrase or a bool "
+            "body for phrases"
+        )
+    must, must_not, should = [], [], []
+    for tok in text.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:])
+        else:
+            should.append(tok)
+    out: dict = {}
+    if must:
+        out["must"] = " ".join(must)
+    if must_not:
+        out["must_not"] = " ".join(must_not)
+    if should:
+        out["should"] = " ".join(should)
+    if not out:
+        raise ValueError("empty simple_query_string")
+    return out
 
 
 class EsRequest:
@@ -196,6 +229,21 @@ class EsRequest:
         if kind == "bool":
             return eng.bool_topk(
                 [(0, self._bool_clauses(spec))], k=k, from_=from_
+            )
+        if kind == "simple_query_string":
+            opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+            bad = set(opts) - {"query", "fields"}
+            if bad:
+                raise ValueError(
+                    f"unsupported simple_query_string option(s) {sorted(bad)}"
+                )
+            flds = list(opts.get("fields", []))
+            if len(flds) > 1:
+                raise ValueError("simple_query_string: one field supported")
+            clauses = _parse_simple_query(opts["query"])
+            return eng.bool_topk(
+                [(0, clauses)], k=k, from_=from_,
+                field=self._resolve_match_field(flds[0]) if flds else None,
             )
         if kind == "ids":
             vals = [int(v) for v in spec["values"]]
