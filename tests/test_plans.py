@@ -268,3 +268,35 @@ def test_search_aggs_size_and_sort_topk_plan(spark, tmp_path):
     dv_reads = [r for r in reads if "n_chars" in r]
     assert dv_reads and all("text" not in r for r in dv_reads), reads
     assert [int(r["doc_id"]) for r in srt.collect()] == [19, 18, 17]
+
+
+def test_multi_match_tie_breaker_plan_no_extra_python(spark, tmp_path):
+    """The tie_breaker>0 dis_max path must stay one decode pass: a
+    single MapInPandas (the segment decode) and JVM hash-aggs for the
+    per-field sums and the dis_max combine — no extra Python stages,
+    no cartesian."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": [f"alpha w{i}" for i in range(20)],
+                "title": [f"t{i} alpha" for i in range(20)],
+            }
+        )
+    )
+    idx = str(tmp_path / "tb_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, indexed_fields=("text", "title"))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    out = eng.multi_match(
+        [(1, "alpha")], k=5, fields=["title^2", "text"], tie_breaker=0.3
+    )
+    plan = explain_str(out, "simple")
+    assert plan.count("MapInPandas") == 1  # the decode, nothing else
+    assert_no_cartesian(out)
+    assert len(out.collect()) == 5

@@ -317,7 +317,8 @@ class EsRequest:
         if len(aggs) != 1:
             raise ValueError("one top-level agg supported")
         (_name, spec), = aggs.items()
-        sub = spec.pop("aggs", {}) if isinstance(spec, dict) else {}
+        spec = dict(spec)  # never mutate the caller's body
+        sub = spec.pop("aggs", {})
         (bkind, bspec), = spec.items()
         if bkind == "terms":
             group_by: Any = bspec["field"]
