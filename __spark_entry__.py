@@ -574,6 +574,37 @@ def _q_search_aggs_histogram(spark, sf):
     )
 
 
+# ES filtered aggregations: bool-bounded match sets (text roles +
+# structured filter context), terms bucket + max sub-agg
+FILTERED_AGG_QUERIES = [
+    (1, {"must": "hash", "filter": [{"range": {"n_chars": {"gte": 150}}}]}),
+    (2, {"should": "sort merge", "must_not": "window",
+         "filter": [{"terms": {"lang": ["en", "de"]}}]}),
+    (3, {"filter": [{"term": {"source": "src3"}}]}),
+]
+
+
+def _q_search_aggs_filtered(spark, sf):
+    """ES FILTERED aggregations — the standard ES analytics shape: a
+    bool query (must/should/must_not text roles plus structured
+    term/terms/range filters over stored doc values) bounds the match
+    set, and the terms bucket agg + max sub-agg runs over that FULL
+    match set via the same one-scan bool machinery as bool_topk."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.bool_aggs(
+        FILTERED_AGG_QUERIES, group_by="lang",
+        metrics={"max_chars": ("max", "n_chars")},
+    )
+    return out.select(
+        "query_id",
+        "lang",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
 def _q_search_aggs_date_histogram(spark, sf):
     """ES date_histogram (calendar_interval=day over the stored
     `warc_ts` crawl timestamp) with terms-agg `size` semantics: only
@@ -1009,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
         "search_aggs_date_histogram": _q_search_aggs_date_histogram,
+        "search_aggs_filtered": _q_search_aggs_filtered,
         "bm25_prefix_topk": _q_prefix,
         "bm25_phrase_prefix_topk": _q_phrase_prefix,
         "bm25_title_topk": _q_bm25_title,
@@ -1517,6 +1549,92 @@ def _struct_pred_sql(clauses: list) -> str:
         elif kind == "exists":
             parts.append(f"d.{spec['field']} IS NOT NULL")
     return " AND ".join(parts)
+
+
+def _filtered_aggs_sql() -> str:
+    """Twin of bool_aggs: the _bool_range_sql match machinery (role
+    agg + occurrence filters + per-query structured predicate CASE +
+    match_all union), then a terms bucket agg over the full match
+    set."""
+    import re
+
+    qvals, needs, preds, match_all = [], [], {}, []
+    for qid, clauses in FILTERED_AGG_QUERIES:
+        counts = {"must": 0, "filter": 0, "should": 0}
+        fval = clauses.get("filter")
+        sclauses = []
+        if isinstance(fval, (list, tuple)):
+            sclauses = [cl for cl in fval if "match" not in cl]
+        texts = {
+            "must": clauses.get("must", ""),
+            "should": clauses.get("should", ""),
+            "must_not": clauses.get("must_not", ""),
+            "filter": " ".join(
+                cl["match"] for cl in (fval or []) if isinstance(cl, dict)
+                and "match" in cl
+            ) if isinstance(fval, (list, tuple)) else (fval or ""),
+        }
+        has_text = False
+        for role in ("must", "should", "must_not", "filter"):
+            toks = sorted(set(re.findall("[a-z0-9]+", texts[role].lower())))
+            if role in counts:
+                counts[role] = len(toks)
+            if role != "must_not" and toks:
+                has_text = True
+            for t in toks:
+                qvals.append(f"({qid}, '{t}', '{role}')")
+        if sclauses:
+            preds[qid] = _struct_pred_sql(sclauses)
+            if not has_text:
+                match_all.append(qid)
+        msm = 0 if (counts["must"] or counts["filter"]) else (
+            1 if counts["should"] else 0
+        )
+        needs.append(f"({qid}, {counts['must']}, {counts['filter']}, {msm})")
+    values = ", ".join(qvals)
+    need_values = ", ".join(needs)
+    case = " ".join(
+        f"WHEN {qid} THEN ({p})"
+        for qid, p in preds.items()
+        if qid not in match_all
+    )
+    case = f"CASE agg.query_id {case} ELSE TRUE END" if case else "TRUE"
+    union = "".join(
+        f"""
+  UNION ALL
+  SELECT {qid} AS query_id, d.doc_id
+  FROM documents d WHERE {preds[qid]}"""
+        for qid in match_all
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term, role) AS (VALUES {values}),
+need(query_id, n_must, n_filter, msm) AS (VALUES {need_values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), agg AS (
+  SELECT q.query_id, tf.doc_id,
+         count(DISTINCT CASE WHEN q.role = 'must' THEN tf.term END) AS must_m,
+         count(DISTINCT CASE WHEN q.role = 'filter' THEN tf.term END) AS filter_m,
+         count(DISTINCT CASE WHEN q.role = 'should' THEN tf.term END) AS should_m,
+         max(CASE WHEN q.role = 'must_not' THEN 1 ELSE 0 END) AS excl
+  FROM tf JOIN q USING (term)
+  GROUP BY q.query_id, tf.doc_id
+), matched AS (
+  SELECT agg.query_id, agg.doc_id
+  FROM agg JOIN need USING (query_id) JOIN documents d ON agg.doc_id = d.doc_id
+  WHERE must_m = n_must AND filter_m = n_filter AND excl = 0
+    AND should_m >= msm AND ({case}){union}
+)
+SELECT m.query_id, d.lang,
+       count(*)::BIGINT AS doc_count,
+       max(d.n_chars)::BIGINT AS max_chars
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang
+"""
 
 
 def _bool_range_sql(k: int) -> str:
@@ -2043,6 +2161,7 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),
         "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),
+        "search_aggs_filtered": _filtered_aggs_sql(),
         "bm25_prefix_topk": _prefix_sql(BM25_K),
         "bm25_phrase_prefix_topk": _phrase_prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),

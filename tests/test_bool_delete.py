@@ -441,3 +441,66 @@ def test_bool_dual_role_tokens(spark, tmp_path):
 
     with pytest.raises(ValueError, match="must_not AND a positive"):
         eng.bool_topk([(1, {"must": "alpha", "must_not": "alpha beta"})])
+
+
+def test_bool_aggs_filtered_aggregations(spark, tmp_path):
+    """ES filtered aggregations: bucket aggs over the FULL match set
+    of a bool query (text + structured filter context) — verified
+    against a pandas twin of the same semantics."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"alpha w{i} {'beta' if i % 2 else 'gam'}" for i in range(40)],
+            "lang": [["en", "de", "fr", "es"][i % 4] for i in range(40)],
+            "n_chars": [100 + i for i in range(40)],
+        }
+    )
+    idx = str(tmp_path / "baggidx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, stored_fields=("lang", "n_chars"))
+    ).build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+
+    clauses = {"must": "alpha", "must_not": "beta",
+               "filter": [{"range": {"n_chars": {"gte": 110}}}]}
+    got = (
+        eng.bool_aggs(
+            [(1, clauses)], group_by="lang",
+            metrics={"mx": ("max", "n_chars")},
+        )
+        .toPandas().sort_values("lang").reset_index(drop=True)
+    )
+    m = pdf[(pdf.doc_id % 2 == 0) & (pdf.n_chars >= 110)]  # beta = odd ids
+    want = (
+        m.groupby("lang").agg(doc_count=("doc_id", "size"), mx=("n_chars", "max"))
+        .reset_index().sort_values("lang").reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["doc_count"]) == list(want["doc_count"])
+    assert list(got["mx"]) == list(want["mx"])
+
+    # DSL routing: same body through es_search (aggs + bool)
+    dsl = (
+        es_search(eng, {
+            "query": {"bool": {
+                "must": {"match": {"text": "alpha"}},
+                "must_not": {"match": {"text": "beta"}},
+                "filter": [{"range": {"n_chars": {"gte": 110}}}]}},
+            "aggs": {"langs": {"terms": {"field": "lang"},
+                               "aggs": {"mx": {"max": {"field": "n_chars"}}}}},
+        })
+        .toPandas().sort_values("lang").reset_index(drop=True)
+    )
+    assert list(dsl["doc_count"]) == list(want["doc_count"])
+
+    # structured-only aggs (match_all + filter analytics)
+    s_only = es_search(eng, {
+        "query": {"range": {"n_chars": {"lt": 104}}},
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    }).toPandas()
+    assert s_only["doc_count"].sum() == 4

@@ -339,8 +339,21 @@ class EsRequest:
             metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
         q = self.body.get("query", {})
         (kind, spec2), = q.items() if q else (("match", None),)
-        if kind != "match" or spec2 is None:
-            raise ValueError("aggs require a match query")
+        if spec2 is None:
+            raise ValueError("aggs require a query (match, bool, or filter)")
+        if kind == "bool":
+            # ES filtered aggregations: bool-bounded match set
+            return self.eng.bool_aggs(
+                [(0, self._bool_clauses(spec2))], group_by=group_by,
+                metrics=metrics, size=size,
+            )
+        if kind in _STRUCTURED:
+            return self.eng.bool_aggs(
+                [(0, {"filter": [{kind: spec2}]})], group_by=group_by,
+                metrics=metrics, size=size,
+            )
+        if kind != "match":
+            raise ValueError("aggs support match, bool, or structured queries")
         fld, opts = _field_text(spec2, allowed={"minimum_should_match"})
         return self.eng.search_aggs(
             [(0, opts["query"])], group_by=group_by, metrics=metrics,

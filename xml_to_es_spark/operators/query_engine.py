@@ -820,6 +820,58 @@ class QueryEngine:
         (query_id, doc_id), WindowGroupLimit top-k."""
         from pyspark.sql import Window as W
 
+        hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def bool_aggs(
+        self,
+        queries: list[tuple[int, dict]],
+        group_by: str | tuple[str, float] | tuple[str, str],
+        metrics: dict[str, tuple[str, str]] | None = None,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES FILTERED aggregations — the standard ES analytics shape:
+        a bool query (text clauses AND the structured filter context)
+        bounds the match set, and the terms/histogram/date_histogram
+        bucket agg with metric sub-aggs runs over that FULL match set
+        (see :meth:`search_aggs` for bucket semantics and the scale
+        shape; the match set here comes from the same one-scan bool
+        machinery as :meth:`bool_topk`)."""
+        metrics = metrics or {}
+        for alias, (fn, _c) in metrics.items():
+            if fn not in self._AGG_FNS:
+                raise ValueError(
+                    f"metric {alias!r}: unsupported fn {fn!r}; "
+                    f"expected one of {sorted(self._AGG_FNS)}"
+                )
+        hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, score double"
+            )
+        return self._bucket_agg(
+            hits.select("query_id", "doc_id"), group_by, metrics, docs, size
+        )
+
+    def _bool_match_set(
+        self,
+        queries: list[tuple[int, dict]],
+        field: str | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Full bool match set (query_id, doc_id, score) — the shared
+        front half of :meth:`bool_topk` (top-k page) and
+        :meth:`bool_aggs` (filtered aggregations). None when nothing
+        can match."""
         fld = self._resolve_field(field)
         avg = self._avgdl_of(fld)
         rows: list[tuple[int, str, str]] = []  # (qid, stored term, role)
@@ -891,7 +943,7 @@ class QueryEngine:
             )
             need.append((qid, len(toks["must"]), len(toks["filter"]), msm))
         if not rows and not struct:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return None
         meta = self._term_meta(sorted({t for _, t, _ in rows})) if rows else {}
         present = [
             (
@@ -907,17 +959,9 @@ class QueryEngine:
             if t in meta and meta[t]["df"] > 0
         ]
         if not present and not struct:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return None
         agg = None if not present else self._bool_agg(present, meta)
-        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        hits = self._bool_hits(agg, need, struct, match_all, has_mnot, docs)
-        if hits is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        return (
-            hits.withColumn("rank", F.row_number().over(w))
-            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
-            .select("query_id", "rank", "doc_id", "score")
-        )
+        return self._bool_hits(agg, need, struct, match_all, has_mnot, docs)
 
     def _bool_agg(self, present: list[tuple], meta: dict) -> DataFrame:
         """The one-scan/one-hash-agg core of :meth:`bool_topk`:
@@ -1883,6 +1927,20 @@ class QueryEngine:
             hits = hits.join(F.broadcast(need_df), "query_id").filter(
                 F.col("n_matched") >= F.col("need")
             )
+        return self._bucket_agg(hits, group_by, metrics, docs, size)
+
+    def _bucket_agg(
+        self,
+        hits: DataFrame,
+        group_by,
+        metrics: dict,
+        docs: DataFrame | None,
+        size: int | None,
+    ) -> DataFrame:
+        """Shared bucket-agg tail of :meth:`search_aggs` /
+        :meth:`bool_aggs`: join the (query_id, doc_id) match set to
+        the doc-values projection, bucket, aggregate, optional in-plan
+        top-``size`` window."""
         if isinstance(group_by, tuple):
             gcol, interval = group_by
             bucket_name = f"{gcol}_bucket"
