@@ -84,3 +84,27 @@ def test_cli_convert(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["docs"] == 7
     assert spark.read.json(out).count() == 7
+
+
+def test_cli_search_dsl(spark, tmp_path, capsys):
+    idx = str(tmp_path / "dslidx")
+    rc = main(
+        [
+            "--cores", "8", "build", "--input-format", "docs",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", idx, "--groups", "1",
+            "--stored-fields", "lang,n_chars",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "search", "--index", idx, "--body",
+        json.dumps({"query": {"bool": {
+            "must": {"match": {"text": "hash"}},
+            "filter": [{"term": {"lang": "en"}}]}}, "size": 3}),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3 and lines[0]["rank"] == 1
+    assert all(ln["score"] > 0 for ln in lines)

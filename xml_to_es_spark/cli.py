@@ -209,6 +209,25 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Run one ES-style JSON search body (the es_query DSL) against an
+    index — the spark-submit face of the reference's ES query
+    surface."""
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    spark = _spark(args)
+    if args.body_file:
+        with open(args.body_file) as f:
+            body = json.load(f)
+    else:
+        body = json.loads(args.body)
+    eng = QueryEngine(spark, args.index)
+    for row in es_search(eng, body).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xml_to_es_spark")
     p.add_argument("--cores", default="32")
@@ -297,6 +316,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument("--n-files", type=int, default=None)
     c.set_defaults(fn=cmd_convert)
+
+    d = sub.add_parser(
+        "search", help="run an ES-style JSON search body (es_query DSL)"
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--body", default=None, help="inline JSON body")
+    d.add_argument("--body-file", default=None, help="path to a JSON body file")
+    d.set_defaults(fn=cmd_search)
 
     v = sub.add_parser("verify", help="recount index tables")
     v.add_argument("--index", required=True)
