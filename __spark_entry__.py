@@ -1100,7 +1100,10 @@ def _bm25_sql(
     values = ", ".join(qvals)
     if fuzziness:
         # dictionary expansion twin: raw tokens → vocabulary terms
-        # within levenshtein ≤ N, each variant with its own df/idf
+        # within levenshtein ≤ N, each variant with its own df/idf;
+        # the cap window keeps the CLOSEST variants (distance, term) —
+        # Lucene's FuzzyQuery top-N-by-similarity rule, same as the
+        # engine's _capped_expansion fuzzy ordering
         return f"""
 WITH vterms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
 qraw(query_id, qt) AS (VALUES {values}),
@@ -1108,7 +1111,7 @@ q AS (
   SELECT DISTINCT query_id, term FROM (
     SELECT qraw.query_id, v.term,
            row_number() OVER (PARTITION BY qraw.query_id, qraw.qt
-                              ORDER BY v.term) AS rn
+                              ORDER BY levenshtein(v.term, qraw.qt), v.term) AS rn
     FROM vterms v JOIN qraw ON levenshtein(v.term, qraw.qt) <= {fuzziness}
   ) WHERE rn <= 50
 ),

@@ -179,3 +179,75 @@ def test_dsl_simple_query_string(eng):
     with pytest.raises(ValueError, match="simple_query_string"):
         es_search(eng, {"query": {"simple_query_string": {
             "query": '"a phrase"'}}})
+
+
+def test_dsl_nothing_silently_ignored():
+    """The round-4 ADVICE defects: search_after must be rejected on
+    every kind that does not route it, fuzziness must not silently
+    drop operator/minimum_should_match, and es_msearch must reject
+    body keys it would otherwise drop."""
+    from xml_to_es_spark.operators.es_query import EsRequest
+
+    class _Eng:  # routing-only checks: no engine call is ever reached
+        fielded = False
+
+    sa = [1.5, 3]
+    for q in (
+        {"multi_match": {"query": "a b", "fields": ["text"]}},
+        {"bool": {"must": {"match": {"text": "a"}}}},
+        {"simple_query_string": {"query": "+a b"}},
+        {"ids": {"values": [1]}},
+        {"term": {"lang": "en"}},
+        {"match_bool_prefix": {"text": "al"}},
+        {"match_phrase_prefix": {"text": "al"}},
+        {"match_phrase": {"text": "a b"}},
+    ):
+        with pytest.raises(ValueError, match="search_after"):
+            EsRequest(_Eng(), {"query": q, "search_after": sa})._hits()
+    # cursor + sort: the cursor would need sort-key ordering
+    with pytest.raises(ValueError, match="search_after"):
+        EsRequest(_Eng(), {
+            "query": {"match": {"text": "a"}},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "search_after": sa,
+        })._hits()
+    # fuzziness + operator/minimum_should_match: AND must not run as OR
+    for opt in ({"operator": "and"}, {"minimum_should_match": 2}):
+        with pytest.raises(ValueError, match="fuzziness"):
+            EsRequest(_Eng(), {"query": {"match": {"text": {
+                "query": "a b", "fuzziness": 1, **opt}}}})._hits()
+
+
+def test_msearch_rejects_unbatched_keys(eng):
+    for key, val in (
+        ("from", 5),
+        ("search_after", [1.0, 2]),
+        ("sort", [{"n_chars": {"order": "asc"}}]),
+        ("aggs", {"l": {"terms": {"field": "lang"}}}),
+        ("highlight", {}),
+    ):
+        with pytest.raises(ValueError, match="msearch body"):
+            es_msearch(eng, [
+                {"query": {"match": {"text": "alpha"}}, "size": 3},
+                {"query": {"match": {"text": "beta"}}, "size": 3, key: val},
+            ])
+
+
+def test_fuzzy_cap_keeps_closest_variants(spark, tmp_path_factory):
+    """Lucene FuzzyQuery keeps the top-N HIGHEST-SIMILARITY terms: the
+    cap window orders by (edit distance, term), so a distance-0 /
+    distance-1 variant is never evicted by lexicographically-earlier
+    distance-2 terms (the round-4 ADVICE ordering defect)."""
+    pdf = pd.DataFrame({
+        "doc_id": range(30),
+        # vocabulary: "zz" + filler; aa..ax are distance 2 from "zz"
+        # and sort BEFORE it — term-order capping would evict "zz"
+        "text": [f"a{chr(97 + i)} zz filler" for i in range(24)] + ["zz"] * 6,
+    })
+    idx = str(tmp_path_factory.mktemp("fuzcap") / "idx")
+    IndexBuilder(spark, IndexConfig(n_groups=1)).build(
+        spark.createDataFrame(pdf), idx
+    )
+    e = QueryEngine(spark, idx)
+    got = e.fuzzy_variants(["zz"], fuzziness=2, max_expansions=3)
+    assert "zz" in got["zz"]  # the exact term survives any cap

@@ -133,6 +133,10 @@ class EsRequest:
         self.k = int(body.get("size", 10))
         self.from_ = int(body.get("from", 0))
 
+    # query kinds that route a search_after cursor to the engine —
+    # every other kind REJECTS the cursor (nothing silently ignored)
+    _CURSOR_KINDS = {"match"}
+
     # -- query-clause routing ------------------------------------------------
 
     def _resolve_match_field(self, fld: str) -> str | None:
@@ -151,6 +155,15 @@ class EsRequest:
 
         sort = self.body.get("sort")
         if sort and sort != "_score":
+            if "search_after" in self.body:
+                # ES sorts cursors by the SORT key values, not
+                # (score, doc_id) — not implemented; reject rather
+                # than serve a mis-keyed page
+                raise ValueError(
+                    "search_after combined with sort-by-field is not "
+                    "supported (the cursor would need the sort-key "
+                    "ordering); page with from_ instead"
+                )
             if isinstance(sort, list):
                 if len(sort) != 1:
                     raise ValueError("one sort field supported")
@@ -171,11 +184,27 @@ class EsRequest:
         if "search_after" in self.body:
             s, d = self.body["search_after"]
             cursor = {0: (float(s), int(d))}
+            if kind not in self._CURSOR_KINDS:
+                # nothing is silently ignored: any kind that does not
+                # route the cursor must reject it, or a pagination
+                # loop would re-serve page 1 forever
+                raise ValueError(
+                    f"search_after is not supported on {kind!r} queries"
+                )
 
         if kind == "match":
             fld, opts = _field_text(spec)
             f = self._resolve_match_field(fld)
             if opts.get("fuzziness"):
+                conflicting = {"operator", "minimum_should_match"} & set(opts)
+                if conflicting:
+                    # the fuzzy path has no min_match plumbing — an AND
+                    # fuzzy match would silently run as OR
+                    raise ValueError(
+                        f"fuzziness cannot be combined with "
+                        f"{sorted(conflicting)} (the fuzzy path scores "
+                        "every expansion disjunctively)"
+                    )
                 return eng.topk_wand(
                     [(0, opts["query"])], k=k, field=f, from_=from_,
                     fuzziness=int(opts["fuzziness"]), search_after=cursor,
@@ -194,8 +223,6 @@ class EsRequest:
             )
         if kind == "match_phrase":
             fld, opts = _field_text(spec, allowed={"slop"})
-            if cursor:
-                raise ValueError("search_after not supported on match_phrase")
             return eng.phrase_topk(
                 [(0, opts["query"])], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
@@ -404,6 +431,17 @@ def es_msearch(engine: QueryEngine, bodies: list[dict]) -> DataFrame:
     size/from, and options; they may differ in query text."""
     if not bodies:
         raise ValueError("empty msearch")
+    for i, b in enumerate(bodies):
+        bad = set(b) - {"query", "size"}
+        if bad:
+            # EsRequest's strict key check is bypassed here, so
+            # enforce the batched subset explicitly — a paged msearch
+            # must not silently re-serve page 1
+            raise ValueError(
+                f"msearch body {i}: unsupported key(s) {sorted(bad)} — "
+                "batched msearch supports query and size only; use "
+                "es_search for from/search_after/sort/aggs/highlight"
+            )
     kinds = {next(iter(b.get("query", {}))) for b in bodies}
     if len(kinds) != 1:
         raise ValueError("msearch bodies must share one query kind")

@@ -1396,8 +1396,10 @@ class QueryEngine:
     ) -> dict[str, list[str]]:
         """ES fuzzy expansion against the terms DICTIONARY: each query
         token → indexed terms within levenshtein ≤ fuzziness, capped
-        at ``max_expansions`` per token in term order (the ES
-        ``fuzzy.max_expansions`` default, 50). One job over the
+        at ``max_expansions`` per token keeping the CLOSEST variants —
+        the cap window orders by (edit distance, term), matching
+        Lucene's FuzzyQuery, which keeps the top-N highest-similarity
+        terms (term order breaks distance ties). One job over the
         unioned per-dir term tables; the cap is applied IN-PLAN, so
         the driver collect is ≤ tokens×cap rows by construction. On
         fielded indexes the scan is prefix-pruned to ``field`` and the
@@ -1408,6 +1410,7 @@ class QueryEngine:
             lambda bare, probe: F.levenshtein(bare, probe) <= fuzziness,
             field,
             max_expansions,
+            order=lambda bare, probe: [F.levenshtein(bare, probe), bare],
         )
         out: dict[str, list[str]] = {t: [] for t in tokens}
         for r in capped.collect():
@@ -1420,17 +1423,21 @@ class QueryEngine:
         pred,
         field: str | None,
         max_expansions: int,
+        order=None,
     ) -> DataFrame:
         """Shared dictionary-expansion plan: vocabulary × probes
         (probes exploded from a literal array), ``pred(bare, probe)``
         filtered JVM-side, then capped IN-PLAN per probe —
-        ``row_number() OVER (PARTITION BY probe ORDER BY bare) ≤
+        ``row_number() OVER (PARTITION BY probe ORDER BY <order>) ≤
         max_expansions`` — BEFORE any collect. A 1-character prefix
         over a 10^9-term Common-Crawl vocabulary therefore reaches the
         driver as ≤ probes×max_expansions rows, never as the matching
         vocabulary slice (the round-3 scale defect). Returns
-        DataFrame(qp, term, bare) with ≤ max_expansions rows per qp,
-        first-N in term order (the ES expansion rule)."""
+        DataFrame(qp, term, bare) with ≤ max_expansions rows per qp.
+        ``order(bare, probe)`` → list of window sort Columns; default
+        first-N in term order (the ES prefix-expansion rule); the
+        fuzzy path passes (edit distance, term) to keep Lucene's
+        top-N-by-similarity window instead."""
         from pyspark.sql import Window as W
 
         scans = [
@@ -1451,7 +1458,10 @@ class QueryEngine:
             "term", "bare",
             F.explode(F.array(*[F.lit(p) for p in probes])).alias("qp"),
         ).filter(pred(F.col("bare"), F.col("qp")))
-        w = W.partitionBy("qp").orderBy("bare")
+        sort_cols = (
+            order(F.col("bare"), F.col("qp")) if order else [F.col("bare")]
+        )
+        w = W.partitionBy("qp").orderBy(*sort_cols)
         return (
             pairs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_expansions)
@@ -2135,9 +2145,10 @@ def bm25_topk_dataframe(
     ``fuzziness=N``: ES ``match`` fuzziness — each query token expands
     to DICTIONARY terms within levenshtein distance N (a dictionary
     scan, never a corpus scan), capped at ``max_expansions`` per token
-    in term order (the ES default, 50 — matching the codec engine's
-    capped expansion); each variant scores with its own df/idf,
-    exactly ES's per-expanded-term scoring."""
+    keeping the closest variants — (edit distance, term) window order,
+    Lucene's FuzzyQuery top-N-by-similarity rule, matching the codec
+    engine's capped expansion; each variant scores with its own
+    df/idf, exactly ES's per-expanded-term scoring."""
     cfg = cfg or BM25Config()
     spark = docs.sparkSession
     from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
@@ -2168,7 +2179,9 @@ def bm25_topk_dataframe(
         )
         from pyspark.sql import Window as W
 
-        wexp = W.partitionBy("q.query_id", "q.qt").orderBy("term")
+        wexp = W.partitionBy("q.query_id", "q.qt").orderBy(
+            F.levenshtein(F.col("term"), F.col("q.qt")), F.col("term")
+        )
         qdf = (
             vocab.select("term", F.explode(qlits).alias("q"))
             .filter(F.levenshtein(F.col("term"), F.col("q.qt")) <= fuzziness)
