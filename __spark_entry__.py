@@ -481,6 +481,102 @@ def _q_es_dsl_bool_range(spark, sf):
     return out
 
 
+# RICH (nested-tree) ES bool bodies — the shapes real ES users nest:
+# should-of-musts, per-clause boost beside a plain clause, a
+# multi-token OR match clause + exclusion + range filter, bool-level
+# minimum_should_match, and a boosted nested bool under must beside a
+# structured term filter
+NESTED_BOOL_QUERIES = [
+    (1, {"should": [
+        {"bool": {"must": [{"match": "hash"}, {"match": "join"}]}},
+        {"bool": {"must": [{"match": "sort"}, {"match": "merge"}]}},
+    ]}),
+    (2, {"must": [{"match": "sort"}],
+         "should": [{"match": {"query": "merge", "boost": 2.0}},
+                    {"match": "dup"}]}),
+    (3, {"must": [{"match": "key fast"}],
+         "must_not": [{"match": "window"}],
+         "filter": [{"range": {"n_chars": {"gte": 150}}}]}),
+    (4, {"should": [{"match": "fast"}, {"match": "slow"}, {"match": "key"}],
+         "minimum_should_match": 2}),
+    (5, {"must": [{"bool": {"should": [{"match": "spark"}, {"match": "batch"}],
+                            "boost": 0.5}}],
+         "filter": [{"term": {"lang": "en"}}]}),
+]
+
+
+def _q_bool_nested(spark, sf):
+    """RICH nested bool trees over the codec index: clause lists with
+    per-clause OR-match and boost, nested {"bool": ...} sub-trees
+    (a should-of-musts scores the sum of each matched sub-bool's
+    clause sum), bool-level minimum_should_match, and structured
+    filters — evaluated in ONE postings scan + ONE per-clause
+    conditional hash-agg; the tree itself is a pure JVM expression
+    (query_engine._bool_tree_match_set)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.bool_topk(NESTED_BOOL_QUERIES, k=BM25_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_es_dsl_bool_nested(spark, sf):
+    """The SAME five nested trees expressed as ES JSON search bodies
+    and routed through es_search — translation identity for the
+    nested-bool DSL surface (oracle: the same DuckDB twin)."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    bodies = {
+        1: {"query": {"bool": {"should": [
+            {"bool": {"must": [{"match": {"text": "hash"}},
+                               {"match": {"text": "join"}}]}},
+            {"bool": {"must": [{"match": {"text": "sort"}},
+                               {"match": {"text": "merge"}}]}},
+        ]}}, "size": BM25_K},
+        2: {"query": {"bool": {
+            "must": {"match": {"text": "sort"}},
+            "should": [{"match": {"text": {"query": "merge", "boost": 2.0}}},
+                       {"match": {"text": "dup"}}]}}, "size": BM25_K},
+        3: {"query": {"bool": {
+            "must": [{"match": {"text": "key fast"}}],
+            "must_not": {"match": {"text": "window"}},
+            "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+            "size": BM25_K},
+        4: {"query": {"bool": {
+            "should": [{"match": {"text": "fast"}},
+                       {"match": {"text": "slow"}},
+                       {"match": {"text": "key"}}],
+            "minimum_should_match": 2}}, "size": BM25_K},
+        5: {"query": {"bool": {
+            "must": [{"bool": {"should": [{"match": {"text": "spark"}},
+                                          {"match": {"text": "batch"}}],
+                               "boost": 0.5}}],
+            "filter": [{"term": {"lang": "en"}}]}}, "size": BM25_K},
+    }
+    parts = [
+        es_search(eng, b).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, b in bodies.items()
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _q_search_aggs(spark, sf):
     """ES search aggregations over the FULL match set: terms bucket on
     the stored `source` doc-value with avg/max sub-aggs on `n_chars`
@@ -1035,7 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cursor_topk": _q_bm25_cursor,
         "bm25_bool_topk": _q_bool,
         "bm25_bool_range_topk": _q_bool_range,
+        "bm25_bool_nested_topk": _q_bool_nested,
         "es_dsl_bool_range_topk": _q_es_dsl_bool_range,
+        "es_dsl_bool_nested_topk": _q_es_dsl_bool_nested,
         "bm25_sort_chars_topk": _q_sort_by_field,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
@@ -1737,6 +1835,216 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
+def _bool_nested_sql(k: int) -> str:
+    """DuckDB twin of the RICH nested bool trees: a mini-compiler
+    walks the SAME query specs (NESTED_BOOL_QUERIES), assigns leaf
+    clause ids in the engine's DFS order, and emits — exactly like
+    query_engine._bool_tree_match_set — one per-clause conditional
+    aggregation (count of distinct matched terms + boosted BM25 sum
+    per clause) and a per-query tree expression over those columns,
+    with structured predicates on documents d and candidate union for
+    structured-only-matchable queries."""
+    import re
+
+    def tokz(text):
+        return sorted(set(re.findall("[a-z0-9]+", text.lower())))
+
+    def compile_node(spec, scoring, leaves):
+        node = {"must": [], "should": [], "must_not": [], "filter": [],
+                "msm": spec.get("minimum_should_match"),
+                "boost": float(spec.get("boost", 1.0))}
+        for role in ("must", "should", "must_not", "filter"):
+            v = spec.get(role)
+            if v is None:
+                continue
+            cs_scoring = scoring and role in ("must", "should")
+            for cl in (v if isinstance(v, list) else [v]):
+                (ck, cspec), = cl.items()
+                if ck == "bool":
+                    node[role].append(
+                        ("node", compile_node(cspec, cs_scoring, leaves))
+                    )
+                elif ck == "match":
+                    opts = (dict(cspec) if isinstance(cspec, dict)
+                            else {"query": cspec})
+                    leaf = {
+                        "cid": len(leaves),
+                        "toks": tokz(opts["query"]),
+                        "and": str(opts.get("operator", "or")).lower() == "and",
+                        "boost": float(opts.get("boost", 1.0)),
+                        "scoring": cs_scoring,
+                    }
+                    leaves.append(leaf)
+                    node[role].append(("leaf", leaf))
+                else:
+                    node[role].append(("struct", cl))
+        return node
+
+    def need_should(n):
+        if not n["should"]:
+            return 0
+        msm = n["msm"]
+        if msm is None:
+            return 0 if (n["must"] or n["filter"]) else 1
+        if isinstance(msm, str) and msm.endswith("%"):
+            return (int(msm[:-1]) * len(n["should"])) // 100
+        return int(msm)
+
+    def static_eval(n, text_val, struct_val):
+        def m(ch):
+            kind, v = ch
+            if kind == "node":
+                return static_eval(v, text_val, struct_val)
+            return text_val if kind == "leaf" else struct_val
+
+        if not all(m(c) for c in n["must"] + n["filter"]):
+            return False
+        if any(m(c) for c in n["must_not"]):
+            return False
+        return sum(1 for c in n["should"] if m(c)) >= need_should(n)
+
+    def sql_matched(ch):
+        kind, v = ch
+        if kind == "node":
+            return sql_matched_node(v)
+        if kind == "leaf":
+            need = len(v["toks"]) if v["and"] else 1
+            return f"(coalesce(c{v['cid']}, 0) >= {need})"
+        return "(" + _struct_pred_sql([v]) + ")"
+
+    def sql_score(ch):
+        kind, v = ch
+        if kind == "node":
+            return sql_score_node(v)
+        if kind == "leaf" and v["scoring"]:
+            return f"coalesce(s{v['cid']}, 0.0)"
+        return "0.0"
+
+    def sql_matched_node(n):
+        parts = [sql_matched(c) for c in n["must"] + n["filter"]]
+        parts += [f"(NOT {sql_matched(c)})" for c in n["must_not"]]
+        need = need_should(n)
+        if need > 0:
+            cnt = " + ".join(
+                f"(CASE WHEN {sql_matched(c)} THEN 1 ELSE 0 END)"
+                for c in n["should"]
+            )
+            parts.append(f"(({cnt}) >= {need})")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+
+    def sql_score_node(n):
+        terms = [
+            f"(CASE WHEN {sql_matched(c)} THEN {sql_score(c)} ELSE 0.0 END)"
+            for c in n["must"] + n["should"]
+        ]
+        s = "(" + (" + ".join(terms) if terms else "0.0") + ")"
+        if n["boost"] != 1.0:
+            s = f"({s} * {n['boost']})"
+        return s
+
+    def structs_of(n, acc):
+        for role in ("must", "should", "must_not", "filter"):
+            for ch in n[role]:
+                kind, v = ch
+                if kind == "node":
+                    structs_of(v, acc)
+                elif kind == "struct":
+                    acc.append(v)
+        return acc
+
+    leaves: list[dict] = []
+    trees = {}
+    for qid, spec in NESTED_BOOL_QUERIES:
+        trees[qid] = compile_node(spec, True, leaves)
+    def leaves_of(n, acc):
+        for role in ("must", "should", "must_not", "filter"):
+            for ch in n[role]:
+                kind, v = ch
+                if kind == "node":
+                    leaves_of(v, acc)
+                elif kind == "leaf":
+                    acc.append(v)
+        return acc
+
+    # leaf (qid, cid, term, w) value rows
+    lv = []
+    for qid, _spec in NESTED_BOOL_QUERIES:
+        for leaf in leaves_of(trees[qid], []):
+            for t in leaf["toks"]:
+                w = leaf["boost"] if leaf["scoring"] else 0.0
+                lv.append(f"({qid}, {leaf['cid']}, '{t}', {w})")
+    values = ", ".join(lv)
+    idf = "ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))"
+    tfsat = "tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))"
+    agg_cols = []
+    for leaf in leaves:
+        cid = leaf["cid"]
+        agg_cols.append(
+            f"count(DISTINCT CASE WHEN q.cid = {cid} THEN tf.term END) AS c{cid}"
+        )
+        if leaf["scoring"]:
+            agg_cols.append(
+                f"sum(CASE WHEN q.cid = {cid} THEN {idf} * {tfsat} * q.w "
+                f"ELSE 0.0 END) AS s{cid}"
+            )
+    # candidate union for structured-only-matchable queries
+    unions = []
+    for qid, tree in trees.items():
+        ss = structs_of(tree, [])
+        if ss and static_eval(tree, False, True):
+            pred = " OR ".join(f"({_struct_pred_sql([s])})" for s in ss)
+            unions.append(
+                f"  UNION SELECT {qid} AS query_id, d.doc_id "
+                f"FROM documents d WHERE {pred}"
+            )
+    m_cases = " ".join(
+        f"WHEN {qid} THEN {sql_matched_node(tree)}"
+        for qid, tree in trees.items()
+    )
+    s_cases = " ".join(
+        f"WHEN {qid} THEN {sql_score_node(tree)}"
+        for qid, tree in trees.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, cid, term, w) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT q.query_id, tf.doc_id,
+         {", ".join(agg_cols)}
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), cands AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT query_id, doc_id FROM agg
+{chr(10).join(unions)}
+  )
+), evald AS (
+  SELECT c.query_id, c.doc_id,
+         CASE c.query_id {m_cases} ELSE FALSE END AS m,
+         CASE c.query_id {s_cases} ELSE 0.0 END AS score_raw
+  FROM cands c
+  LEFT JOIN agg ON c.query_id = agg.query_id AND c.doc_id = agg.doc_id
+  LEFT JOIN documents d ON c.doc_id = d.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM evald WHERE m
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _field_scored_ctes(tok_expr: str, sfx: str, queries) -> str:
     """Per-field BM25 scored CTE chain (same float expression text as
     _bm25_sql so the twin folds identically); ``tok_expr`` is the
@@ -2159,7 +2467,9 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "bm25_cursor_topk": f"SELECT query_id, rank - {BM25_K} AS rank, doc_id, score FROM ({_bm25_sql(from_=BM25_K)})",
         "bm25_bool_topk": _bool_sql(BM25_K),
         "bm25_bool_range_topk": _bool_range_sql(BM25_K),
+        "bm25_bool_nested_topk": _bool_nested_sql(BM25_K),
         "es_dsl_bool_range_topk": _bool_range_sql(BM25_K),
+        "es_dsl_bool_nested_topk": _bool_nested_sql(BM25_K),
         "bm25_sort_chars_topk": _sort_by_field_sql(BM25_K),
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),

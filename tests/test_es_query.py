@@ -194,7 +194,6 @@ def test_dsl_nothing_silently_ignored():
     sa = [1.5, 3]
     for q in (
         {"multi_match": {"query": "a b", "fields": ["text"]}},
-        {"bool": {"must": {"match": {"text": "a"}}}},
         {"simple_query_string": {"query": "+a b"}},
         {"ids": {"values": [1]}},
         {"term": {"lang": "en"}},
@@ -251,3 +250,57 @@ def test_fuzzy_cap_keeps_closest_variants(spark, tmp_path_factory):
     e = QueryEngine(spark, idx)
     got = e.fuzzy_variants(["zz"], fuzziness=2, max_expansions=3)
     assert "zz" in got["zz"]  # the exact term survives any cap
+
+
+def test_dsl_nested_bool_routes(eng):
+    """Nested bool bodies, per-clause boost, and bool-level
+    minimum_should_match route onto the engine's rich tree path and
+    return exactly what the equivalent direct call returns."""
+    body = {"query": {"bool": {
+        "should": [
+            {"bool": {"must": [{"match": {"text": "alpha"}},
+                               {"match": {"text": "beta"}}]}},
+            {"match": {"text": {"query": "gamma", "boost": 2.0}}},
+        ],
+        "filter": [{"range": {"n_chars": {"gte": 120}}}],
+    }}, "size": 15}
+    want = eng.bool_topk([(0, {
+        "should": [
+            {"bool": {"must": [{"match": "alpha"}, {"match": "beta"}]}},
+            {"match": {"query": "gamma", "boost": 2.0}},
+        ],
+        "filter": [{"range": {"n_chars": {"gte": 120}}}],
+    })], k=15)
+    _same(es_search(eng, body), want)
+
+    # bool-level minimum_should_match (previously rejected)
+    body2 = {"query": {"bool": {
+        "should": [{"match": {"text": "beta"}}, {"match": {"text": "gamma"}},
+                   {"match": {"text": "w3"}}],
+        "minimum_should_match": 2,
+    }}, "size": 30}
+    want2 = eng.bool_topk([(0, {
+        "should": [{"match": "beta"}, {"match": "gamma"}, {"match": "w3"}],
+        "minimum_should_match": 2,
+    })], k=30)
+    _same(es_search(eng, body2), want2)
+
+    # a multi-token match clause under must ORs its tokens (ES), it
+    # does not silently require all of them
+    got = es_search(eng, {"query": {"bool": {
+        "must": [{"match": {"text": "beta gamma"}}]}}, "size": 40}).toPandas()
+    either = es_search(eng, {"query": {"match": {"text": "beta gamma"}},
+                             "size": 40}).toPandas()
+    assert set(got["doc_id"]) == set(either["doc_id"])
+
+
+def test_dsl_bool_cursor(eng):
+    """search_after now routes on bool bodies (rank-anchored)."""
+    body = {"query": {"bool": {"should": [{"match": {"text": "beta"}},
+                                          {"match": {"text": "gamma"}}]}},
+            "size": 8}
+    full = es_search(eng, {**body, "size": 16}).toPandas().sort_values("rank")
+    p1 = full.iloc[:8]
+    p2 = es_search(eng, {**body, "search_after": [
+        float(p1.score.iat[-1]), int(p1.doc_id.iat[-1])]}).toPandas()
+    assert list(p2.sort_values("rank")["doc_id"]) == list(full.iloc[8:16]["doc_id"])

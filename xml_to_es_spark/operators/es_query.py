@@ -26,9 +26,15 @@ raise, nothing is silently ignored)::
                                "type": "best_fields"|"most_fields",
                                "tie_breaker": t},
         "bool":               {"must"/"should"/"must_not": clause|[clauses],
-                               "filter": clause|[clauses]}   # text clauses
-                              # are match-queries; term/terms/range/exists
-                              # go to the structured filter context
+                               "filter": clause|[clauses],
+                               "minimum_should_match": n | "NN%",
+                               "boost": b}
+                              # clauses: {"match": {field: text |
+                              #   {"query": text, "operator": ...,
+                              #    "boost": b}}}, nested {"bool": {...}},
+                              # or structured term/terms/range/exists
+                              # (any role; non-scoring). Multi-token
+                              # match clauses OR their tokens (ES).
         "term"/"terms"/"range"/"exists":  top-level = match_all + filter
         "ids":                {"values": [doc_id, ...]},
         "simple_query_string": {"query": "+req -excl optional"}
@@ -72,11 +78,18 @@ _MATCH_KEYS = {"query", "operator", "fuzziness", "minimum_should_match",
 _STRUCTURED = ("term", "terms", "range", "exists")
 
 
-def _field_text(spec: dict, allowed: set[str] | None = None) -> tuple[str, dict]:
-    """{field: text | {…options}} → (field, options-dict with 'query')."""
+def _field_text(
+    spec: dict,
+    allowed: set[str] | None = None,
+    extra_keys: frozenset[str] = frozenset(),
+) -> tuple[str, dict]:
+    """{field: text | {…options}} → (field, options-dict with 'query').
+    ``extra_keys`` widens the accepted option set for contexts that
+    support more than the base match options (bool clauses accept
+    ``boost``)."""
     (fld, v), = spec.items()
     opts = dict(v) if isinstance(v, dict) else {"query": v}
-    bad = set(opts) - _MATCH_KEYS
+    bad = set(opts) - _MATCH_KEYS - extra_keys
     if bad or "query" not in opts:
         raise ValueError(f"unsupported match option(s) {sorted(bad)}")
     if allowed is not None:
@@ -135,7 +148,7 @@ class EsRequest:
 
     # query kinds that route a search_after cursor to the engine —
     # every other kind REJECTS the cursor (nothing silently ignored)
-    _CURSOR_KINDS = {"match"}
+    _CURSOR_KINDS = {"match", "bool"}
 
     # -- query-clause routing ------------------------------------------------
 
@@ -254,8 +267,10 @@ class EsRequest:
                 tie_breaker=float(opts.get("tie_breaker", 0.0)),
             )
         if kind == "bool":
+            espec, bfld = self._bool_spec(spec)
             return eng.bool_topk(
-                [(0, self._bool_clauses(spec))], k=k, from_=from_
+                [(0, espec)], k=k, from_=from_, field=bfld,
+                search_after=cursor,
             )
         if kind == "simple_query_string":
             opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
@@ -289,31 +304,73 @@ class EsRequest:
             )
         raise ValueError(f"unsupported query kind {kind!r}")
 
-    def _bool_clauses(self, spec: dict) -> dict:
-        """ES bool body → bool_topk clause dict. Text clauses (match /
-        match-like) become role texts; structured clauses in filter
-        context pass through."""
-        bad = set(spec) - {"must", "should", "must_not", "filter",
-                           "minimum_should_match"}
+    _BOOL_KEYS = {"must", "should", "must_not", "filter",
+                  "minimum_should_match", "boost"}
+
+    def _bool_needs_rich(self, spec: dict) -> bool:
+        """True when an ES bool body needs the engine's RICH
+        nested-tree path: bool-level minimum_should_match / boost,
+        nested bool sub-clauses, per-clause boost/operator options,
+        mixed clause fields, structured clauses outside the filter
+        role, or a multi-token match clause under must (the legacy
+        flat translation would silently AND its tokens — the round-4
+        ADVICE defect). Flat single-token bodies keep the legacy
+        translation, bit-identical to the direct engine call."""
+        from xml_to_es_spark.pyref import tokenize
+
+        if "minimum_should_match" in spec or "boost" in spec:
+            return True
+        fields: set = set()
+        for role in ("must", "should", "must_not", "filter"):
+            cls = spec.get(role, [])
+            for cl in (cls if isinstance(cls, list) else [cls]):
+                if not (isinstance(cl, dict) and len(cl) == 1):
+                    raise ValueError(
+                        f"each bool clause must be a single-key dict, got {cl!r}"
+                    )
+                (ck, cs), = cl.items()
+                if ck == "bool":
+                    return True
+                if ck in _STRUCTURED:
+                    if role != "filter":
+                        return True
+                    continue
+                if ck != "match":
+                    raise ValueError(
+                        f"bool {role} supports match/bool/structured "
+                        f"clauses, got {ck!r}"
+                    )
+                fld, opts = _field_text(
+                    cs, allowed={"operator", "boost"},
+                    extra_keys=frozenset({"boost"}),
+                )
+                if "boost" in opts or "operator" in opts:
+                    return True
+                fields.add(self._resolve_match_field(fld))
+                if role == "must" and len(tokenize(opts["query"])) > 1:
+                    return True
+        return len(fields) > 1
+
+    def _bool_spec(self, spec: dict) -> tuple[dict, str | None]:
+        """ES bool body → (engine clause spec, field) — the legacy
+        flat dict plus its single resolved field when the body is
+        flat, or the engine's rich nested-tree spec (field carried
+        per clause) otherwise."""
+        bad = set(spec) - self._BOOL_KEYS
         if bad:
             raise ValueError(f"unsupported bool key(s) {sorted(bad)}")
-        if "minimum_should_match" in spec:
-            raise ValueError(
-                "bool minimum_should_match: only the ES default is "
-                "implemented (1 when no must/filter, else 0)"
-            )
+        if self._bool_needs_rich(spec):
+            return self._rich_bool_body(spec), None
         out: dict[str, Any] = {}
+        fields: set = set()
         for role in ("must", "should", "must_not"):
             cls = spec.get(role, [])
             cls = cls if isinstance(cls, list) else [cls]
             texts = []
             for cl in cls:
-                (ck, cs), = cl.items()
-                if ck != "match":
-                    raise ValueError(
-                        f"bool {role} supports match clauses, got {ck!r}"
-                    )
-                _fld, opts = _field_text(cs, allowed=set())
+                (_ck, cs), = cl.items()
+                fld, opts = _field_text(cs, allowed=set())
+                fields.add(self._resolve_match_field(fld))
                 texts.append(opts["query"])
             if texts:
                 out[role] = " ".join(texts)
@@ -323,7 +380,8 @@ class EsRequest:
         for cl in fcls:
             (ck, cs), = cl.items()
             if ck == "match":
-                _fld, opts = _field_text(cs, allowed=set())
+                fld, opts = _field_text(cs, allowed=set())
+                fields.add(self._resolve_match_field(fld))
                 flist.append({"match": opts["query"]})
             elif ck in _STRUCTURED:
                 flist.append({ck: cs})
@@ -331,7 +389,54 @@ class EsRequest:
                 raise ValueError(f"unsupported filter clause {ck!r}")
         if flist:
             out["filter"] = flist
+        return out, (fields.pop() if fields else None)
+
+    def _rich_bool_body(self, spec: dict) -> dict:
+        """ES bool body → the engine's rich nested-tree spec: clause
+        fields resolved per clause, nested bools recursed, structured
+        clauses passed through in any role."""
+        bad = set(spec) - self._BOOL_KEYS
+        if bad:
+            raise ValueError(f"unsupported bool key(s) {sorted(bad)}")
+        out: dict[str, Any] = {}
+        for key in ("minimum_should_match", "boost"):
+            if key in spec:
+                out[key] = spec[key]
+        for role in ("must", "should", "must_not", "filter"):
+            cls = spec.get(role)
+            if cls is None:
+                continue
+            out[role] = [
+                self._rich_clause(cl)
+                for cl in (cls if isinstance(cls, list) else [cls])
+            ]
         return out
+
+    def _rich_clause(self, cl: dict) -> dict:
+        if not (isinstance(cl, dict) and len(cl) == 1):
+            raise ValueError(
+                f"each bool clause must be a single-key dict, got {cl!r}"
+            )
+        (ck, cs), = cl.items()
+        if ck == "bool":
+            return {"bool": self._rich_bool_body(cs)}
+        if ck in _STRUCTURED:
+            return {ck: cs}
+        if ck != "match":
+            raise ValueError(
+                f"bool clauses support match/bool/structured kinds, got {ck!r}"
+            )
+        fld, opts = _field_text(
+            cs, allowed={"operator", "boost"}, extra_keys=frozenset({"boost"})
+        )
+        leaf: dict[str, Any] = {"query": opts["query"]}
+        f = self._resolve_match_field(fld)
+        if f is not None:
+            leaf["field"] = f
+        for key in ("operator", "boost"):
+            if key in opts:
+                leaf[key] = opts[key]
+        return {"match": leaf}
 
     # -- aggs ----------------------------------------------------------------
 
@@ -370,9 +475,10 @@ class EsRequest:
             raise ValueError("aggs require a query (match, bool, or filter)")
         if kind == "bool":
             # ES filtered aggregations: bool-bounded match set
+            espec, bfld = self._bool_spec(spec2)
             return self.eng.bool_aggs(
-                [(0, self._bool_clauses(spec2))], group_by=group_by,
-                metrics=metrics, size=size,
+                [(0, espec)], group_by=group_by,
+                metrics=metrics, size=size, field=bfld,
             )
         if kind in _STRUCTURED:
             return self.eng.bool_aggs(

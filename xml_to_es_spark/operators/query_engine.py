@@ -140,6 +140,73 @@ def _topk_reduce(k: int):
     return run
 
 
+class _BoolLeaf:
+    """One text match clause of a rich (nested) bool tree: OR over its
+    tokens by default (the ES per-clause match), AND with
+    ``operator: and``; ``boost`` multiplies its BM25 contribution."""
+
+    __slots__ = ("cid", "terms", "op_and", "boost", "scoring", "field")
+
+    def __init__(self, cid, terms, op_and, boost, scoring, field):
+        self.cid, self.terms, self.op_and = cid, terms, op_and
+        self.boost, self.scoring, self.field = boost, scoring, field
+
+
+class _BoolStruct:
+    """A structured (term/terms/range/exists) clause of a rich bool
+    tree — a non-scoring predicate over stored doc values."""
+
+    __slots__ = ("clause",)
+
+    def __init__(self, clause):
+        self.clause = clause
+
+
+class _BoolNode:
+    """An ES ``bool`` node: role lists of children (leaves or nested
+    bools), optional ``minimum_should_match`` and ``boost``."""
+
+    __slots__ = ("must", "should", "must_not", "filter", "msm", "boost")
+
+    def __init__(self):
+        self.must, self.should, self.must_not, self.filter = [], [], [], []
+        self.msm, self.boost = None, 1.0
+
+    def need_should(self) -> int:
+        """Required matched-should count (ES default: 1 when no
+        must/filter clauses, else 0; explicit msm accepts ints and
+        ES percentage strings)."""
+        if not self.should:
+            return 0
+        if self.msm is None:
+            return 0 if (self.must or self.filter) else 1
+        return _min_match_count(self.msm, len(self.should))
+
+
+def _is_rich_bool(clauses: dict) -> bool:
+    """True when a bool query spec uses the RICH (nested-tree) form:
+    role values given as clause lists/dicts, bool-level
+    minimum_should_match/boost, or filter clauses carrying nested
+    bools / match options. Legacy flat specs (role → token string,
+    filter → string or list of simple single-key clauses) keep the
+    original one-agg path bit-for-bit."""
+    if "minimum_should_match" in clauses or "boost" in clauses:
+        return True
+    for role in ("must", "should", "must_not"):
+        if isinstance(clauses.get(role), (list, tuple, dict)):
+            return True
+    fv = clauses.get("filter")
+    if isinstance(fv, dict):
+        return True
+    if isinstance(fv, (list, tuple)):
+        for cl in fv:
+            if isinstance(cl, dict) and (
+                "bool" in cl or isinstance(cl.get("match"), dict)
+            ):
+                return True
+    return False
+
+
 class QueryEngine:
     """Top-k BM25 retrieval over an index directory produced by
     :class:`~xml_to_es_spark.operators.index_build.IndexBuilder`.
@@ -765,6 +832,7 @@ class QueryEngine:
         field: str | None = None,
         from_: int = 0,
         docs: DataFrame | None = None,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """ES ``bool`` query over term clauses. Each query is
         ``(query_id, {"must": text, "should": text, "must_not": text,
@@ -817,13 +885,34 @@ class QueryEngine:
         absent from the whole corpus matches nothing (ES semantics).
         Scale shape identical to :meth:`topk_distributed`: broadcast
         query table, term+group-pruned scans, one shuffle on
-        (query_id, doc_id), WindowGroupLimit top-k."""
+        (query_id, doc_id), WindowGroupLimit top-k.
+
+        RICH specs (detected per batch — see :func:`_is_rich_bool`)
+        extend the clause model to real ES body shapes: role values as
+        CLAUSE LISTS whose elements are ``{"match": text | {"query":
+        ..., "field": f, "boost": b, "operator": "and"|"or"}}``
+        (per-clause OR-match, the ES default — a multi-token match
+        clause requires ANY of its tokens, not all), nested
+        ``{"bool": {...}}`` sub-trees, structured clauses in any role,
+        and bool-level ``minimum_should_match`` (int or ES percentage)
+        + ``boost``. See :meth:`_bool_tree_match_set` for semantics
+        and the one-scan/one-agg scale shape.
+
+        ``search_after``: ES cursor pagination, rank-anchored on the
+        cursor doc exactly like :meth:`topk_distributed` (bool scores
+        are engine-ordered float sums, so the cursor must not rely on
+        bit-equal re-summation)."""
         from pyspark.sql import Window as W
 
-        hits = self._bool_match_set(queries, field=field, docs=docs)
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        if search_after:
+            hits = self._rank_anchored_after(hits, w, search_after)
         return (
             hits.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
@@ -845,7 +934,8 @@ class QueryEngine:
         bucket agg with metric sub-aggs runs over that FULL match set
         (see :meth:`search_aggs` for bucket semantics and the scale
         shape; the match set here comes from the same one-scan bool
-        machinery as :meth:`bool_topk`)."""
+        machinery as :meth:`bool_topk`, including RICH nested-tree
+        specs — see :meth:`_bool_tree_match_set`)."""
         metrics = metrics or {}
         for alias, (fn, _c) in metrics.items():
             if fn not in self._AGG_FNS:
@@ -853,7 +943,10 @@ class QueryEngine:
                     f"metric {alias!r}: unsupported fn {fn!r}; "
                     f"expected one of {sorted(self._AGG_FNS)}"
                 )
-        hits = self._bool_match_set(queries, field=field, docs=docs)
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
             hits = self.spark.createDataFrame(
                 [], schema="query_id long, doc_id long, score double"
@@ -1128,6 +1221,329 @@ class QueryEngine:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # -- nested bool trees (rich spec) ---------------------------------------
+
+    def _compile_bool_node(
+        self, spec: dict, scoring: bool, default_field: str | None,
+        leaves: list, structs: list,
+    ) -> _BoolNode:
+        """Rich bool spec → clause tree. ``leaves``/``structs`` are the
+        BATCH-global collectors (leaf clause ids index the per-clause
+        aggregation columns). ``scoring`` propagates the ES filter
+        context: everything under filter/must_not scores 0."""
+        bad = set(spec) - {"must", "should", "must_not", "filter",
+                           "minimum_should_match", "boost"}
+        if bad:
+            raise ValueError(f"unknown bool key(s) {sorted(bad)}")
+        node = _BoolNode()
+        node.boost = float(spec.get("boost", 1.0))
+        node.msm = spec.get("minimum_should_match")
+        for role in ("must", "should", "must_not", "filter"):
+            v = spec.get(role)
+            if v is None:
+                continue
+            child_scoring = scoring and role in ("must", "should")
+            children = []
+            if isinstance(v, str):
+                # legacy token string: one single-token clause per
+                # distinct token (every token required/excluded —
+                # identical match set to the flat path)
+                for t in sorted(set(tokenize(v))):
+                    children.append(self._compile_bool_clause(
+                        {"match": t}, child_scoring, default_field,
+                        leaves, structs,
+                    ))
+            else:
+                for cl in (v if isinstance(v, (list, tuple)) else [v]):
+                    children.append(self._compile_bool_clause(
+                        cl, child_scoring, default_field, leaves, structs,
+                    ))
+            setattr(node, role, children)
+        if not (node.must or node.should or node.filter):
+            raise ValueError(
+                "bool node needs at least one must/should/filter clause "
+                "(a must_not-only bool is ES match_all minus exclusions — "
+                "an unbounded corpus scan)"
+            )
+        return node
+
+    def _compile_bool_clause(
+        self, cl, scoring: bool, default_field: str | None,
+        leaves: list, structs: list,
+    ):
+        if not (isinstance(cl, dict) and len(cl) == 1):
+            raise ValueError(
+                f"each bool clause must be a single-key dict, got {cl!r}"
+            )
+        (kind, spec), = cl.items()
+        if kind == "bool":
+            return self._compile_bool_node(
+                spec, scoring, default_field, leaves, structs
+            )
+        if kind == "match":
+            opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+            bad = set(opts) - {"query", "field", "boost", "operator"}
+            if bad or "query" not in opts:
+                raise ValueError(
+                    f"match clause supports query/field/boost/operator, "
+                    f"got {sorted(bad) or 'no query'}"
+                )
+            fld = self._resolve_field(opts.get("field", default_field))
+            toks = sorted(set(tokenize(opts["query"])))
+            if not toks:
+                raise ValueError("empty match clause")
+            leaf = _BoolLeaf(
+                cid=len(leaves),
+                terms=[self._term_of(t, fld) for t in toks],
+                op_and=str(opts.get("operator", "or")).lower() == "and",
+                boost=float(opts.get("boost", 1.0)),
+                scoring=scoring,
+                field=fld,
+            )
+            leaves.append(leaf)
+            return leaf
+        if kind in ("term", "terms", "range", "exists"):
+            self._structured_pred(cl)  # validate kind/bounds
+            s = _BoolStruct(cl)
+            structs.append(s)
+            return s
+        raise ValueError(f"unsupported bool clause kind {kind!r}")
+
+    @staticmethod
+    def _static_bool_eval(node: _BoolNode, text_val: bool, struct_val: bool) -> bool:
+        """Evaluate a tree with every text leaf pinned to ``text_val``
+        and every structured leaf to ``struct_val`` — the driver-side
+        boundedness analysis: (False, False) matching means the query
+        needs no evidence at all (corpus scan → reject); (False, True)
+        matching means structured-only docs can match, so the
+        doc-values candidates must be unioned in."""
+        def m(ch):
+            if isinstance(ch, _BoolNode):
+                return QueryEngine._static_bool_eval(ch, text_val, struct_val)
+            return text_val if isinstance(ch, _BoolLeaf) else struct_val
+
+        if not all(m(c) for c in node.must + node.filter):
+            return False
+        if any(m(c) for c in node.must_not):
+            return False
+        return sum(1 for c in node.should if m(c)) >= node.need_should()
+
+    def _bool_tree_cols(
+        self, node: _BoolNode
+    ) -> tuple[F.Column, F.Column]:
+        """(matched, score) Column expressions for one query's tree
+        over the per-clause aggregation columns ``_c<cid>`` (distinct
+        matched-term count) and ``_s<cid>`` (boosted contribution sum)
+        plus the joined doc-value columns for structured predicates.
+        Score = Σ over matched must/should children of the child's
+        score (ES sum-of-clauses; a nested bool contributes its own
+        sum × its boost), evaluated as a pure JVM expression."""
+        def matched(ch) -> F.Column:
+            if isinstance(ch, _BoolNode):
+                return matched_node(ch)
+            if isinstance(ch, _BoolLeaf):
+                need = len(ch.terms) if ch.op_and else 1
+                return F.coalesce(F.col(f"_c{ch.cid}"), F.lit(0)) >= need
+            return F.coalesce(self._structured_pred(ch.clause), F.lit(False))
+
+        def score(ch) -> F.Column:
+            if isinstance(ch, _BoolNode):
+                return score_node(ch)
+            if isinstance(ch, _BoolLeaf) and ch.scoring:
+                return F.coalesce(F.col(f"_s{ch.cid}"), F.lit(0.0))
+            return F.lit(0.0)
+
+        def matched_node(n: _BoolNode) -> F.Column:
+            out = None
+            for c in n.must + n.filter:
+                p = matched(c)
+                out = p if out is None else (out & p)
+            for c in n.must_not:
+                p = ~matched(c)
+                out = p if out is None else (out & p)
+            need = n.need_should()
+            if need > 0:
+                cnt = None
+                for c in n.should:
+                    x = matched(c).cast("int")
+                    cnt = x if cnt is None else (cnt + x)
+                p = cnt >= need
+                out = p if out is None else (out & p)
+            return out if out is not None else F.lit(True)
+
+        def score_node(n: _BoolNode) -> F.Column:
+            s = F.lit(0.0)
+            for c in n.must + n.should:
+                s = s + F.when(matched(c), score(c)).otherwise(F.lit(0.0))
+            if n.boost != 1.0:
+                s = s * F.lit(n.boost)
+            return s
+
+        return matched_node(node), score_node(node)
+
+    def _bool_tree_match_set(
+        self,
+        queries: list[tuple[int, dict]],
+        field: str | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Full (query_id, doc_id, score) match set for RICH bool specs
+        — nested bool sub-clauses, per-clause boost/field/operator and
+        bool-level minimum_should_match (the shapes real ES bodies
+        nest; reference users query the index ElasticIndexer.js:76
+        builds with exactly these bodies).
+
+        Scale shape — still ONE postings scan for the whole batch:
+        every text leaf of every tree contributes (query_id, term)
+        rows to the broadcast scan table; the decode kernel prices
+        them once; a broadcast (query_id, term, clause_id, weight)
+        fan-out then feeds ONE (query_id, doc_id) hash-agg computing
+        per-clause matched-term counts and boosted partial sums as
+        conditional aggregates (no shuffle per clause, no extra pass
+        per nesting level). The tree itself evaluates as a pure JVM
+        CASE expression over those columns — arbitrary nesting depth
+        costs zero additional shuffles. Structured clauses join the
+        OR-pushed doc-values projection exactly like the flat path;
+        structured-only-matchable queries union their candidates from
+        that pushed scan. A tree that can match with NO evidence
+        (must_not-only, msm=0 should-only) is rejected as an unbounded
+        corpus scan.
+
+        Scores: clause sums use engine-ordered float addition (the
+        topk_distributed caveat) — ranks agree with a flat re-sum
+        except on knife-edge float ties."""
+        fld_default = field if field is not None else None
+        leaves: list[_BoolLeaf] = []
+        structs_all: list[_BoolStruct] = []
+        trees: dict[int, _BoolNode] = {}
+        q_leaves: dict[int, list[_BoolLeaf]] = {}
+        q_structs: dict[int, list[_BoolStruct]] = {}
+        for qid, clauses in queries:
+            n0, s0 = len(leaves), len(structs_all)
+            trees[qid] = self._compile_bool_node(
+                clauses, True, fld_default, leaves, structs_all
+            )
+            q_leaves[qid] = leaves[n0:]
+            q_structs[qid] = structs_all[s0:]
+            if self._static_bool_eval(trees[qid], False, False):
+                raise ValueError(
+                    f"query {qid}: the bool tree matches docs with no "
+                    "matching clause at all — an unbounded corpus scan; "
+                    "add a required/scoring clause"
+                )
+        # ---- text side: one scan, one per-clause conditional agg ----
+        term_rows: dict[tuple[int, str], dict] = {}
+        clause_rows: list[tuple[int, str, int, float]] = []
+        for qid, lls in q_leaves.items():
+            for leaf in lls:
+                for t in leaf.terms:
+                    r = term_rows.setdefault(
+                        (qid, t), {"scoring": False, "field": leaf.field}
+                    )
+                    r["scoring"] = r["scoring"] or leaf.scoring
+                    clause_rows.append(
+                        (qid, t, leaf.cid, leaf.boost if leaf.scoring else 0.0)
+                    )
+        meta = self._term_meta(sorted({t for _, t in term_rows}))
+        present = {
+            (qid, t): r
+            for (qid, t), r in term_rows.items()
+            if t in meta and meta[t]["df"] > 0
+        }
+        agg = None
+        if present:
+            sdf = self.spark.createDataFrame(
+                [
+                    (
+                        qid,
+                        t,
+                        _idf(self.n_docs, meta[t]["df"]) if r["scoring"] else 0.0,
+                        self._avgdl_of(r["field"]),
+                    )
+                    for (qid, t), r in present.items()
+                ],
+                schema="query_id long, term string, idf double, avgdl double",
+            )
+            cdf = self.spark.createDataFrame(
+                [r for r in clause_rows if (r[0], r[1]) in present],
+                schema="query_id long, term string, cid int, w double",
+            )
+            matched = self._pruned_postings(meta).join(F.broadcast(sdf), "term")
+            contribs = matched.mapInPandas(
+                _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+                schema=CONTRIB_SCHEMA,
+            )
+            rows = contribs.join(F.broadcast(cdf), ["query_id", "term"])
+            aggs = []
+            for leaf in leaves:
+                c = F.col("cid") == leaf.cid
+                aggs.append(
+                    F.sum(F.when(c, 1).otherwise(0)).alias(f"_c{leaf.cid}")
+                )
+                if leaf.scoring:
+                    aggs.append(
+                        F.sum(
+                            F.when(c, F.col("contrib") * F.col("w"))
+                            .otherwise(F.lit(0.0))
+                        ).alias(f"_s{leaf.cid}")
+                    )
+            agg = rows.groupBy("query_id", "doc_id").agg(*aggs)
+        # ---- structured side: pushed doc-values candidates ----------
+        cands = agg
+        dvf = None
+        if structs_all:
+            cols = sorted(
+                {self._clause_col(s.clause) for s in structs_all}
+            )
+            dv = (
+                docs.select("doc_id", *cols)
+                if docs is not None
+                else self._doc_values(cols)
+            )
+            any_pred = None
+            q_any: dict[int, F.Column] = {}
+            for qid, ss in q_structs.items():
+                p = None
+                for s in ss:
+                    q = self._structured_pred(s.clause)
+                    p = q if p is None else (p | q)
+                if p is not None:
+                    q_any[qid] = p
+                    any_pred = p if any_pred is None else (any_pred | p)
+            dvf = dv.filter(any_pred)
+            dparts = []
+            for qid, tree in trees.items():
+                if qid in q_any and self._static_bool_eval(tree, False, True):
+                    dparts.append(
+                        dvf.filter(q_any[qid]).select(
+                            F.lit(qid).cast("long").alias("query_id"), "doc_id"
+                        )
+                    )
+            if dparts:
+                dcand = dparts[0]
+                for p in dparts[1:]:
+                    dcand = dcand.unionByName(p)
+                dcand = dcand.distinct()
+                cands = (
+                    dcand
+                    if cands is None
+                    else cands.join(dcand, ["query_id", "doc_id"], "full_outer")
+                )
+        if cands is None:
+            return None
+        if dvf is not None:
+            cands = cands.join(dvf, "doc_id", "left")
+        m_case, s_case = None, None
+        for qid, tree in trees.items():
+            m, s = self._bool_tree_cols(tree)
+            q = F.col("query_id") == qid
+            m_case = F.when(q, m) if m_case is None else m_case.when(q, m)
+            s_case = F.when(q, s) if s_case is None else s_case.when(q, s)
+        return (
+            cands.filter(m_case.otherwise(F.lit(False)))
+            .select("query_id", "doc_id", s_case.otherwise(F.lit(0.0)).alias("score"))
+        )
 
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 
@@ -2001,6 +2417,55 @@ class QueryEngine:
             )
         return out
 
+    def _rank_anchored_after(
+        self,
+        scored: DataFrame,
+        w,
+        search_after: dict[int, tuple[float, int]],
+    ) -> DataFrame:
+        """Shared ES search_after machinery for every engine-ordered
+        scoring path (:meth:`topk_distributed`, :meth:`bool_topk`,
+        :meth:`multi_match`): the cursor is RANK-ANCHORED on doc_id —
+        the cursor doc's position in THIS job's own (score desc,
+        doc_id asc) ranking defines "after", so the fed-back float
+        score never has to be bit-equal to a re-summed one (F.sum
+        accumulation order is engine-chosen; a last-ulp drift across
+        jobs would otherwise skip or duplicate the boundary doc). The
+        fed score is only a fallback ordering key when the cursor doc
+        has vanished from the match set (deleted/updated between
+        pages). Returns ``scored`` filtered to strictly-after rows,
+        original columns preserved."""
+        from pyspark.sql import Window as W
+
+        cur = self.spark.createDataFrame(
+            [(int(q), float(s), int(d)) for q, (s, d) in search_after.items()],
+            schema="query_id long, c_score double, c_doc long",
+        )
+        anchored = (
+            scored.join(F.broadcast(cur), "query_id", "left")
+            .withColumn("g_rank", F.row_number().over(w))
+            .withColumn(
+                "c_rank",
+                F.max(
+                    F.when(F.col("doc_id") == F.col("c_doc"), F.col("g_rank"))
+                ).over(W.partitionBy("query_id")),
+            )
+        )
+        return anchored.filter(
+            F.when(
+                F.col("c_rank").isNotNull(), F.col("g_rank") > F.col("c_rank")
+            ).otherwise(
+                # cursor doc gone (deleted/updated between pages):
+                # fall back to the fed (score, doc_id) ordering key
+                F.col("c_score").isNull()
+                | (F.col("score") < F.col("c_score"))
+                | (
+                    (F.col("score") == F.col("c_score"))
+                    & (F.col("doc_id") > F.col("c_doc"))
+                )
+            )
+        ).drop("c_score", "c_doc", "g_rank", "c_rank")
+
     def topk_distributed(
         self,
         queries: list[tuple[int, str]],
@@ -2062,37 +2527,7 @@ class QueryEngine:
             )
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         if search_after:
-            cur = self.spark.createDataFrame(
-                [(int(q), float(s), int(d)) for q, (s, d) in search_after.items()],
-                schema="query_id long, c_score double, c_doc long",
-            )
-            # rank-anchor: locate the cursor DOC in this job's own
-            # ranking and serve what follows it — exact regardless of
-            # float re-summation drift across jobs
-            anchored = (
-                scored.join(F.broadcast(cur), "query_id", "left")
-                .withColumn("g_rank", F.row_number().over(w))
-                .withColumn(
-                    "c_rank",
-                    F.max(
-                        F.when(F.col("doc_id") == F.col("c_doc"), F.col("g_rank"))
-                    ).over(W.partitionBy("query_id")),
-                )
-            )
-            scored = anchored.filter(
-                F.when(
-                    F.col("c_rank").isNotNull(), F.col("g_rank") > F.col("c_rank")
-                ).otherwise(
-                    # cursor doc gone (deleted/updated between pages):
-                    # fall back to the fed (score, doc_id) ordering key
-                    F.col("c_score").isNull()
-                    | (F.col("score") < F.col("c_score"))
-                    | (
-                        (F.col("score") == F.col("c_score"))
-                        & (F.col("doc_id") > F.col("c_doc"))
-                    )
-                )
-            ).select("query_id", "doc_id", "score", "n_matched")
+            scored = self._rank_anchored_after(scored, w, search_after)
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
