@@ -724,6 +724,84 @@ def _q_search_aggs_date_histogram(spark, sf):
     )
 
 
+AGG_RANGES = [
+    {"key": "short", "to": 300},
+    {"key": "mid", "from": 200, "to": 500},   # overlaps "short" — ES
+    {"key": "long", "from": 500},             # multi-membership checked
+]
+AGG_FILTERS = {
+    "en_docs": {"term": {"lang": "en"}},
+    "big": {"range": {"n_chars": {"gte": 400}}},
+    "src5": {"term": {"source": "src5"}},
+}
+
+
+def _q_search_aggs_nested(spark, sf):
+    """ES SUB-BUCKET aggregation (date_histogram → terms, one nesting
+    level) with the `stats` metric: composite group keys flattened to
+    one row per (query, day, lang) cell — doc_count + ES stats
+    (count/min/max/avg/sum) over n_chars — with terms-agg `size`
+    ranking the COMPOSITE buckets per query in-plan. Still two
+    shuffles: the (query, doc) match-set dedup and the composite
+    bucket agg (nesting widens the key, adds no stage)."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    out = eng.search_aggs(
+        BM25_QUERIES,
+        group_by=[("warc_ts", "day"), "lang"],
+        metrics={"st": ("stats", "n_chars")},
+        size=8,
+    )
+    return out.select(
+        "query_id",
+        F.col("warc_ts_bucket").cast("string").alias("day_bucket"),
+        "lang",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("st_count").cast("long").alias("st_count"),
+        F.col("st_min").cast("long").alias("st_min"),
+        F.col("st_max").cast("long").alias("st_max"),
+        F.round("st_avg", 6).alias("st_avg"),
+        F.col("st_sum").cast("long").alias("st_sum"),
+    )
+
+
+def _q_search_aggs_range_filters(spark, sf):
+    """The ES `range` and `filters` bucket kinds (multi-membership: a
+    doc lands in EVERY matching range/filter — realized as an in-plan
+    exploded matched-keys array, so overlap costs rows, never a second
+    scan) with max + exact interpolated percentile metrics; both kinds
+    unioned under a part tag so one driver entry gates both."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    mets = {"mx": ("max", "n_chars"), "p50": ("percentile", "n_chars", 50)}
+
+    def shape(df, part, bucket_col):
+        return df.select(
+            F.lit(part).alias("part"),
+            "query_id",
+            F.col(bucket_col).alias("bucket"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("mx").cast("long").alias("mx"),
+            F.round("p50", 6).alias("p50"),
+        )
+
+    r = eng.search_aggs(
+        BM25_QUERIES,
+        group_by={"range": {"field": "n_chars", "ranges": AGG_RANGES}},
+        metrics=mets,
+    )
+    f = eng.search_aggs(
+        BM25_QUERIES,
+        group_by={"filters": {"filters": AGG_FILTERS}},
+        metrics=mets,
+    )
+    return shape(r, "range", "n_chars_range").unionByName(
+        shape(f, "filters", "filter_bucket")
+    )
+
+
 # fielded index: title = the document's first 4 tokens (deterministic,
 # SQL-expressible twin: list_slice of the token array) — the two-field
 # ES mapping shape of the reference (body + title, mapping.json:11-12)
@@ -1139,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_histogram": _q_search_aggs_histogram,
         "search_aggs_date_histogram": _q_search_aggs_date_histogram,
         "search_aggs_filtered": _q_search_aggs_filtered,
+        "search_aggs_nested": _q_search_aggs_nested,
+        "search_aggs_range_filters": _q_search_aggs_range_filters,
         "bm25_prefix_topk": _q_prefix,
         "bm25_phrase_prefix_topk": _q_phrase_prefix,
         "bm25_title_topk": _q_bm25_title,
@@ -1564,6 +1644,96 @@ hits AS (
   ) AS brank FROM buckets
 )
 SELECT query_id, day_bucket, doc_count, max_chars FROM ranked WHERE brank <= {k}
+"""
+
+
+def _agg_hits_cte() -> str:
+    """Shared BM25_QUERIES match-set prologue of the aggregation
+    twins: distinct (query_id, doc_id) pairs containing any query
+    token."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT DISTINCT q.query_id, toks.doc_id FROM toks JOIN q USING (term)
+)"""
+
+
+def _search_aggs_nested_sql(k: int = 8) -> str:
+    """Twin of the sub-bucket aggregation: composite (day, lang) group
+    keys over the full match set, ES stats columns, top-k composite
+    buckets per query by (doc_count DESC, day ASC, lang ASC)."""
+    return _agg_hits_cte() + f""",
+dv AS (
+  SELECT doc_id, lang, n_chars,
+         make_timestamp(((1704067200 + (doc_id % 37) * 86400
+                          + (doc_id * 7919) % 86400))::BIGINT * 1000000) AS warc_ts
+  FROM documents
+), buckets AS (
+  SELECT hits.query_id,
+         date_trunc('day', dv.warc_ts)::DATE::VARCHAR AS day_bucket,
+         dv.lang,
+         count(*)::BIGINT AS doc_count,
+         count(dv.n_chars)::BIGINT AS st_count,
+         min(dv.n_chars)::BIGINT AS st_min,
+         max(dv.n_chars)::BIGINT AS st_max,
+         round(avg(dv.n_chars), 6) AS st_avg,
+         sum(dv.n_chars)::BIGINT AS st_sum
+  FROM hits JOIN dv USING (doc_id)
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, day_bucket ASC, lang ASC
+  ) AS brank FROM buckets
+)
+SELECT query_id, day_bucket, lang, doc_count, st_count, st_min, st_max,
+       st_avg, st_sum
+FROM ranked WHERE brank <= {k}
+"""
+
+
+def _search_aggs_range_filters_sql() -> str:
+    """Twin of the range/filters bucket kinds: per-bucket membership
+    rows emitted by UNION ALL (a doc in every matching range/filter —
+    the ES multi-membership the engine realizes as an exploded
+    matched-keys array), then one group-by with max + exact
+    interpolated median (quantile_cont twins Spark's percentile)."""
+    parts = []
+    for r in AGG_RANGES:
+        conds = []
+        if "from" in r:
+            conds.append(f"d.n_chars >= {r['from']}")
+        if "to" in r:
+            conds.append(f"d.n_chars < {r['to']}")
+        parts.append(
+            f"  SELECT 'range' AS part, h.query_id, '{r['key']}' AS bucket,"
+            f" d.n_chars\n  FROM hits h JOIN documents d USING (doc_id)"
+            f" WHERE {' AND '.join(conds)}"
+        )
+    for name, cl in AGG_FILTERS.items():
+        parts.append(
+            f"  SELECT 'filters' AS part, h.query_id, '{name}' AS bucket,"
+            f" d.n_chars\n  FROM hits h JOIN documents d USING (doc_id)"
+            f" WHERE {_struct_pred_sql([cl])}"
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return _agg_hits_cte() + f""",
+memb AS (
+{union}
+)
+SELECT part, query_id, bucket,
+       count(*)::BIGINT AS doc_count,
+       max(n_chars)::BIGINT AS mx,
+       round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50
+FROM memb GROUP BY 1, 2, 3
 """
 
 
@@ -2475,6 +2645,8 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
         "search_aggs_histogram": _search_aggs_histogram_sql(),
         "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),
         "search_aggs_filtered": _filtered_aggs_sql(),
+        "search_aggs_nested": _search_aggs_nested_sql(),
+        "search_aggs_range_filters": _search_aggs_range_filters_sql(),
         "bm25_prefix_topk": _prefix_sql(BM25_K),
         "bm25_phrase_prefix_topk": _phrase_prefix_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),

@@ -1,0 +1,132 @@
+"""Sub-bucket aggregations (one nesting level, flattened composite
+keys), the ES range/filters bucket kinds (multi-membership via an
+in-plan exploded matched-keys array), and the stats/percentile
+metrics — engine surface + ES DSL routing."""
+
+import pandas as pd
+import pytest
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.es_query import es_search
+from xml_to_es_spark.operators.index_build import IndexBuilder
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+N = 60
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(N),
+            "text": [
+                ("alpha beta " if i % 2 == 0 else "alpha gamma ") + f"w{i}"
+                for i in range(N)
+            ],
+            "lang": [["en", "de", "fr"][i % 3] for i in range(N)],
+            "n_chars": [100 + 5 * i for i in range(N)],
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("aggs2") / "idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=2, stored_fields=("lang", "n_chars"))
+    ).build(spark.createDataFrame(pdf), idx)
+    return QueryEngine(spark, idx), pdf
+
+
+def test_nested_buckets_and_stats(eng):
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")],
+        group_by=[{"terms": {"field": "lang"}},
+                  {"histogram": {"field": "n_chars", "interval": 100}}],
+        metrics={"st": ("stats", "n_chars"),
+                 "p50": ("percentile", "n_chars", 50)},
+    ).toPandas()
+    assert {"st_count", "st_min", "st_max", "st_avg", "st_sum", "p50"} <= set(
+        out.columns
+    )
+    # composite buckets partition the match set (scalar kinds)
+    assert out.doc_count.sum() == N
+    cell = out[(out.lang == "en") & (out.n_chars_bucket == 100)]
+    want = [x for i, x in enumerate(pdf.n_chars) if i % 3 == 0 and x < 200]
+    assert int(cell.st_count.iloc[0]) == len(want)
+    assert int(cell.st_sum.iloc[0]) == sum(want)
+    assert float(cell.st_avg.iloc[0]) == sum(want) / len(want)
+
+
+def test_range_buckets_multi_membership(eng):
+    """ES range semantics: from-inclusive, to-exclusive, a doc counted
+    in EVERY range it matches (overlap costs rows, not a second
+    scan)."""
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")],
+        group_by={"range": {"field": "n_chars", "ranges": [
+            {"key": "low", "to": 200},
+            {"key": "mid", "from": 150, "to": 300},
+            {"key": "high", "from": 300},
+        ]}},
+    ).toPandas()
+    got = dict(zip(out.n_chars_range, out.doc_count))
+    assert got == {
+        "low": sum(1 for x in pdf.n_chars if x < 200),
+        "mid": sum(1 for x in pdf.n_chars if 150 <= x < 300),
+        "high": sum(1 for x in pdf.n_chars if x >= 300),
+    }
+
+
+def test_filters_buckets(eng):
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")],
+        group_by={"filters": {"filters": {
+            "german": {"term": {"lang": "de"}},
+            "big": {"range": {"n_chars": {"gte": 250}}},
+        }}},
+        metrics={"mx": ("max", "n_chars")},
+    ).toPandas()
+    got = dict(zip(out.filter_bucket, out.doc_count))
+    assert got == {
+        "german": N // 3,
+        "big": sum(1 for x in pdf.n_chars if x >= 250),
+    }
+
+
+def test_dsl_nested_and_new_buckets(eng):
+    e, _pdf = eng
+    body = {"query": {"match": {"text": "alpha"}},
+            "aggs": {"byl": {"terms": {"field": "lang", "size": 4},
+                             "aggs": {"byc": {
+                                 "histogram": {"field": "n_chars",
+                                               "interval": 100},
+                                 "aggs": {"st": {"stats":
+                                                 {"field": "n_chars"}}}}}}}}
+    d = es_search(e, body).toPandas()
+    assert "st_avg" in d.columns and len(d) == 4  # size ranks composites
+    body2 = {"query": {"match": {"text": "alpha"}},
+             "aggs": {"r": {"range": {"field": "n_chars", "ranges": [
+                 {"key": "low", "to": 200}, {"key": "high", "from": 200}]},
+                 "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                                "percents": [50]}}}}}}
+    d2 = es_search(e, body2).toPandas()
+    assert set(d2.n_chars_range) == {"low", "high"} and "p" in d2.columns
+    with pytest.raises(ValueError, match="sub-bucket"):
+        es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"a": {"terms": {"field": "lang"},
+                                     "aggs": {"b": {"terms": {
+                                         "field": "lang", "size": 2}}}}}})
+
+
+def test_bucket_validation(eng):
+    e, _pdf = eng
+    with pytest.raises(ValueError, match="nesting level"):
+        e.search_aggs([(1, "alpha")], group_by=["lang", "lang", "lang"])
+    with pytest.raises(ValueError, match="collide"):
+        e.search_aggs([(1, "alpha")], group_by=["lang", "lang"])
+    with pytest.raises(ValueError, match="from/to"):
+        e.search_aggs([(1, "alpha")], group_by={
+            "range": {"field": "n_chars", "ranges": [{"key": "x"}]}})
+    with pytest.raises(ValueError, match="unsupported fn"):
+        e.search_aggs([(1, "alpha")], group_by="lang",
+                      metrics={"m": ("median", "n_chars")})

@@ -45,10 +45,19 @@ raise, nothing is silently ignored)::
       "aggs": {name: {"terms": {"field": f, "size": N} |
                       "histogram": {"field": f, "interval": x} |
                       "date_histogram": {"field": f,
-                                         "calendar_interval": "day"},
+                                         "calendar_interval": "day"} |
+                      "range": {"field": f, "ranges": [
+                                {"key": k, "from": a, "to": b}, ...]} |
+                      "filters": {"filters": {name: structured-clause}},
                       "aggs": {alias: {"avg"/"sum"/"min"/"max"/
-                                       "cardinality"/"value_count":
-                                       {"field": f}}}}},
+                                       "cardinality"/"value_count"/
+                                       "stats"/"percentiles":
+                                       {"field": f}}
+                               # OR one nested BUCKET agg (one level:
+                               # e.g. date_histogram → terms) whose own
+                               # "aggs" are the metrics; rows come back
+                               # flattened per (bucket, sub-bucket)
+                              }}},
       "highlight": {...}                      # any value → snippet col
     }
 
@@ -443,32 +452,72 @@ class EsRequest:
     _METRIC_FNS = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
                    "cardinality": "cardinality",
                    "value_count": "count_distinct"}
+    _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
+                     "filters")
+
+    def _parse_bucket(self, spec: dict) -> tuple[dict, int | None, dict]:
+        """One ES bucket-agg spec → (engine bucket spec, size, sub-aggs
+        dict). Never mutates the caller's body."""
+        spec = dict(spec)
+        sub = spec.pop("aggs", {})
+        if len(spec) != 1:
+            raise ValueError(f"one bucket kind per agg, got {sorted(spec)}")
+        (bkind, bspec), = spec.items()
+        if bkind not in self._BUCKET_KINDS:
+            raise ValueError(f"unsupported agg kind {bkind!r}")
+        b = dict(bspec)
+        size = b.pop("size", None)
+        if bkind == "histogram":
+            b["interval"] = float(b["interval"])
+        return {bkind: b}, size, sub
+
+    def _parse_metrics(self, sub: dict) -> dict:
+        metrics = {}
+        for alias, mspec in sub.items():
+            (mk, ms), = mspec.items()
+            if mk == "stats":
+                metrics[alias] = ("stats", ms["field"])
+            elif mk == "percentiles":
+                ps = list(ms.get("percents", [50]))
+                if len(ps) != 1:
+                    raise ValueError(
+                        "percentiles: one percent per agg alias supported"
+                    )
+                metrics[alias] = ("percentile", ms["field"], float(ps[0]))
+            elif mk in self._METRIC_FNS:
+                metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
+            else:
+                raise ValueError(f"unsupported metric {mk!r}")
+        return metrics
 
     def _aggs(self) -> DataFrame:
         aggs = self.body["aggs"]
         if len(aggs) != 1:
             raise ValueError("one top-level agg supported")
         (_name, spec), = aggs.items()
-        spec = dict(spec)  # never mutate the caller's body
-        sub = spec.pop("aggs", {})
-        (bkind, bspec), = spec.items()
-        if bkind == "terms":
-            group_by: Any = bspec["field"]
-            size = bspec.get("size")
-        elif bkind == "histogram":
-            group_by = (bspec["field"], float(bspec["interval"]))
-            size = bspec.get("size")
-        elif bkind == "date_histogram":
-            group_by = (bspec["field"], bspec["calendar_interval"])
-            size = bspec.get("size")
-        else:
-            raise ValueError(f"unsupported agg kind {bkind!r}")
-        metrics = {}
-        for alias, mspec in sub.items():
-            (mk, ms), = mspec.items()
-            if mk not in self._METRIC_FNS:
-                raise ValueError(f"unsupported metric {mk!r}")
-            metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
+        group_by: Any
+        gb1, size, sub = self._parse_bucket(spec)
+        # one SUB-BUCKET nesting level (e.g. date_histogram → terms):
+        # the sub entry whose body is a bucket kind becomes the second
+        # composite group key; its own aggs are the metrics
+        if len(sub) == 1:
+            (_n2, spec2), = sub.items()
+            inner = set(spec2) - {"aggs"}
+            if inner and next(iter(inner)) in self._BUCKET_KINDS:
+                gb2, size2, sub2 = self._parse_bucket(spec2)
+                if size2 is not None:
+                    raise ValueError(
+                        "size on the sub-bucket is not supported — set it "
+                        "on the top bucket (ranks composite buckets)"
+                    )
+                group_by = [gb1, gb2]
+                metrics = self._parse_metrics(sub2)
+                return self._route_aggs(group_by, metrics, size)
+        group_by = gb1
+        metrics = self._parse_metrics(sub)
+        return self._route_aggs(group_by, metrics, size)
+
+    def _route_aggs(self, group_by, metrics, size) -> DataFrame:
         q = self.body.get("query", {})
         (kind, spec2), = q.items() if q else (("match", None),)
         if spec2 is None:

@@ -937,12 +937,7 @@ class QueryEngine:
         machinery as :meth:`bool_topk`, including RICH nested-tree
         specs — see :meth:`_bool_tree_match_set`)."""
         metrics = metrics or {}
-        for alias, (fn, _c) in metrics.items():
-            if fn not in self._AGG_FNS:
-                raise ValueError(
-                    f"metric {alias!r}: unsupported fn {fn!r}; "
-                    f"expected one of {sorted(self._AGG_FNS)}"
-                )
+        self._check_metrics(metrics)
         if any(_is_rich_bool(c) for _, c in queries):
             hits = self._bool_tree_match_set(queries, field=field, docs=docs)
         else:
@@ -2319,14 +2314,14 @@ class QueryEngine:
         shuffle, shuffle-join the doc-values table on doc_id, and the
         bucket agg is a second partial-agg shuffle on
         (query_id, bucket). Returns (query_id, <group_by>, doc_count
-        [, metric aliases…])."""
+        [, metric aliases…]).
+
+        ``group_by`` also accepts dict bucket specs, a two-level
+        nesting list, and the range/filters bucket kinds — see
+        :meth:`_bucket_agg`; ``metrics`` additionally accepts
+        ``("stats", col)`` and ``("percentile", col, p)``."""
         metrics = metrics or {}
-        for alias, (fn, _c) in metrics.items():
-            if fn not in self._AGG_FNS:
-                raise ValueError(
-                    f"metric {alias!r}: unsupported fn {fn!r}; "
-                    f"expected one of {sorted(self._AGG_FNS)}"
-                )
+        self._check_metrics(metrics)
         matched = self._matched_segments(queries, field=field)
         if matched is None:
             hits = self.spark.createDataFrame(
@@ -2355,6 +2350,116 @@ class QueryEngine:
             )
         return self._bucket_agg(hits, group_by, metrics, docs, size)
 
+    def _norm_bucket(self, spec) -> dict:
+        """Legacy group_by encodings → the dict bucket-spec form:
+        ``"col"`` ≙ terms, ``(col, number)`` ≙ histogram,
+        ``(col, "day")`` ≙ date_histogram."""
+        if isinstance(spec, str):
+            return {"terms": {"field": spec}}
+        if isinstance(spec, tuple):
+            col, interval = spec
+            if isinstance(interval, str):
+                return {"date_histogram": {"field": col,
+                                           "calendar_interval": interval}}
+            return {"histogram": {"field": col, "interval": interval}}
+        if isinstance(spec, dict) and len(spec) == 1:
+            return spec
+        raise ValueError(f"unsupported bucket spec {spec!r}")
+
+    def _bucket_col(self, spec: dict):
+        """One normalized bucket spec → (name, mode, expr, cols):
+        ``mode`` is "scalar" (one bucket per doc — terms/histogram/
+        date_histogram) or "multi" (a doc lands in EVERY matching
+        bucket — ES range/filters semantics, including overlap —
+        realized as an array of matched keys exploded in-plan; a doc
+        matching no range/filter drops out, the ES behaviour)."""
+        (kind, b), = spec.items()
+        if kind == "terms":
+            gcol = b["field"]
+            return gcol, "scalar", F.col(gcol), [gcol]
+        if kind == "histogram":
+            gcol, interval = b["field"], float(b["interval"])
+            bucket = F.floor(F.col(gcol) / F.lit(interval)) * F.lit(interval)
+            if interval.is_integer():
+                bucket = bucket.cast("long")
+            return f"{gcol}_bucket", "scalar", bucket, [gcol]
+        if kind == "date_histogram":
+            gcol, interval = b["field"], b["calendar_interval"]
+            if interval not in self._DATE_INTERVALS:
+                raise ValueError(
+                    f"date_histogram interval {interval!r}; expected one "
+                    f"of {self._DATE_INTERVALS}"
+                )
+            bucket = F.date_trunc(interval, F.col(gcol))
+            if interval in ("year", "quarter", "month", "week", "day"):
+                bucket = bucket.cast("date")
+            return f"{gcol}_bucket", "scalar", bucket, [gcol]
+        if kind == "range":
+            gcol = b["field"]
+            elems = []
+            for r in b["ranges"]:
+                bad = set(r) - {"key", "from", "to"}
+                if bad or not ({"from", "to"} & set(r)):
+                    raise ValueError(f"range bucket needs from/to, got {r!r}")
+                cond = None
+                if "from" in r:  # ES: from inclusive
+                    cond = F.col(gcol) >= F.lit(r["from"])
+                if "to" in r:    # ES: to exclusive
+                    p = F.col(gcol) < F.lit(r["to"])
+                    cond = p if cond is None else (cond & p)
+                key = r.get(
+                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+                elems.append(F.when(cond, F.lit(str(key))))
+            arr = F.filter(F.array(*elems), lambda x: x.isNotNull())
+            return f"{gcol}_range", "multi", arr, [gcol]
+        if kind == "filters":
+            elems, cols = [], set()
+            for name, cl in b["filters"].items():
+                pred = self._structured_pred(cl)
+                cols.add(self._clause_col(cl))
+                elems.append(F.when(pred, F.lit(str(name))))
+            arr = F.filter(F.array(*elems), lambda x: x.isNotNull())
+            return "filter_bucket", "multi", arr, sorted(cols)
+        raise ValueError(f"unsupported bucket kind {kind!r}")
+
+    def _metric_aggs(self, metrics: dict) -> list:
+        """{alias: (fn, col) | ("stats", col) | ("percentile", col, p)}
+        → aliased agg Columns. ``stats`` expands to the five ES stats
+        columns (<alias>_count/min/max/avg/sum); ``percentile`` is the
+        EXACT interpolated percentile (SQL-twinnable; ES's t-digest
+        approximation is a documented deviation)."""
+        out = []
+        for alias, m in metrics.items():
+            fn, c = m[0], m[1]
+            if fn == "stats":
+                out += [
+                    F.count(c).alias(f"{alias}_count"),
+                    F.min(c).alias(f"{alias}_min"),
+                    F.max(c).alias(f"{alias}_max"),
+                    F.avg(c).alias(f"{alias}_avg"),
+                    F.sum(c).alias(f"{alias}_sum"),
+                ]
+            elif fn == "percentile":
+                out.append(
+                    F.percentile(F.col(c), F.lit(float(m[2]) / 100.0))
+                    .alias(alias)
+                )
+            else:
+                out.append(self._AGG_FNS[fn](c).alias(alias))
+        return out
+
+    def _check_metrics(self, metrics: dict) -> None:
+        for alias, m in metrics.items():
+            fn = m[0]
+            if fn in ("stats", "percentile"):
+                continue
+            if fn not in self._AGG_FNS:
+                raise ValueError(
+                    f"metric {alias!r}: unsupported fn {fn!r}; expected "
+                    f"stats/percentile or one of {sorted(self._AGG_FNS)}"
+                )
+
     def _bucket_agg(
         self,
         hits: DataFrame,
@@ -2366,49 +2471,49 @@ class QueryEngine:
         """Shared bucket-agg tail of :meth:`search_aggs` /
         :meth:`bool_aggs`: join the (query_id, doc_id) match set to
         the doc-values projection, bucket, aggregate, optional in-plan
-        top-``size`` window."""
-        if isinstance(group_by, tuple):
-            gcol, interval = group_by
-            bucket_name = f"{gcol}_bucket"
-            if isinstance(interval, str):
-                if interval not in self._DATE_INTERVALS:
-                    raise ValueError(
-                        f"date_histogram interval {interval!r}; expected one "
-                        f"of {self._DATE_INTERVALS}"
-                    )
-                bucket = F.date_trunc(interval, F.col(gcol))
-                if interval in ("year", "quarter", "month", "week", "day"):
-                    bucket = bucket.cast("date")
-            else:
-                bucket = (
-                    F.floor(F.col(gcol) / F.lit(float(interval))) * F.lit(interval)
-                )
-                if float(interval).is_integer():
-                    bucket = bucket.cast("long")
-            bucket = bucket.alias(bucket_name)
-        else:
-            gcol, bucket, bucket_name = group_by, F.col(group_by), group_by
-        cols = list(dict.fromkeys([gcol] + sorted(
-            {c for _fn, c in metrics.values()}
-        )))
+        top-``size`` window.
+
+        ``group_by`` is one bucket spec or a LIST of two — the ES
+        nested-bucket shape (e.g. date_histogram → terms) FLATTENED to
+        composite group keys: one row per (query, bucket, sub-bucket)
+        with doc_count and metrics over that cell, which carries the
+        same information as ES's hierarchical response. Bucket kinds:
+        ``terms`` / ``histogram`` / ``(date_)histogram`` plus ES
+        ``range`` (from-inclusive/to-exclusive, a doc in every
+        matching range) and ``filters`` (named structured predicates)
+        — the multi-bucket kinds explode an in-plan matched-keys
+        array, so overlap costs rows, never a second scan. ``size``
+        ranks COMPOSITE buckets per query (doc_count desc, keys asc).
+
+        Still two shuffles total: the (query, doc) match-set dedup and
+        the composite bucket agg — nesting adds key width, not
+        stages."""
+        specs = group_by if isinstance(group_by, list) else [group_by]
+        if not 1 <= len(specs) <= 2:
+            raise ValueError("group_by supports one bucket or one nesting level")
+        norm = [self._bucket_col(self._norm_bucket(s)) for s in specs]
+        names = [n for n, _m, _e, _c in norm]
+        if len(set(names)) != len(names):
+            raise ValueError(f"bucket names collide: {names}")
+        cols = list(dict.fromkeys(
+            [c for _n, _m, _e, cc in norm for c in cc]
+            + sorted({m[1] for m in metrics.values()})
+        ))
         src = docs.select("doc_id", *cols) if docs is not None else (
             self._doc_values(cols)
         )
-        aggs = [F.count("*").alias("doc_count")] + [
-            self._AGG_FNS[fn](c).alias(alias)
-            for alias, (fn, c) in metrics.items()
-        ]
-        out = (
-            hits.join(src, "doc_id")
-            .withColumn(bucket_name, bucket)
-            .groupBy("query_id", bucket_name)
-            .agg(*aggs)
-        )
+        out = hits.join(src, "doc_id")
+        for name, mode, expr, _cc in norm:
+            out = out.withColumn(
+                name, F.explode(expr) if mode == "multi" else expr
+            )
+        aggs = [F.count("*").alias("doc_count")] + self._metric_aggs(metrics)
+        out = out.groupBy("query_id", *names).agg(*aggs)
         if size is not None:
             from pyspark.sql import Window as W
 
             w = W.partitionBy("query_id").orderBy(
-                F.desc("doc_count"), F.asc(bucket_name)
+                F.desc("doc_count"), *[F.asc(n) for n in names]
             )
             out = (
                 out.withColumn("_brank", F.row_number().over(w))
