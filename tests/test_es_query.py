@@ -193,13 +193,9 @@ def test_dsl_nothing_silently_ignored():
 
     sa = [1.5, 3]
     for q in (
-        {"multi_match": {"query": "a b", "fields": ["text"]}},
         {"simple_query_string": {"query": "+a b"}},
         {"ids": {"values": [1]}},
         {"term": {"lang": "en"}},
-        {"match_bool_prefix": {"text": "al"}},
-        {"match_phrase_prefix": {"text": "al"}},
-        {"match_phrase": {"text": "a b"}},
     ):
         with pytest.raises(ValueError, match="search_after"):
             EsRequest(_Eng(), {"query": q, "search_after": sa})._hits()

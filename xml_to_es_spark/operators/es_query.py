@@ -157,7 +157,8 @@ class EsRequest:
 
     # query kinds that route a search_after cursor to the engine —
     # every other kind REJECTS the cursor (nothing silently ignored)
-    _CURSOR_KINDS = {"match", "bool"}
+    _CURSOR_KINDS = {"match", "bool", "match_phrase", "match_phrase_prefix",
+                     "match_bool_prefix", "multi_match"}
 
     # -- query-clause routing ------------------------------------------------
 
@@ -249,6 +250,7 @@ class EsRequest:
                 [(0, opts["query"])], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
                 slop=int(opts.get("slop", 0)),
+                search_after=cursor,
             )
         if kind == "match_phrase_prefix":
             fld, opts = _field_text(spec, allowed={"max_expansions"})
@@ -256,6 +258,7 @@ class EsRequest:
                 [(0, opts["query"])], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
                 max_expansions=int(opts.get("max_expansions", 50)),
+                search_after=cursor,
             )
         if kind == "match_bool_prefix":
             fld, opts = _field_text(spec, allowed={"max_expansions"})
@@ -263,6 +266,7 @@ class EsRequest:
                 [(0, opts["query"])], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
                 max_expansions=int(opts.get("max_expansions", 50)),
+                search_after=cursor,
             )
         if kind == "multi_match":
             opts = dict(spec)
@@ -274,6 +278,7 @@ class EsRequest:
                 fields=opts.get("fields"),
                 match_type=opts.get("type", "best_fields"),
                 tie_breaker=float(opts.get("tie_breaker", 0.0)),
+                search_after=cursor,
             )
         if kind == "bool":
             espec, bfld = self._bool_spec(spec)

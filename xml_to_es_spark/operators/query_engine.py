@@ -693,6 +693,7 @@ class QueryEngine:
         n_ranges: int | None = None,
         from_: int = 0,
         tie_breaker: float = 0.0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """ES ``multi_match`` over a fielded index (the reference's
         mapping declares two analyzed fields — body and title,
@@ -722,7 +723,14 @@ class QueryEngine:
         (query, doc, field) aggregation — sums from every matching
         field are required, so the shape is topk_distributed's (one
         scan, two hash-aggs, rank window), scores float-summed (not
-        the pinned order; ranks agree except on knife-edge ties)."""
+        the pinned order; ranks agree except on knife-edge ties).
+
+        ``search_after``: ES cursor pagination. most_fields rides the
+        WAND kernels' exact in-kernel cursor; best_fields with a
+        cursor routes through the FULL (query, doc, field) aggregation
+        (the union-of-per-field-top-k containment argument bounds
+        depth by k, which a cursor page can exceed) and rank-anchors
+        like :meth:`topk_distributed`."""
         if not 0.0 <= tie_breaker <= 1.0:
             raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
         parsed = [self._parse_field_boost(f) for f in (fields or self.fields)]
@@ -733,7 +741,7 @@ class QueryEngine:
         if match_type == "most_fields":
             return self.topk_wand(
                 queries, k=k, n_ranges=n_ranges, fields=use, from_=from_,
-                field_boosts=boosts,
+                field_boosts=boosts, search_after=search_after,
             )
         if match_type != "best_fields":
             raise ValueError(f"unsupported multi_match type {match_type!r}")
@@ -741,7 +749,7 @@ class QueryEngine:
 
         k_local = from_ + k
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        if tie_breaker > 0.0:
+        if tie_breaker > 0.0 or search_after:
             matched = self._matched_segments(
                 queries, fields=use, field_boosts=boosts
             )
@@ -781,6 +789,8 @@ class QueryEngine:
             best = allp.groupBy("query_id", "doc_id").agg(
                 F.max("score").alias("score")
             )
+        if search_after:
+            best = self._rank_anchored_after(best, w, search_after)
         return (
             best.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
@@ -1550,6 +1560,7 @@ class QueryEngine:
         field: str | None = None,
         from_: int = 0,
         slop: int = 0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """ES ``match_phrase`` over the compressed POSITIONAL postings
         (index built with ``IndexConfig(store_positions=True)``): a hit
@@ -1572,7 +1583,12 @@ class QueryEngine:
         SQL-twinnable. Deviations from Lucene's move-based matcher:
         repeated-term phrases may satisfy two slots with one
         occurrence when slop ≥ 1, and scoring ignores slop distance
-        (BM25 over the phrase terms, like the exact path)."""
+        (BM25 over the phrase terms, like the exact path).
+
+        ``search_after``: ES cursor pagination — phrase scores are the
+        pinned deterministic sum, so served docs are excluded inside
+        the kernels by exact sort-key comparison (k-sized heaps at any
+        cursor depth); ranks restart at 1 per page."""
         from pyspark.sql import Window as W
 
         fld = self._resolve_field(field)
@@ -1585,7 +1601,9 @@ class QueryEngine:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
-        run = self._phrase_group_kernel(k_local, seqs, slop=slop)
+        run = self._phrase_group_kernel(
+            k_local, seqs, slop=slop, after=search_after
+        )
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
@@ -1602,6 +1620,7 @@ class QueryEngine:
         seqs: dict[int, list[str]],
         slop: int = 0,
         variants: dict[int, list[str]] | None = None,
+        after: dict[int, tuple[float, int]] | None = None,
     ):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
@@ -1624,7 +1643,14 @@ class QueryEngine:
         phrase seq[:-1]+[v], evaluated over the SAME decoded streams;
         a doc's score is the MAX over its matching expansion phrases
         (dis_max across expansions — documented deviation from
-        Lucene's MultiPhraseQuery blended statistics)."""
+        Lucene's MultiPhraseQuery blended statistics).
+
+        ``after``: ES search_after — phrase scores are PINNED sums
+        (term-lex order, bit-stable across jobs; a dis_max of pinned
+        sums is equally deterministic), so served docs are excluded
+        INSIDE the kernel by exact (score, doc_id) sort-key comparison
+        — the WAND-path cursor design: heaps stay k-sized at any
+        depth."""
         k1, b = self.cfg.k1, self.cfg.b
         dead_by_ord = self._dead_by_ord
 
@@ -1783,6 +1809,12 @@ class QueryEngine:
                     return empty
                 sdocs = np.array(sorted(best), dtype=np.int64)
                 score = np.array([best[int(d_)] for d_ in sdocs])
+            if after is not None and after.get(qid) is not None:
+                a_s, a_d = after[qid]
+                keep = (score < a_s) | ((score == a_s) & (sdocs > a_d))
+                sdocs, score = sdocs[keep], score[keep]
+                if not sdocs.size:
+                    return empty
             order = np.lexsort((sdocs, -score))[:k]
             return pd.DataFrame(
                 {
@@ -1913,6 +1945,7 @@ class QueryEngine:
         field: str | None = None,
         n_ranges: int | None = None,
         from_: int = 0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """ES ``match_bool_prefix`` (the search-as-you-type primitive):
         every token of the query matches exactly except the LAST,
@@ -1922,10 +1955,12 @@ class QueryEngine:
         distributed WAND machinery: an expansion is just another
         cursor, so the scale shape is identical to :meth:`topk_wand`
         and the dictionary scan (never the postings) is the only extra
-        cost."""
+        cost — including ``search_after`` (expansion cursors score
+        pinned sums like any WAND cursor, so the in-kernel exact
+        cursor comparison applies unchanged)."""
         return self.topk_wand(
             queries, k=k, n_ranges=n_ranges, field=field, from_=from_,
-            prefix_expansions=max_expansions,
+            prefix_expansions=max_expansions, search_after=search_after,
         )
 
     def phrase_prefix_topk(
@@ -1936,6 +1971,7 @@ class QueryEngine:
         field: str | None = None,
         from_: int = 0,
         max_expansions: int = 50,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """ES ``match_phrase_prefix`` (search-as-you-type phrases):
         the query's tokens must occur consecutively, with the LAST
@@ -1974,7 +2010,9 @@ class QueryEngine:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
-        run = self._phrase_group_kernel(k_local, seqs, variants=variants)
+        run = self._phrase_group_kernel(
+            k_local, seqs, variants=variants, after=search_after
+        )
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
