@@ -176,9 +176,46 @@ def test_dsl_simple_query_string(eng):
         [(0, {"must": "alpha", "must_not": "gamma", "should": "beta"})], k=40
     )
     _same(got, want)
-    with pytest.raises(ValueError, match="simple_query_string"):
-        es_search(eng, {"query": {"simple_query_string": {
-            "query": '"a phrase"'}}})
+
+
+def test_dsl_simple_query_string_quotes_and_groups(eng):
+    """The full simple_query_string subset: quoted phrases route to
+    match_phrase clauses in the bool tree, parenthesised (a | b)
+    groups to nested bools; mixed with +/- operators."""
+    got = es_search(eng, {"query": {"simple_query_string": {
+        "query": '+"alpha w3" -gamma (beta | w7)'}}, "size": 40}).toPandas()
+    # "alpha w3" as a phrase matches exactly doc 3 (w3 follows alpha);
+    # doc 3 has no gamma (3 % 5 != 0) so it survives exclusion
+    assert list(got.doc_id) == [3]
+    want = es_search(eng, {"query": {"bool": {
+        "must": [{"match_phrase": {"text": "alpha w3"}}],
+        "must_not": [{"match": {"text": "gamma"}}],
+        "should": [{"bool": {"should": [{"match": {"text": "beta"}},
+                                        {"match": {"text": "w7"}}]}}],
+    }}, "size": 40}).toPandas()
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+    for bad, msg in (
+        ("a | b", "inside a"),
+        ('"unterminated', "unterminated"),
+        ("((a))", "nest"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            es_search(eng, {"query": {"simple_query_string": {"query": bad}}})
+
+
+def test_dsl_match_phrase_inside_bool(eng):
+    """Real ES bodies nest match_phrase in bool — the phrase leaf
+    evaluates over the full positional match set and scores the
+    pinned phrase BM25 (× boost), here checked against the direct
+    phrase_topk composition."""
+    got = es_search(eng, {"query": {"bool": {
+        "must": [{"match_phrase": {"text": {"query": "alpha w3",
+                                            "boost": 2.0}}}],
+    }}, "size": 10}).toPandas()
+    ph = eng.phrase_topk([(0, "alpha w3")], k=10).toPandas()
+    assert list(got.doc_id) == list(ph.doc_id)
+    np.testing.assert_allclose(got.score, 2.0 * ph.score, rtol=1e-12)
 
 
 def test_dsl_nothing_silently_ignored():

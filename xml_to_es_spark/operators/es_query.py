@@ -109,35 +109,81 @@ def _field_text(
 
 
 def _parse_simple_query(text: str) -> dict:
-    """ES simple_query_string (operator subset): ``+term`` → must,
-    ``-term`` → must_not, bare terms → should (the ES default_operator
-    OR). Quoted phrases and grouping are not supported (use
-    match_phrase / bool bodies); a quote raises rather than being
-    silently stripped."""
-    if '"' in text or "(" in text or ")" in text or "|" in text:
-        raise ValueError(
-            "simple_query_string: only +term / -term / bare-term syntax is "
-            "supported (no quotes or grouping) — use match_phrase or a bool "
-            "body for phrases"
-        )
-    must, must_not, should = [], [], []
-    for tok in text.split():
-        if tok.startswith("+") and len(tok) > 1:
-            must.append(tok[1:])
-        elif tok.startswith("-") and len(tok) > 1:
-            must_not.append(tok[1:])
-        else:
-            should.append(tok)
-    out: dict = {}
-    if must:
-        out["must"] = " ".join(must)
-    if must_not:
-        out["must_not"] = " ".join(must_not)
-    if should:
-        out["should"] = " ".join(should)
-    if not out:
+    """ES simple_query_string: ``+atom`` → must, ``-atom`` → must_not,
+    bare atoms → should (the ES default_operator OR), where an atom is
+    a term, a ``"quoted phrase"`` (a match_phrase clause), or a
+    ``(a | b)`` group (a nested bool of OR'd atoms; ``|`` is the ES OR
+    and is supported INSIDE groups — a top-level ``|`` raises, and
+    groups don't nest). Plain all-term queries return the legacy flat
+    clause dict (bit-identical scoring to the flat bool path); quoted
+    phrases or groups return the engine's rich nested-tree spec."""
+    n = len(text)
+
+    def read_atom(j: int) -> tuple[dict, int]:
+        if text[j] == '"':
+            end = text.find('"', j + 1)
+            if end < 0:
+                raise ValueError("simple_query_string: unterminated quote")
+            if not text[j + 1:end].strip():
+                raise ValueError("simple_query_string: empty phrase")
+            return {"match_phrase": {"query": text[j + 1:end]}}, end + 1
+        if text[j] == "(":
+            end = text.find(")", j + 1)
+            if end < 0:
+                raise ValueError("simple_query_string: unmatched '('")
+            inner = text[j + 1:end]
+            if "(" in inner:
+                raise ValueError("simple_query_string: groups don't nest")
+            subs = []
+            for p in (p.strip() for p in inner.split("|")):
+                if not p:
+                    raise ValueError("simple_query_string: empty group atom")
+                if p.startswith('"') and p.endswith('"') and len(p) > 2:
+                    subs.append({"match_phrase": {"query": p[1:-1]}})
+                else:
+                    subs.append({"match": {"query": p}})
+            return {"bool": {"should": subs}}, end + 1
+        k = j
+        while k < n and not text[k].isspace():
+            k += 1
+        w = text[j:k]
+        if "|" in w or ")" in w:
+            raise ValueError(
+                "simple_query_string: '|' is only supported inside a "
+                "(a | b) group"
+            )
+        return {"match": {"query": w}}, k
+
+    atoms: list[tuple[str, dict]] = []
+    i = 0
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        sign = ""
+        if text[i] in "+-" and i + 1 < n and not text[i + 1].isspace():
+            sign = text[i]
+            i += 1
+        clause, i = read_atom(i)
+        atoms.append((sign, clause))
+    if not atoms:
         raise ValueError("empty simple_query_string")
-    return out
+    plain = all(
+        "match" in c and " " not in c["match"]["query"]
+        for _s, c in atoms
+    )
+    if plain:
+        out: dict = {}
+        role_of = {"+": "must", "-": "must_not", "": "should"}
+        for sign, c in atoms:
+            role = role_of[sign]
+            out[role] = (out.get(role, "") + " " + c["match"]["query"]).strip()
+        return out
+    rich: dict = {}
+    role_of = {"+": "must", "-": "must_not", "": "should"}
+    for sign, c in atoms:
+        rich.setdefault(role_of[sign], []).append(c)
+    return rich
 
 
 class EsRequest:
@@ -343,7 +389,7 @@ class EsRequest:
                         f"each bool clause must be a single-key dict, got {cl!r}"
                     )
                 (ck, cs), = cl.items()
-                if ck == "bool":
+                if ck in ("bool", "match_phrase"):
                     return True
                 if ck in _STRUCTURED:
                     if role != "filter":
@@ -351,8 +397,8 @@ class EsRequest:
                     continue
                 if ck != "match":
                     raise ValueError(
-                        f"bool {role} supports match/bool/structured "
-                        f"clauses, got {ck!r}"
+                        f"bool {role} supports match/match_phrase/bool/"
+                        f"structured clauses, got {ck!r}"
                     )
                 fld, opts = _field_text(
                     cs, allowed={"operator", "boost"},
@@ -436,9 +482,22 @@ class EsRequest:
             return {"bool": self._rich_bool_body(cs)}
         if ck in _STRUCTURED:
             return {ck: cs}
+        if ck == "match_phrase":
+            fld, opts = _field_text(
+                cs, allowed={"slop", "boost"}, extra_keys=frozenset({"boost"})
+            )
+            leaf: dict[str, Any] = {"query": opts["query"]}
+            f = self._resolve_match_field(fld)
+            if f is not None:
+                leaf["field"] = f
+            for key in ("slop", "boost"):
+                if key in opts:
+                    leaf[key] = opts[key]
+            return {"match_phrase": leaf}
         if ck != "match":
             raise ValueError(
-                f"bool clauses support match/bool/structured kinds, got {ck!r}"
+                f"bool clauses support match/match_phrase/bool/structured "
+                f"kinds, got {ck!r}"
             )
         fld, opts = _field_text(
             cs, allowed={"operator", "boost"}, extra_keys=frozenset({"boost"})

@@ -152,6 +152,20 @@ class _BoolLeaf:
         self.boost, self.scoring, self.field = boost, scoring, field
 
 
+class _BoolPhrase:
+    """One match_phrase clause of a rich bool tree: the doc must
+    contain the tokens consecutively (within ``slop``); scores the
+    pinned phrase BM25 sum × boost. Evaluated by the positional
+    kernel over the FULL match set and folded into the same
+    per-clause aggregation as term leaves."""
+
+    __slots__ = ("cid", "text", "slop", "boost", "scoring", "field")
+
+    def __init__(self, cid, text, slop, boost, scoring, field):
+        self.cid, self.text, self.slop = cid, text, slop
+        self.boost, self.scoring, self.field = boost, scoring, field
+
+
 class _BoolStruct:
     """A structured (term/terms/range/exists) clause of a rich bool
     tree — a non-scoring predicate over stored doc values."""
@@ -201,7 +215,8 @@ def _is_rich_bool(clauses: dict) -> bool:
     if isinstance(fv, (list, tuple)):
         for cl in fv:
             if isinstance(cl, dict) and (
-                "bool" in cl or isinstance(cl.get("match"), dict)
+                "bool" in cl or "match_phrase" in cl
+                or isinstance(cl.get("match"), dict)
             ):
                 return True
     return False
@@ -1308,6 +1323,27 @@ class QueryEngine:
             )
             leaves.append(leaf)
             return leaf
+        if kind == "match_phrase":
+            opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+            bad = set(opts) - {"query", "field", "boost", "slop"}
+            if bad or "query" not in opts:
+                raise ValueError(
+                    f"match_phrase clause supports query/field/boost/slop, "
+                    f"got {sorted(bad) or 'no query'}"
+                )
+            fld = self._resolve_field(opts.get("field", default_field))
+            if not tokenize(opts["query"]):
+                raise ValueError("empty match_phrase clause")
+            leaf = _BoolPhrase(
+                cid=len(leaves),
+                text=opts["query"],
+                slop=int(opts.get("slop", 0)),
+                boost=float(opts.get("boost", 1.0)),
+                scoring=scoring,
+                field=fld,
+            )
+            leaves.append(leaf)
+            return leaf
         if kind in ("term", "terms", "range", "exists"):
             self._structured_pred(cl)  # validate kind/bounds
             s = _BoolStruct(cl)
@@ -1326,7 +1362,9 @@ class QueryEngine:
         def m(ch):
             if isinstance(ch, _BoolNode):
                 return QueryEngine._static_bool_eval(ch, text_val, struct_val)
-            return text_val if isinstance(ch, _BoolLeaf) else struct_val
+            if isinstance(ch, (_BoolLeaf, _BoolPhrase)):
+                return text_val
+            return struct_val
 
         if not all(m(c) for c in node.must + node.filter):
             return False
@@ -1347,15 +1385,19 @@ class QueryEngine:
         def matched(ch) -> F.Column:
             if isinstance(ch, _BoolNode):
                 return matched_node(ch)
-            if isinstance(ch, _BoolLeaf):
-                need = len(ch.terms) if ch.op_and else 1
+            if isinstance(ch, (_BoolLeaf, _BoolPhrase)):
+                need = (
+                    len(ch.terms)
+                    if isinstance(ch, _BoolLeaf) and ch.op_and
+                    else 1
+                )
                 return F.coalesce(F.col(f"_c{ch.cid}"), F.lit(0)) >= need
             return F.coalesce(self._structured_pred(ch.clause), F.lit(False))
 
         def score(ch) -> F.Column:
             if isinstance(ch, _BoolNode):
                 return score_node(ch)
-            if isinstance(ch, _BoolLeaf) and ch.scoring:
+            if isinstance(ch, (_BoolLeaf, _BoolPhrase)) and ch.scoring:
                 return F.coalesce(F.col(f"_s{ch.cid}"), F.lit(0.0))
             return F.lit(0.0)
 
@@ -1386,6 +1428,57 @@ class QueryEngine:
             return s
 
         return matched_node(node), score_node(node)
+
+    def _phrase_leaf_rows(self, phrase_leaves, qid_of) -> list:
+        """match_phrase clauses inside bool trees → unified clause-row
+        frames (query_id, doc_id, cid, wc): one positional-kernel pass
+        PER FIELD (pseudo-queries keyed by clause id, k=None → the
+        full phrase match set; the phrase bounds it), scores pinned
+        phrase BM25 × boost (0 in filter context). Needs an index
+        built with store_positions=True."""
+        if not phrase_leaves:
+            return []
+        by_field: dict = {}
+        for lf in phrase_leaves:
+            by_field.setdefault(lf.field, []).append(lf)
+        out = []
+        for fld, lls in by_field.items():
+            pseudo = [(lf.cid, lf.text) for lf in lls]
+            seqs = {
+                lf.cid: [self._term_of(t, fld) for t in tokenize(lf.text)]
+                for lf in lls
+            }
+            slops = {lf.cid: lf.slop for lf in lls}
+            matched = self._matched_segments(pseudo, field=fld)
+            if matched is None:
+                continue
+            ranged = self._ranged(matched, 1)
+            run = self._phrase_group_kernel(None, seqs, slop=slops)
+            partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
+                run, schema=TOPK_SCHEMA + ", range_id int"
+            )
+            pm = self.spark.createDataFrame(
+                [
+                    (lf.cid, qid_of[lf.cid],
+                     lf.boost if lf.scoring else 0.0)
+                    for lf in lls
+                ],
+                schema="cid int, qid long, b double",
+            )
+            out.append(
+                partials.select(
+                    F.col("query_id").cast("int").alias("cid"),
+                    "doc_id", "score",
+                )
+                .join(F.broadcast(pm), "cid")
+                .select(
+                    F.col("qid").alias("query_id"),
+                    "doc_id",
+                    "cid",
+                    (F.col("score") * F.col("b")).alias("wc"),
+                )
+            )
+        return out
 
     def _bool_tree_match_set(
         self,
@@ -1438,10 +1531,17 @@ class QueryEngine:
                     "add a required/scoring clause"
                 )
         # ---- text side: one scan, one per-clause conditional agg ----
+        term_leaves = [lf for lf in leaves if isinstance(lf, _BoolLeaf)]
+        phrase_leaves = [lf for lf in leaves if isinstance(lf, _BoolPhrase)]
+        qid_of = {
+            lf.cid: qid for qid, lls in q_leaves.items() for lf in lls
+        }
         term_rows: dict[tuple[int, str], dict] = {}
         clause_rows: list[tuple[int, str, int, float]] = []
         for qid, lls in q_leaves.items():
             for leaf in lls:
+                if not isinstance(leaf, _BoolLeaf):
+                    continue
                 for t in leaf.terms:
                     r = term_rows.setdefault(
                         (qid, t), {"scoring": False, "field": leaf.field}
@@ -1456,7 +1556,7 @@ class QueryEngine:
             for (qid, t), r in term_rows.items()
             if t in meta and meta[t]["df"] > 0
         }
-        agg = None
+        pre = None  # unified (query_id, doc_id, cid, wc) clause rows
         if present:
             sdf = self.spark.createDataFrame(
                 [
@@ -1479,21 +1579,34 @@ class QueryEngine:
                 _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
                 schema=CONTRIB_SCHEMA,
             )
-            rows = contribs.join(F.broadcast(cdf), ["query_id", "term"])
+            pre = (
+                contribs.join(F.broadcast(cdf), ["query_id", "term"])
+                .select(
+                    "query_id", "doc_id", "cid",
+                    (F.col("contrib") * F.col("w")).alias("wc"),
+                )
+            )
+        # phrase leaves: the positional kernel over the FULL match set
+        # (no k-cut — the phrase itself bounds the set), keyed by
+        # clause id, folded into the same per-clause aggregation
+        for prows in self._phrase_leaf_rows(phrase_leaves, qid_of):
+            pre = prows if pre is None else pre.unionByName(prows)
+        agg = None
+        if pre is not None:
             aggs = []
             for leaf in leaves:
+                if isinstance(leaf, _BoolStruct):
+                    continue
                 c = F.col("cid") == leaf.cid
                 aggs.append(
                     F.sum(F.when(c, 1).otherwise(0)).alias(f"_c{leaf.cid}")
                 )
                 if leaf.scoring:
                     aggs.append(
-                        F.sum(
-                            F.when(c, F.col("contrib") * F.col("w"))
-                            .otherwise(F.lit(0.0))
-                        ).alias(f"_s{leaf.cid}")
+                        F.sum(F.when(c, F.col("wc")).otherwise(F.lit(0.0)))
+                        .alias(f"_s{leaf.cid}")
                     )
-            agg = rows.groupBy("query_id", "doc_id").agg(*aggs)
+            agg = pre.groupBy("query_id", "doc_id").agg(*aggs)
         # ---- structured side: pushed doc-values candidates ----------
         cands = agg
         dvf = None
@@ -1616,9 +1729,9 @@ class QueryEngine:
 
     def _phrase_group_kernel(
         self,
-        k: int,
+        k: int | None,
         seqs: dict[int, list[str]],
-        slop: int = 0,
+        slop: int | dict[int, int] = 0,
         variants: dict[int, list[str]] | None = None,
         after: dict[int, tuple[float, int]] | None = None,
     ):
@@ -1671,6 +1784,9 @@ class QueryEngine:
             )
             qid = int(pdf["query_id"].iat[0])
             seq = seqs[qid]
+            # slop may be per-query (bool-tree phrase leaves keyed by
+            # clause id) or one int for the whole batch
+            sl = slop.get(qid, 0) if isinstance(slop, dict) else slop
             by_term: dict[str, dict] = {}
             idf: dict[str, float] = {}
             avg: dict[str, float] = {}
@@ -1744,7 +1860,7 @@ class QueryEngine:
                     )
                     keys = (owner << np.int64(33)) | (flat + 1)
                     slot_keys.append(keys)
-                if slop == 0:
+                if sl == 0:
                     survivors: np.ndarray | None = None
                     for keys in slot_keys:
                         survivors = (
@@ -1771,7 +1887,7 @@ class QueryEngine:
                         hit = idx < keys.size
                         nxt = keys[np.minimum(idx, keys.size - 1)]
                         hit &= (nxt >> np.int64(33)) == (anchors >> np.int64(33))
-                        hit &= (nxt & vmask) <= (anchors & vmask) + slop
+                        hit &= (nxt & vmask) <= (anchors & vmask) + sl
                         ok &= hit
                     survivors = anchors[ok]
                     if survivors.size == 0:
