@@ -1063,11 +1063,23 @@ SNIPPET_TERMS = ["fast", "slow", "key"]  # query 6's tokens
 
 def _q_snippets(spark, sf):
     """ES plain-highlighter snippet window around the earliest query
-    term — pure JVM locate/least/substring."""
-    from xml_to_es_spark.functions.analysis import snippet_col
+    term (pure JVM locate/least/substring), PLUS the multi-fragment
+    highlight: two 60-char fragments, each anchored on the earliest
+    term occurrence after the previous window's end, null when the doc
+    has no further occurrence (the ES number_of_fragments shape)."""
+    from xml_to_es_spark.functions.analysis import (
+        snippet_col,
+        snippet_fragments_col,
+    )
 
+    frags = snippet_fragments_col(
+        "text", SNIPPET_TERMS, fragment_size=60, number_of_fragments=2
+    )
     return _docs(spark, sf).select(
-        "doc_id", snippet_col("text", SNIPPET_TERMS, 80).alias("snippet")
+        "doc_id",
+        snippet_col("text", SNIPPET_TERMS, 80).alias("snippet"),
+        F.get(frags, 0).alias("f1"),
+        F.get(frags, 1).alias("f2"),
     )
 
 
@@ -2331,12 +2343,18 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 
 
 def _snippets_sql() -> str:
-    from xml_to_es_spark.functions.analysis import sql_snippet
-
-    return (
-        f"SELECT doc_id, {sql_snippet('text', SNIPPET_TERMS, 80)} AS snippet"
-        " FROM documents"
+    from xml_to_es_spark.functions.analysis import (
+        sql_snippet,
+        sql_snippet_fragments,
     )
+
+    l1, l2 = sql_snippet_fragments(
+        "text", SNIPPET_TERMS, fragment_size=60, number_of_fragments=2
+    )
+    return f"""
+SELECT doc_id, {sql_snippet('text', SNIPPET_TERMS, 80)} AS snippet, f1, f2
+FROM ({l2} FROM ({l1} FROM documents))
+"""
 
 
 def _lang_sql() -> str:

@@ -337,3 +337,39 @@ def test_dsl_bool_cursor(eng):
     p2 = es_search(eng, {**body, "search_after": [
         float(p1.score.iat[-1]), int(p1.doc_id.iat[-1])]}).toPandas()
     assert list(p2.sort_values("rank")["doc_id"]) == list(full.iloc[8:16]["doc_id"])
+
+
+def test_dsl_highlight_fragments(spark, tmp_path_factory):
+    """highlight with fragment_size + number_of_fragments returns an
+    ARRAY of windows that advance through the doc (multi-fragment ES
+    plain-highlighter shape); options also accepted under the ES
+    fields-nested form; unknown options raise."""
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [
+            ("needle starts here " + "x" * 100 + " needle again later "
+             + "y" * 50) if i % 2 == 0 else "no match at all " + "z" * 60
+            for i in range(8)
+        ],
+    })
+    idx = str(tmp_path_factory.mktemp("hl") / "idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, store_source=True)
+    ).build(spark.createDataFrame(pdf), idx)
+    e = QueryEngine(spark, idx)
+    body = {"query": {"match": {"text": "needle"}}, "size": 8,
+            "highlight": {"fields": {"text": {
+                "fragment_size": 40, "number_of_fragments": 2}}}}
+    got = es_search(e, body).toPandas()
+    assert len(got) == 4  # only the needle docs match
+    for frags in got["snippet"]:
+        assert len(frags) == 2  # both occurrences found
+        assert all("needle" in f for f in frags)
+        assert all(len(f) <= 40 for f in frags)
+    # flat option form, single fragment → plain string column
+    one = es_search(e, {"query": {"match": {"text": "needle"}}, "size": 2,
+                        "highlight": {"fragment_size": 30}}).toPandas()
+    assert isinstance(one["snippet"].iat[0], str)
+    with pytest.raises(ValueError, match="unsupported highlight"):
+        es_search(e, {"query": {"match": {"text": "needle"}},
+                      "highlight": {"pre_tags": ["<em>"]}})

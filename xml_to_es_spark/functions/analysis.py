@@ -32,6 +32,10 @@ def doc_len_col(tokens: Column | str) -> Column:
 
 
 _ABSENT = 2**31 - 1
+# fragment chains ADD to the sentinel (next-window start = absent
+# start + fragment_size), so the multi-fragment sentinel must leave
+# headroom below int32 max or Spark's ANSI mode throws on the add
+_FRAG_ABSENT = 2**30
 
 
 def snippet_col(text: Column | str, terms: list[str], width: int = 80) -> Column:
@@ -67,6 +71,74 @@ def sql_snippet(col: str, terms: list[str], width: int = 80) -> str:
         f"substring({col}, greatest((CASE WHEN {first} = {_ABSENT}"
         f" THEN 1 ELSE {first} END) - {width // 4}, 1), {width})"
     )
+
+
+def snippet_fragments_col(
+    text: Column | str,
+    terms: list[str],
+    fragment_size: int = 80,
+    number_of_fragments: int = 2,
+) -> Column:
+    """ES highlight with ``number_of_fragments`` > 1: an ARRAY of up
+    to N ``fragment_size``-char windows, each anchored on the earliest
+    query-term occurrence AT OR AFTER the previous window's end (so
+    fragments advance through the doc and never overlap), empty when
+    no term occurs (the ES no-highlight behaviour — unlike the
+    single-snippet fallback). Pure JVM, unrolled N times
+    (locate-on-substring gives locate-from-position), exact DuckDB
+    twin :func:`sql_snippet_fragments`."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    frags = []
+    pos = F.lit(1)
+    for _i in range(number_of_fragments):
+        rest = F.substring(low, pos, F.length(low))
+        locs = [
+            F.when(
+                F.locate(t.lower(), rest) > 0,
+                pos + F.locate(t.lower(), rest) - 1,
+            ).otherwise(F.lit(_FRAG_ABSENT))
+            for t in terms
+        ]
+        occ = locs[0] if len(locs) == 1 else F.least(*locs)
+        start = F.greatest(occ - F.lit(fragment_size // 4), F.lit(1))
+        frags.append(
+            F.when(occ < _FRAG_ABSENT, F.substring(c, start, fragment_size))
+        )
+        pos = start + F.lit(fragment_size)
+    return F.array_compact(F.array(*frags))
+
+
+def sql_snippet_fragments(
+    col: str,
+    terms: list[str],
+    fragment_size: int = 80,
+    number_of_fragments: int = 2,
+) -> list[str]:
+    """DuckDB twin of :func:`snippet_fragments_col` as a list of
+    per-fragment SELECT layers: call :func:`sql_snippet_fragments_query`
+    to assemble, or use the layers to embed in a larger query. Each
+    layer defines occ<i>/start<i>/f<i>/pos<i+1> from pos<i>."""
+    layers = []
+    for i in range(1, number_of_fragments + 1):
+        pos = "1" if i == 1 else f"pos{i}"
+        locs = ", ".join(
+            f"(CASE WHEN instr(substring(lower({col}), {pos}), '{t.lower()}') > 0"
+            f" THEN {pos} + instr(substring(lower({col}), {pos}), '{t.lower()}') - 1"
+            f" ELSE {_FRAG_ABSENT} END)"
+            for t in terms
+        )
+        occ = f"least({locs})" if len(terms) > 1 else locs
+        layers.append(
+            f"SELECT *, {occ} AS occ{i},"
+            f" greatest({occ} - {fragment_size // 4}, 1) AS start{i},"
+            f" CASE WHEN {occ} < {_FRAG_ABSENT}"
+            f" THEN substring({col}, greatest({occ} - {fragment_size // 4}, 1),"
+            f" {fragment_size}) END AS f{i},"
+            f" greatest({occ} - {fragment_size // 4}, 1) + {fragment_size}"
+            f" AS pos{i + 1}"
+        )
+    return layers
 
 
 def phrase_match_col(text: Column | str, phrase: str) -> Column:

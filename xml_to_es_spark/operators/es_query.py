@@ -612,13 +612,35 @@ class EsRequest:
             return self._aggs()
         hits = self._hits()
         if self.body.get("highlight") is not None:
+            hl = self.body["highlight"]
+            hopts: dict = {}
+            if isinstance(hl, dict):
+                body = hl
+                if "fields" in hl:
+                    if len(hl) != 1 or len(hl["fields"]) != 1:
+                        raise ValueError(
+                            "highlight: one field entry supported"
+                        )
+                    (_fname, fopts), = hl["fields"].items()
+                    body = dict(fopts or {})
+                bad = set(body) - {"fragment_size", "number_of_fragments"}
+                if bad:
+                    raise ValueError(
+                        f"unsupported highlight option(s) {sorted(bad)}"
+                    )
+                hopts = body
+            frag_size = int(hopts.get("fragment_size", 80))
+            n_frags = int(hopts.get("number_of_fragments", 1))
             ids = [int(r["doc_id"]) for r in hits.collect()]
             docs = self.eng.fetch(ids)
             if "text" not in docs.columns:
                 raise ValueError("highlight needs store_source=True")
             from pyspark.sql import functions as F
 
-            from xml_to_es_spark.functions.analysis import snippet_col
+            from xml_to_es_spark.functions.analysis import (
+                snippet_col,
+                snippet_fragments_col,
+            )
             from xml_to_es_spark.pyref import tokenize
 
             q = self.body.get("query", {})
@@ -627,10 +649,16 @@ class EsRequest:
                 raise ValueError("highlight supports match/match_phrase")
             _fld, opts = _field_text(spec)
             terms = sorted(set(tokenize(opts["query"])))
+            snip = (
+                snippet_fragments_col(
+                    "text", terms, fragment_size=frag_size,
+                    number_of_fragments=n_frags,
+                )
+                if n_frags > 1
+                else snippet_col("text", terms, frag_size)
+            )
             return hits.join(
-                F.broadcast(docs.select(
-                    "doc_id", snippet_col("text", terms).alias("snippet")
-                )),
+                F.broadcast(docs.select("doc_id", snip.alias("snippet"))),
                 "doc_id",
             )
         return hits

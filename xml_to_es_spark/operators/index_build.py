@@ -45,9 +45,11 @@ resume of SURVEY.md §4.2.5.
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
 from collections.abc import Iterator
+from contextlib import contextmanager
 from pathlib import Path
 
 import numpy as np
@@ -91,6 +93,14 @@ COMMIT_MARKER = "_COMMITTED"
 # its build artifacts are complete) — so upgrading an old index
 # neither loses committed deltas nor resurrects crashed ones.
 INFLIGHT_PREFIX = "_INFLIGHT_"
+
+# writer lock (<index_dir>/_WRITER_LOCK): ord allocation is
+# read-modify-write on the directory listing, so the mutation surface
+# (upsert / delete_docs / compact / delete_index) is SINGLE-WRITER.
+# The lock turns a second concurrent writer into a clean error instead
+# of undefined behaviour (two writers could allocate the same ord).
+# Readers never take it. See :meth:`IndexBuilder._writer_lock`.
+WRITER_LOCK = "_WRITER_LOCK"
 
 
 def index_dirs(index_dir: str) -> list[tuple[int, str]]:
@@ -688,6 +698,70 @@ class IndexBuilder:
 
     # -- upsert ------------------------------------------------------------
 
+    @contextmanager
+    def _writer_lock(self, index_dir: str):
+        """Enforced single-writer protocol: an exclusive lock file
+        (O_CREAT|O_EXCL — atomic on POSIX filesystems) held for the
+        duration of any mutating operation. A second concurrent writer
+        raises instead of corrupting ord allocation.
+
+        Stale-lock recovery: the lock records (pid, host); a lock
+        whose pid is dead ON THIS HOST is a crashed writer's leftover
+        and is stolen automatically (the crashed mutation itself is
+        already crash-safe — commit markers gate visibility). A lock
+        from another host cannot be liveness-checked here; break it
+        explicitly with :meth:`break_lock` after confirming the writer
+        is gone."""
+        import json
+        import socket
+
+        path = Path(index_dir) / WRITER_LOCK
+        me = {"pid": os.getpid(), "host": socket.gethostname()}
+        for _attempt in (0, 1):
+            try:
+                fd = os.open(str(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(me, f)
+                break
+            except FileExistsError:
+                try:
+                    holder = json.loads(path.read_text())
+                except (OSError, ValueError):
+                    holder = {}
+                stale = False
+                if holder.get("host") == me["host"] and holder.get("pid"):
+                    try:
+                        os.kill(int(holder["pid"]), 0)
+                    except ProcessLookupError:
+                        stale = True
+                    except PermissionError:
+                        pass  # alive, owned by another user
+                if stale and _attempt == 0:
+                    path.unlink(missing_ok=True)
+                    continue
+                raise ValueError(
+                    f"another writer holds {path} "
+                    f"(holder: {holder or 'unknown'}) — the index mutation "
+                    "surface is single-writer; wait for it to finish, or "
+                    "IndexBuilder.break_lock() if the writer is known dead"
+                ) from None
+        try:
+            yield
+        finally:
+            path.unlink(missing_ok=True)
+
+    @staticmethod
+    def break_lock(index_dir: str) -> bool:
+        """Remove a writer lock left by a dead writer on ANOTHER host
+        (same-host stale locks are stolen automatically). Returns True
+        if a lock was removed. Only call after confirming the holder
+        is gone — breaking a LIVE writer's lock reintroduces the
+        duplicate-ord hazard the lock exists to prevent."""
+        path = Path(index_dir) / WRITER_LOCK
+        existed = path.exists()
+        path.unlink(missing_ok=True)
+        return existed
+
     def upsert(self, docs: DataFrame, index_dir: str) -> dict:
         """ES PUT-by-id semantics (reference ElasticIndexer.js:68-97:
         a re-PUT of an existing id overwrites the document) as an
@@ -723,10 +797,12 @@ class IndexBuilder:
         crashes in those windows (tests).
 
         Concurrency: ord allocation is read-modify-write on the
-        directory listing — this is a SINGLE-WRITER protocol (one
-        upsert/delete at a time per index, the usual Spark batch-job
-        discipline). Readers are always safe; concurrent writers
-        could allocate the same ord.
+        directory listing — a SINGLE-WRITER protocol, now ENFORCED by
+        an exclusive lock file held for the mutation's duration (see
+        :meth:`_writer_lock`): a second concurrent upsert/delete/
+        compact raises cleanly instead of racing ord allocation.
+        Readers never take the lock; a crashed writer's same-host
+        lock is stolen automatically.
         """
         base = Path(index_dir)
         if not (base / "stats").exists():
@@ -736,6 +812,10 @@ class IndexBuilder:
         cfg = self._resolved_cfg(index_dir)
         if cfg != self.cfg:
             return IndexBuilder(self.spark, cfg).upsert(docs, index_dir)
+        with self._writer_lock(index_dir):
+            return self._upsert_locked(docs, index_dir, base)
+
+    def _upsert_locked(self, docs: DataFrame, index_dir: str, base: Path) -> dict:
         docs = docs.persist()
         try:
             live = live_docs(self.spark, index_dir).select("doc_id", "text_md5")
@@ -852,30 +932,33 @@ class IndexBuilder:
             ids = self.spark.createDataFrame(
                 [(int(d),) for d in doc_ids], schema="doc_id long"
             ).distinct()
-        del_ord = self._next_ord(index_dir)
-        droot = base / "deltas"
-        if droot.exists():
-            for m in droot.glob(f"{INFLIGHT_PREFIX}*"):
-                del_ord = max(del_ord, int(m.name[len(INFLIGHT_PREFIX):]) + 1)
-        found = ids.join(
-            live_docs(self.spark, index_dir).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        ).persist()
-        n_found = found.count()
-        n_req = ids.count()
-        if n_found:
-            found.select(
-                F.col("doc_id").cast("long"),
-                F.lit(del_ord).cast("int").alias("kill_ord"),
-            ).coalesce(1).write.mode("append").parquet(str(base / "deletes"))
-        found.unpersist()
-        return {
-            "mode": "delete",
-            "n_deleted": int(n_found),
-            "n_not_found": int(n_req - n_found),
-            "kill_ord": del_ord,
-        }
+        with self._writer_lock(index_dir):
+            del_ord = self._next_ord(index_dir)
+            droot = base / "deltas"
+            if droot.exists():
+                for m in droot.glob(f"{INFLIGHT_PREFIX}*"):
+                    del_ord = max(
+                        del_ord, int(m.name[len(INFLIGHT_PREFIX):]) + 1
+                    )
+            found = ids.join(
+                live_docs(self.spark, index_dir).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).persist()
+            n_found = found.count()
+            n_req = ids.count()
+            if n_found:
+                found.select(
+                    F.col("doc_id").cast("long"),
+                    F.lit(del_ord).cast("int").alias("kill_ord"),
+                ).coalesce(1).write.mode("append").parquet(str(base / "deletes"))
+            found.unpersist()
+            return {
+                "mode": "delete",
+                "n_deleted": int(n_found),
+                "n_not_found": int(n_req - n_found),
+                "kill_ord": del_ord,
+            }
 
     def get_mapping(self, index_dir: str) -> dict:
         """ES ``GET /index/_mapping``: the stored analysis/storage
@@ -900,7 +983,8 @@ class IndexBuilder:
                 f"{index_dir} is not an index root (stats/postings missing); "
                 "refusing to delete"
             )
-        shutil.rmtree(index_dir)
+        with self._writer_lock(index_dir):
+            shutil.rmtree(index_dir)
         return {"mode": "delete_index", "deleted": str(index_dir)}
 
     # -- compaction ----------------------------------------------------------
@@ -915,12 +999,19 @@ class IndexBuilder:
         normal build stages. Run periodically so the tombstone set the
         query engine broadcasts stays small. Inherits the stored
         mapping (positional sidecar, stored source, field set) from
-        the input index — see :meth:`_resolved_cfg`."""
-        from xml_to_es_spark.operators.postings import decode_positions, varbyte_decode
-
+        the input index — see :meth:`_resolved_cfg`. Holds the SOURCE
+        index's writer lock for the duration: a concurrent upsert
+        mutating the input mid-snapshot would make the compacted copy
+        neither old nor new."""
         cfg = self._resolved_cfg(index_dir)
         if cfg != self.cfg:
             return IndexBuilder(self.spark, cfg).compact(index_dir, out_dir)
+        with self._writer_lock(index_dir):
+            return self._compact_locked(index_dir, out_dir)
+
+    def _compact_locked(self, index_dir: str, out_dir: str) -> dict:
+        from xml_to_es_spark.operators.postings import decode_positions, varbyte_decode
+
         spark = self.spark
         dirs = index_dirs(index_dir)
         kills = load_kills(spark, index_dir)
