@@ -265,12 +265,72 @@ def main():
         "bm25_prefix_1char_topk",
         lambda: eng.prefix_topk([(1, "a"), (2, "s")], k=10, n_ranges=8).collect(),
     )
+    # ---- round-5 additions (also excluded from r2_comparable) ----
+    new_in_r5 = [
+        "bm25_bool_nested_topk", "sqs_mixed_topk",
+        "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
+    ]
+    # 20. rich nested bool trees (should-of-musts, per-clause boost,
+    # bool-level minimum_should_match, structured filters): one
+    # postings scan + one per-clause conditional hash-agg for the
+    # whole 5-query batch
+    timed(
+        "bm25_bool_nested_topk",
+        lambda: eng.bool_topk(
+            entry.NESTED_BOOL_QUERIES, k=10, docs=dv
+        ).collect(),
+    )
+    # 21. simple_query_string with quoted phrases and (a | b) groups —
+    # the whole body list BATCHED through es_msearch into one
+    # bool_topk call: one scan + one clause agg + one positional
+    # pass, not one job per body
+    from xml_to_es_spark.operators.es_query import es_msearch
+
+    timed(
+        "sqs_mixed_topk",
+        lambda: es_msearch(
+            feng,
+            [
+                {"query": {"simple_query_string": {
+                    "query": qs, "fields": ["text"]}}, "size": 10}
+                for _qid, qs in entry.SQS_MIXED_QUERIES
+            ],
+        ).collect(),
+    )
+    # 22. sub-bucket aggregation (date_histogram → terms, stats
+    # metric): composite bucket keys — still the same two shuffles as
+    # a flat terms agg
+    timed(
+        "search_aggs_nested_topk",
+        lambda: eng.search_aggs(
+            entry.BM25_QUERIES, group_by=[("warc_ts", "day"), "lang"],
+            metrics={"st": ("stats", "n_chars")}, size=8, docs=dv,
+        ).collect(),
+    )
+    # 23. cursor paging on the PHRASE path (round-5 generalization of
+    # rank-anchored search_after to the positional kernels)
+    pp1 = feng.phrase_topk(
+        entry.BM25_PHRASE_QUERIES, k=10, n_ranges=8, field="text"
+    ).toPandas()
+    pcur = {
+        int(qid): (float(g.score.iat[-1]), int(g.doc_id.iat[-1]))
+        for qid, g in pp1.sort_values(["query_id", "rank"]).groupby("query_id")
+        if len(g)
+    }
+    timed(
+        "bm25_phrase_cursor_topk",
+        lambda: feng.phrase_topk(
+            entry.BM25_PHRASE_QUERIES, k=10, n_ranges=8, field="text",
+            search_after=pcur,
+        ).collect(),
+    )
     dv.unpersist()
     fdocs.unpersist()
 
     total = round(sum(timings.values()), 3)
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k not in new_in_r3 + new_in_r4), 3
+        sum(v for k, v in timings.items()
+            if k not in new_in_r3 + new_in_r4 + new_in_r5), 3
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

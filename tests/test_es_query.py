@@ -373,3 +373,41 @@ def test_dsl_highlight_fragments(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="unsupported highlight"):
         es_search(e, {"query": {"match": {"text": "needle"}},
                       "highlight": {"pre_tags": ["<em>"]}})
+
+
+def test_msearch_batches_simple_query_string(eng):
+    """A simple_query_string body list runs as ONE batched bool_topk
+    call and returns, per body, exactly what es_search returns for
+    that body (batch-translation identity, quotes and groups
+    included)."""
+    texts = ['+alpha -gamma ("beta" | w3)', '"alpha w1" beta', "+beta -w2"]
+    ms = es_msearch(eng, [
+        {"query": {"simple_query_string": {"query": t}}, "size": 6}
+        for t in texts
+    ]).toPandas()
+    assert set(ms["query_id"]) <= {0, 1, 2} and len(ms)
+    for i, t in enumerate(texts):
+        one = es_search(
+            eng, {"query": {"simple_query_string": {"query": t}}, "size": 6}
+        ).toPandas().sort_values("rank").reset_index(drop=True)
+        got = (
+            ms[ms.query_id == i]
+            .drop(columns=["query_id"])
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, one.drop(columns=["query_id"]), check_dtype=False
+        )
+    # mixed kinds and per-body options still reject
+    with pytest.raises(ValueError, match="share one query kind"):
+        es_msearch(eng, [
+            {"query": {"simple_query_string": {"query": "alpha"}}},
+            {"query": {"match": {"text": "beta"}}},
+        ])
+    with pytest.raises(ValueError, match="share the fields option"):
+        es_msearch(eng, [
+            {"query": {"simple_query_string": {"query": "alpha",
+                                               "fields": ["text"]}}},
+            {"query": {"simple_query_string": {"query": "beta"}}},
+        ])

@@ -693,11 +693,37 @@ def es_msearch(engine: QueryEngine, bodies: list[dict]) -> DataFrame:
     if len(kinds) != 1:
         raise ValueError("msearch bodies must share one query kind")
     (kind,) = kinds
-    if kind != "match":
-        raise ValueError("msearch batches match queries")
+    if kind not in ("match", "simple_query_string"):
+        raise ValueError("msearch batches match / simple_query_string queries")
     k = {int(b.get("size", 10)) for b in bodies}
     if len(k) != 1:
         raise ValueError("msearch bodies must share size")
+    if kind == "simple_query_string":
+        # each body parses to a bool tree; the whole batch runs as ONE
+        # bool_topk call — one postings scan + one clause hash-agg
+        # (plus one positional pass per field when phrases appear),
+        # instead of one job per body
+        trees = []
+        flds = set()
+        for i, b in enumerate(bodies):
+            (_, spec), = b["query"].items()
+            opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+            bad = set(opts) - {"query", "fields"}
+            if bad:
+                raise ValueError(
+                    f"msearch body {i}: unsupported simple_query_string "
+                    f"option(s) {sorted(bad)}"
+                )
+            bf = list(opts.get("fields", []))
+            if len(bf) > 1:
+                raise ValueError("simple_query_string: one field supported")
+            flds.add(bf[0] if bf else None)
+            trees.append((i, _parse_simple_query(opts["query"])))
+        if len(flds) != 1:
+            raise ValueError("msearch bodies must share the fields option")
+        (fld,) = flds
+        f = fld if (fld and engine.fielded) else None
+        return engine.bool_topk(trees, k=k.pop(), field=f)
     queries = []
     fields = set()
     for i, b in enumerate(bodies):
