@@ -414,21 +414,35 @@ def _q_bool_range(spark, sf):
 
 
 def _q_sort_by_field(spark, sf):
-    """ES sort-by-field: per query, the top-10 MATCHING docs ordered
-    by the stored n_chars doc value (desc, doc_id tiebreak) over the
-    FULL match set — not a re-sort of the relevance page; BM25 score
-    rides along (ES track_scores)."""
+    """ES sort-by-field, both shapes in one frame: `single` = top-10
+    matches ordered by the stored n_chars doc value (desc, doc_id
+    tiebreak) over the FULL match set — not a re-sort of the relevance
+    page; `multi` = ES multi-field sort [lang asc, n_chars desc]
+    applied in order. BM25 score rides along (ES track_scores)."""
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
-    out = eng.sort_topk(BM25_QUERIES, by="n_chars", k=BM25_K)
-    return out.select(
+    single = eng.sort_topk(BM25_QUERIES, by="n_chars", k=BM25_K).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
+        F.lit(None).cast("string").alias("lang"),
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round("score", 6).alias("score"),
+        F.lit("single").alias("variant"),
     )
+    multi = eng.sort_topk(
+        BM25_QUERIES, by=[("lang", True), ("n_chars", False)], k=BM25_K
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("score", 6).alias("score"),
+        F.lit("multi").alias("variant"),
+    )
+    return single.unionByName(multi)
 
 
 def _q_es_dsl_bool_range(spark, sf):
@@ -1505,9 +1519,12 @@ WHERE rank > {from_} AND rank <= {from_ + BM25_K}
 """
 
 
-def _sort_by_field_sql(k: int) -> str:
+def _sort_by_field_sql(k: int, multi: bool = False) -> str:
     """Twin of sort_topk: same match set and BM25 sum as _bm25_sql,
-    ranked by the n_chars doc value instead of the score."""
+    ranked by stored doc values instead of the score — n_chars desc,
+    or (multi=True) the ES multi-field order [lang asc, n_chars
+    desc]; lang is NULL in the single variant so both shapes union
+    into one frame."""
     import re
 
     qvals = []
@@ -1515,6 +1532,9 @@ def _sort_by_field_sql(k: int) -> str:
         for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
             qvals.append(f"({qid}, '{t}')")
     values = ", ".join(qvals)
+    order = ("d.lang ASC, d.n_chars DESC, doc_id ASC" if multi
+             else "d.n_chars DESC, doc_id ASC")
+    lang_col = "d.lang" if multi else "NULL"
     return f"""
 WITH toks AS (
   SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
@@ -1536,11 +1556,11 @@ tf AS (
   GROUP BY q.query_id, tf.doc_id
 ), ranked AS (
   SELECT query_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY d.n_chars DESC, doc_id ASC) AS rank,
-         doc_id, d.n_chars, round(score_raw, 6) AS score
+         row_number() OVER (PARTITION BY query_id ORDER BY {order}) AS rank,
+         doc_id, {lang_col} AS lang, d.n_chars, round(score_raw, 6) AS score
   FROM scored JOIN documents d USING (doc_id)
 )
-SELECT query_id, rank, doc_id, n_chars, score FROM ranked WHERE rank <= {k}
+SELECT query_id, rank, doc_id, lang, n_chars, score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -2834,7 +2854,11 @@ UNION ALL
 SELECT *, 'nested' AS variant FROM ({_bool_nested_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
-        "bm25_sort_chars_topk": _sort_by_field_sql(BM25_K),
+        "bm25_sort_chars_topk": f"""
+SELECT *, 'single' AS variant FROM ({_sort_by_field_sql(BM25_K)})
+UNION ALL
+SELECT *, 'multi' AS variant FROM ({_sort_by_field_sql(BM25_K, multi=True)})
+""",
         "search_aggs_source": _search_aggs_sql(),
         "search_aggs_histogram": _search_aggs_histogram_sql(),
         "search_aggs_date_histogram": _search_aggs_date_histogram_sql(),

@@ -411,3 +411,53 @@ def test_msearch_batches_simple_query_string(eng):
                                                "fields": ["text"]}}},
             {"query": {"simple_query_string": {"query": "beta"}}},
         ])
+
+
+def test_dsl_sort_multi_field_and_kinds(eng):
+    """sort accepts a list of fields applied in order, and works on
+    bool / ids / structured query kinds (routed over the bool match
+    set); unsupported kinds still reject."""
+    body = {"query": {"match": {"text": "alpha"}}, "size": 10,
+            "sort": [{"lang": {"order": "asc"}},
+                     {"n_chars": {"order": "desc"}}]}
+    got = es_search(eng, body).toPandas().sort_values("rank")
+    docs = es_search(
+        eng, {"query": {"match": {"text": "alpha"}}, "size": 40}
+    ).toPandas()
+    assert len(got) == 10
+    # verify the multi-key order against the engine's own doc values
+    dv = eng.spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], 100 + 3 * i) for i in range(40)],
+        schema="doc_id long, lang string, n_chars long",
+    ).toPandas().set_index("doc_id")
+    keys = [(dv.loc[d, "lang"], -dv.loc[d, "n_chars"], d)
+            for d in got["doc_id"]]
+    assert keys == sorted(keys)
+    assert set(got["doc_id"]) <= set(docs["doc_id"])
+    # bool kind
+    b = es_search(eng, {
+        "query": {"bool": {"must": {"match": {"text": "alpha"}},
+                           "filter": [{"term": {"lang": "en"}}]}},
+        "size": 5, "sort": [{"n_chars": {"order": "asc"}}],
+    }).toPandas().sort_values("rank")
+    bkeys = [dv.loc[d, "n_chars"] for d in b["doc_id"]]
+    assert bkeys == sorted(bkeys)
+    assert all(dv.loc[d, "lang"] == "en" for d in b["doc_id"])
+    # ids kind
+    i = es_search(eng, {
+        "query": {"ids": {"values": [3, 1, 7, 2]}},
+        "size": 4, "sort": [{"n_chars": {"order": "desc"}}],
+    }).toPandas().sort_values("rank")
+    assert list(i["doc_id"]) == [7, 3, 2, 1]
+    # structured kind
+    r = es_search(eng, {
+        "query": {"range": {"n_chars": {"gte": 190}}},
+        "size": 3, "sort": [{"n_chars": {"order": "asc"}}],
+    }).toPandas().sort_values("rank")
+    assert list(r["doc_id"]) == [30, 31, 32]
+    with pytest.raises(ValueError, match="sort-by-field supports"):
+        es_search(eng, {"query": {"match_phrase": {"text": "alpha w1"}},
+                        "sort": [{"n_chars": {"order": "asc"}}]})
+    with pytest.raises(ValueError, match="_score inside a sort list"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "sort": [{"n_chars": {"order": "asc"}}, "_score"]})

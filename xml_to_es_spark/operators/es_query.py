@@ -41,7 +41,7 @@ raise, nothing is silently ignored)::
       },
       "size": k, "from": n,
       "search_after": [score, doc_id],       # single-query cursor
-      "sort": [{field: {"order": "asc"|"desc"}}] | "_score",
+      "sort": [{f1: {"order": "asc"|"desc"}}, {f2: ...}] | "_score",
       "aggs": {name: {"terms": {"field": f, "size": N} |
                       "histogram": {"field": f, "interval": x} |
                       "date_histogram": {"field": f,
@@ -70,8 +70,10 @@ Semantics and limits:
 - ``aggs`` run INSTEAD of hits when present without an explicit
   ``size`` (ES returns both; request hits explicitly with ``size`` to
   get both here — two jobs, same engine).
-- ``sort`` by one stored doc value (optionally with ``_score`` left
-  out — ES's replace-the-ranking semantics, :meth:`QueryEngine.sort_topk`).
+- ``sort`` by one or more stored doc values, applied in order
+  (``_score`` left out — ES's replace-the-ranking semantics), on
+  match / bool / ids / structured queries
+  (:meth:`QueryEngine.sort_topk` / :meth:`QueryEngine.bool_sort_topk`).
 """
 
 from __future__ import annotations
@@ -233,21 +235,48 @@ class EsRequest:
                     "supported (the cursor would need the sort-key "
                     "ordering); page with from_ instead"
                 )
-            if isinstance(sort, list):
-                if len(sort) != 1:
-                    raise ValueError("one sort field supported")
-                sort = sort[0]
-            (sf, sspec), = sort.items()
-            asc = (sspec.get("order", "asc") if isinstance(sspec, dict)
-                   else sspec) == "asc"
-            if kind != "match":
-                raise ValueError("sort-by-field supports match queries")
-            fld, opts = _field_text(spec, allowed={"minimum_should_match"})
-            return eng.sort_topk(
-                [(0, opts["query"])], by=sf, k=k, ascending=asc,
-                min_match=opts.get("minimum_should_match"),
-                field=self._resolve_match_field(fld), from_=from_,
-            ).drop(sf)
+            entries = sort if isinstance(sort, list) else [sort]
+            specs = []
+            for ent in entries:
+                if ent == "_score":
+                    raise ValueError(
+                        "_score inside a sort list is not supported — "
+                        "drop sort for relevance ranking"
+                    )
+                (sf, sspec), = ent.items()
+                asc = (sspec.get("order", "asc") if isinstance(sspec, dict)
+                       else sspec) == "asc"
+                specs.append((sf, asc))
+            drop_cols = [c for c, _ in specs]
+            if kind == "match":
+                fld, opts = _field_text(spec, allowed={"minimum_should_match"})
+                out = eng.sort_topk(
+                    [(0, opts["query"])], by=specs, k=k,
+                    min_match=opts.get("minimum_should_match"),
+                    field=self._resolve_match_field(fld), from_=from_,
+                )
+            elif kind == "bool":
+                espec, bfld = self._bool_spec(spec)
+                out = eng.bool_sort_topk(
+                    [(0, espec)], by=specs, k=k, field=bfld, from_=from_
+                )
+            elif kind == "ids":
+                vals = [int(v) for v in spec["values"]]
+                out = eng.bool_sort_topk(
+                    [(0, {"filter": [{"terms": {"doc_id": vals}}]})],
+                    by=specs, k=k, from_=from_,
+                )
+            elif kind in _STRUCTURED:
+                out = eng.bool_sort_topk(
+                    [(0, {"filter": [{kind: spec}]})], by=specs, k=k,
+                    from_=from_,
+                )
+            else:
+                raise ValueError(
+                    "sort-by-field supports match / bool / ids / "
+                    "structured queries"
+                )
+            return out.drop(*drop_cols)
 
         cursor = None
         if "search_after" in self.body:

@@ -2331,10 +2331,91 @@ class QueryEngine:
             )
         return out
 
+    @staticmethod
+    def _sort_specs(
+        by: str | list, ascending: bool
+    ) -> list[tuple[str, bool]]:
+        """Normalize a sort spec: a bare column (direction from
+        ``ascending``) or a list of columns / (column, ascending)
+        pairs — ES multi-field sort, applied in order."""
+        if isinstance(by, str):
+            return [(by, bool(ascending))]
+        out = []
+        for b in by:
+            if isinstance(b, str):
+                out.append((b, bool(ascending)))
+            else:
+                col, asc = b
+                out.append((str(col), bool(asc)))
+        if not out:
+            raise ValueError("empty sort spec")
+        return out
+
+    def _sort_tail(
+        self,
+        hits: DataFrame,
+        specs: list[tuple[str, bool]],
+        k: int,
+        from_: int,
+        docs: DataFrame | None,
+    ) -> DataFrame:
+        """Shared back half of the sort-by-field paths: join the
+        column-pruned doc-values projection to a (query_id, doc_id,
+        score) match set, rank with ONE WindowGroupLimit over the
+        sort-key tuple (doc_id as the final tiebreak — a total
+        order), slice the rank window."""
+        from pyspark.sql import Window as W
+
+        cols = [c for c, _ in specs]
+        dv = (
+            docs.select("doc_id", *cols)
+            if docs is not None
+            else self._doc_values(cols)
+        )
+        order = [
+            F.asc(c) if asc else F.desc(c) for c, asc in specs
+        ] + [F.asc("doc_id")]
+        w = W.partitionBy("query_id").orderBy(*order)
+        return (
+            hits.join(dv, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", *cols, "score")
+        )
+
+    def bool_sort_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        by: str | list,
+        k: int = 10,
+        ascending: bool = False,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES sort-by-field over a BOOL query's full match set (flat
+        role dicts or rich nested trees — the same one-scan machinery
+        as :meth:`bool_topk`), ``by`` a column or list of columns /
+        (column, ascending) pairs applied in order. Scale shape =
+        the bool match set plus :meth:`_sort_tail`'s one doc-values
+        join + one WindowGroupLimit."""
+        specs = self._sort_specs(by, ascending)
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, score double"
+            )
+        return self._sort_tail(
+            hits.select("query_id", "doc_id", "score"), specs, k, from_, docs
+        )
+
     def sort_topk(
         self,
         queries: list[tuple[int, str]],
-        by: str,
+        by: str | list,
         k: int = 10,
         ascending: bool = False,
         min_match: int | str | None = None,
@@ -2342,22 +2423,25 @@ class QueryEngine:
         docs: DataFrame | None = None,
         from_: int = 0,
     ) -> DataFrame:
-        """ES sort-by-field: the top-k hits of each query ordered by a
-        STORED DOC VALUE over the FULL match set (not a re-sort of the
-        relevance top-k — ES replaces the _score ordering entirely, so
-        the returned docs differ from :meth:`topk`'s). BM25 score
-        still rides along (ES track_scores).
+        """ES sort-by-field: the top-k hits of each query ordered by
+        STORED DOC VALUES over the FULL match set (not a re-sort of
+        the relevance top-k — ES replaces the _score ordering
+        entirely, so the returned docs differ from :meth:`topk`'s).
+        ``by`` is a column name or a list of columns / (column,
+        ascending) pairs — ES multi-field sort, applied in order.
+        BM25 score still rides along (ES track_scores).
 
         Scale shape = :meth:`topk_distributed` plus one shuffle-join
         against the column-pruned doc-values projection: matches come
         off the same term+group-pruned decode, dedupe in one
         (query_id, doc_id) partial agg, join doc values on doc_id,
-        rank with one WindowGroupLimit on (value, doc_id). Returns
-        (query_id, rank, doc_id, <by>, score)."""
-        from pyspark.sql import Window as W
-
+        rank with one WindowGroupLimit on (values, doc_id). Returns
+        (query_id, rank, doc_id, <by...>, score)."""
+        specs = self._sort_specs(by, ascending)
         dv = (
-            docs.select("doc_id", by) if docs is not None else self._doc_values([by])
+            docs.select("doc_id", *[c for c, _ in specs])
+            if docs is not None
+            else self._doc_values([c for c, _ in specs])
         )
         matched = self._matched_segments(queries, field=field)
         if matched is None:
@@ -2365,7 +2449,7 @@ class QueryEngine:
                 F.lit(0).cast("long").alias("query_id"),
                 F.lit(0).cast("int").alias("rank"),
                 "doc_id",
-                by,
+                *[c for c, _ in specs],
                 F.lit(0.0).alias("score"),
             )
         contribs = matched.mapInPandas(
@@ -2387,13 +2471,8 @@ class QueryEngine:
             hits = hits.join(F.broadcast(need_df), "query_id").filter(
                 F.col("n_matched") >= F.col("need")
             )
-        order = F.asc(by) if ascending else F.desc(by)
-        w = W.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
-        return (
-            hits.join(dv, "doc_id")
-            .withColumn("rank", F.row_number().over(w))
-            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
-            .select("query_id", "rank", "doc_id", by, "score")
+        return self._sort_tail(
+            hits.select("query_id", "doc_id", "score"), specs, k, from_, docs
         )
 
     _AGG_FNS = {
