@@ -461,3 +461,42 @@ def test_dsl_sort_multi_field_and_kinds(eng):
     with pytest.raises(ValueError, match="_score inside a sort list"):
         es_search(eng, {"query": {"match": {"text": "alpha"}},
                         "sort": [{"n_chars": {"order": "asc"}}, "_score"]})
+
+
+def test_dsl_sort_search_after_cursor(eng):
+    """search_after beside sort carries [sort-key values..., doc_id]
+    (the ES deep-pagination cursor): cursor pages tile the full
+    multi-field ordering exactly, ties included, and a wrong-arity
+    cursor raises."""
+    body = {"query": {"match": {"text": "alpha"}}, "size": 40,
+            "sort": [{"lang": {"order": "asc"}},
+                     {"n_chars": {"order": "desc"}}]}
+    full = es_search(eng, body).toPandas().sort_values("rank")
+    dv = eng.spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], 100 + 3 * i) for i in range(40)],
+        schema="doc_id long, lang string, n_chars long",
+    ).toPandas().set_index("doc_id")
+    pages, cursor = [], None
+    for _ in range(5):
+        b = {**body, "size": 9}
+        if cursor is not None:
+            b["search_after"] = cursor
+        page = es_search(eng, b).toPandas().sort_values("rank")
+        if not len(page):
+            break
+        pages.append(page)
+        last = int(page.doc_id.iat[-1])
+        cursor = [dv.loc[last, "lang"], int(dv.loc[last, "n_chars"]), last]
+    got = pd.concat(pages)["doc_id"].tolist()
+    assert got == full["doc_id"].tolist()
+    with pytest.raises(ValueError, match="one value per sort field"):
+        es_search(eng, {**body, "search_after": [1.0, 2]}).toPandas()
+    # bool kind pages the same way
+    bb = {"query": {"bool": {"must": {"match": {"text": "alpha"}}}},
+          "size": 40, "sort": [{"n_chars": {"order": "asc"}}]}
+    bfull = es_search(eng, bb).toPandas().sort_values("rank")
+    p1 = es_search(eng, {**bb, "size": 25}).toPandas().sort_values("rank")
+    last = int(p1.doc_id.iat[-1])
+    p2 = es_search(eng, {**bb, "size": 25, "search_after": [
+        int(dv.loc[last, "n_chars"]), last]}).toPandas().sort_values("rank")
+    assert p1["doc_id"].tolist() + p2["doc_id"].tolist() == bfull["doc_id"].tolist()

@@ -40,7 +40,8 @@ raise, nothing is silently ignored)::
         "simple_query_string": {"query": "+req -excl optional"}
       },
       "size": k, "from": n,
-      "search_after": [score, doc_id],       # single-query cursor
+      "search_after": [score, doc_id]        # single-query cursor
+                    | [sort-values..., doc_id],  # with sort-by-field
       "sort": [{f1: {"order": "asc"|"desc"}}, {f2: ...}] | "_score",
       "aggs": {name: {"terms": {"field": f, "size": N} |
                       "histogram": {"field": f, "interval": x} |
@@ -73,7 +74,10 @@ Semantics and limits:
 - ``sort`` by one or more stored doc values, applied in order
   (``_score`` left out — ES's replace-the-ranking semantics), on
   match / bool / ids / structured queries
-  (:meth:`QueryEngine.sort_topk` / :meth:`QueryEngine.bool_sort_topk`).
+  (:meth:`QueryEngine.sort_topk` / :meth:`QueryEngine.bool_sort_topk`);
+  ``search_after`` beside ``sort`` carries the last hit's sort-key
+  values + doc_id (the ES deep-pagination cursor) and filters before
+  ranking — k-sized windows at any depth.
 """
 
 from __future__ import annotations
@@ -226,15 +230,14 @@ class EsRequest:
 
         sort = self.body.get("sort")
         if sort and sort != "_score":
+            after = None
             if "search_after" in self.body:
-                # ES sorts cursors by the SORT key values, not
-                # (score, doc_id) — not implemented; reject rather
-                # than serve a mis-keyed page
-                raise ValueError(
-                    "search_after combined with sort-by-field is not "
-                    "supported (the cursor would need the sort-key "
-                    "ordering); page with from_ instead"
-                )
+                # ES sort cursors carry the last hit's SORT-KEY values
+                # + its doc_id (not (score, doc_id)); the engine
+                # filters on that exact tuple before ranking
+                after = list(self.body["search_after"])
+                if from_:
+                    raise ValueError("search_after and from are exclusive")
             entries = sort if isinstance(sort, list) else [sort]
             specs = []
             for ent in entries:
@@ -254,22 +257,24 @@ class EsRequest:
                     [(0, opts["query"])], by=specs, k=k,
                     min_match=opts.get("minimum_should_match"),
                     field=self._resolve_match_field(fld), from_=from_,
+                    search_after=after,
                 )
             elif kind == "bool":
                 espec, bfld = self._bool_spec(spec)
                 out = eng.bool_sort_topk(
-                    [(0, espec)], by=specs, k=k, field=bfld, from_=from_
+                    [(0, espec)], by=specs, k=k, field=bfld, from_=from_,
+                    search_after=after,
                 )
             elif kind == "ids":
                 vals = [int(v) for v in spec["values"]]
                 out = eng.bool_sort_topk(
                     [(0, {"filter": [{"terms": {"doc_id": vals}}]})],
-                    by=specs, k=k, from_=from_,
+                    by=specs, k=k, from_=from_, search_after=after,
                 )
             elif kind in _STRUCTURED:
                 out = eng.bool_sort_topk(
                     [(0, {"filter": [{kind: spec}]})], by=specs, k=k,
-                    from_=from_,
+                    from_=from_, search_after=after,
                 )
             else:
                 raise ValueError(

@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xml_to_es_spark.config import BM25Config
@@ -2351,6 +2351,29 @@ class QueryEngine:
             raise ValueError("empty sort spec")
         return out
 
+    @staticmethod
+    def _after_sort_key(
+        specs: list[tuple[str, bool]], after: tuple | list
+    ) -> Column:
+        """ES ``search_after`` on a sort-by-field page: the cursor is
+        the last hit's SORT-KEY VALUES plus its doc_id (exactly what
+        ES feeds back), and "after" is the lexicographic comparison
+        over those exact stored values respecting each column's
+        direction — deterministic across jobs because doc values are
+        stored, not recomputed floats (no drift caveat here, unlike
+        score cursors)."""
+        if len(after) != len(specs) + 1:
+            raise ValueError(
+                f"search_after must carry one value per sort field plus "
+                f"doc_id ({len(specs) + 1} values), got {len(after)}"
+            )
+        pred = F.col("doc_id") > F.lit(int(after[-1]))
+        for (c, asc), v in zip(reversed(specs), reversed(after[:-1])):
+            col, lit = F.col(c), F.lit(v)
+            strict = col > lit if asc else col < lit
+            pred = strict | (col.eqNullSafe(lit) & pred)
+        return pred
+
     def _sort_tail(
         self,
         hits: DataFrame,
@@ -2358,12 +2381,15 @@ class QueryEngine:
         k: int,
         from_: int,
         docs: DataFrame | None,
+        after: tuple | list | None = None,
     ) -> DataFrame:
         """Shared back half of the sort-by-field paths: join the
         column-pruned doc-values projection to a (query_id, doc_id,
         score) match set, rank with ONE WindowGroupLimit over the
         sort-key tuple (doc_id as the final tiebreak — a total
-        order), slice the rank window."""
+        order), slice the rank window. ``after`` (sort-key cursor)
+        filters BEFORE ranking, so deep cursor pages keep the k-sized
+        window at any depth (from_-paging pays from_+k)."""
         from pyspark.sql import Window as W
 
         cols = [c for c, _ in specs]
@@ -2372,12 +2398,17 @@ class QueryEngine:
             if docs is not None
             else self._doc_values(cols)
         )
+        joined = hits.join(dv, "doc_id")
+        if after is not None:
+            if from_:
+                raise ValueError("search_after and from_ are exclusive")
+            joined = joined.filter(self._after_sort_key(specs, after))
         order = [
             F.asc(c) if asc else F.desc(c) for c, asc in specs
         ] + [F.asc("doc_id")]
         w = W.partitionBy("query_id").orderBy(*order)
         return (
-            hits.join(dv, "doc_id")
+            joined
             .withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
             .select("query_id", "rank", "doc_id", *cols, "score")
@@ -2392,6 +2423,7 @@ class QueryEngine:
         field: str | None = None,
         docs: DataFrame | None = None,
         from_: int = 0,
+        search_after: tuple | list | None = None,
     ) -> DataFrame:
         """ES sort-by-field over a BOOL query's full match set (flat
         role dicts or rich nested trees — the same one-scan machinery
@@ -2409,7 +2441,8 @@ class QueryEngine:
                 [], schema="query_id long, doc_id long, score double"
             )
         return self._sort_tail(
-            hits.select("query_id", "doc_id", "score"), specs, k, from_, docs
+            hits.select("query_id", "doc_id", "score"), specs, k, from_,
+            docs, after=search_after,
         )
 
     def sort_topk(
@@ -2422,6 +2455,7 @@ class QueryEngine:
         field: str | None = None,
         docs: DataFrame | None = None,
         from_: int = 0,
+        search_after: tuple | list | None = None,
     ) -> DataFrame:
         """ES sort-by-field: the top-k hits of each query ordered by
         STORED DOC VALUES over the FULL match set (not a re-sort of
@@ -2472,7 +2506,8 @@ class QueryEngine:
                 F.col("n_matched") >= F.col("need")
             )
         return self._sort_tail(
-            hits.select("query_id", "doc_id", "score"), specs, k, from_, docs
+            hits.select("query_id", "doc_id", "score"), specs, k, from_,
+            docs, after=search_after,
         )
 
     _AGG_FNS = {
