@@ -500,3 +500,45 @@ def test_dsl_sort_search_after_cursor(eng):
     p2 = es_search(eng, {**bb, "size": 25, "search_after": [
         int(dv.loc[last, "n_chars"]), last]}).toPandas().sort_values("rank")
     assert p1["doc_id"].tolist() + p2["doc_id"].tolist() == bfull["doc_id"].tolist()
+
+
+def test_es_count_and_collapse(eng):
+    """es_count returns match-set cardinality per query kind (zero
+    rows still produce total 0); collapse keeps one best hit per doc
+    value over the FULL match set, ranks the survivors, and rejects
+    unsupported combinations."""
+    from xml_to_es_spark.operators.es_query import es_count
+
+    # every doc matches "alpha"; 40 docs
+    c = es_count(eng, {"query": {"match": {"text": "alpha"}}}).toPandas()
+    assert c.total.iat[0] == 40
+    # beta appears in docs with i%3 in (1,2) → 26 docs
+    assert es_count(eng, {"query": {"match": {"text": "beta"}}}).toPandas().total.iat[0] == 26
+    # and-match requires both
+    assert es_count(eng, {"query": {"match": {
+        "text": {"query": "alpha gamma", "operator": "and"}}}}).toPandas().total.iat[0] == 8
+    # phrase, bool, structured, ids, zero-hit
+    assert es_count(eng, {"query": {"match_phrase": {"text": "alpha w1"}}}).toPandas().total.iat[0] == 1
+    assert es_count(eng, {"query": {"bool": {
+        "must": {"match": {"text": "alpha"}},
+        "must_not": {"match": {"text": "gamma"}}}}}).toPandas().total.iat[0] == 32
+    assert es_count(eng, {"query": {"range": {"n_chars": {"gte": 190}}}}).toPandas().total.iat[0] == 10
+    assert es_count(eng, {"query": {"ids": {"values": [1, 2, 99]}}}).toPandas().total.iat[0] == 2
+    assert es_count(eng, {"query": {"match": {"text": "zzznothing"}}}).toPandas().total.iat[0] == 0
+    with pytest.raises(ValueError, match="_count takes a query only"):
+        es_count(eng, {"query": {"match": {"text": "alpha"}}, "size": 5})
+
+    # collapse on lang: 2 groups → 2 hits max, each the group's best
+    full = es_search(eng, {"query": {"match": {"text": "beta"}},
+                           "size": 40}).toPandas()
+    col = es_search(eng, {"query": {"match": {"text": "beta"}},
+                          "size": 10,
+                          "collapse": {"field": "lang"}}).toPandas()
+    assert len(col) == 2 and set(col["lang"]) == {"en", "de"}
+    # each collapsed hit is the best-scoring member of its group
+    best = full.loc[full.groupby(full.doc_id % 2).score.idxmax()]
+    assert set(col["doc_id"]) == set(best["doc_id"])
+    with pytest.raises(ValueError, match="collapse beside"):
+        es_search(eng, {"query": {"match": {"text": "beta"}},
+                        "collapse": {"field": "lang"},
+                        "sort": [{"n_chars": {"order": "asc"}}]})

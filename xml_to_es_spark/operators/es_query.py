@@ -59,13 +59,18 @@ raise, nothing is silently ignored)::
                                # "aggs" are the metrics; rows come back
                                # flattened per (bucket, sub-bucket)
                               }}},
+      "collapse": {"field": f},               # one best hit per value
       "highlight": {...}                      # any value → snippet col
     }
 
 Semantics and limits:
 
 - One body = one query (ES msearch batching is the engine's native
-  ``queries`` list — :func:`es_msearch` exposes it).
+  ``queries`` list — :func:`es_msearch` exposes it);
+  :func:`es_count` is the ES ``_count`` API (match-set cardinality,
+  no paging) and ``collapse`` is ES field collapsing (the full match
+  set grouped to one best hit per doc value — dedup-by-site), both
+  over the bool-tree match machinery.
 - ``match`` on the default field of a single-field index may name the
   field ``"text"`` or use the stored field name of a fielded index.
 - ``aggs`` run INSTEAD of hits when present without an explicit
@@ -199,13 +204,73 @@ class EsRequest:
         self.eng = engine
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
-            "highlight", "track_scores",
+            "highlight", "track_scores", "collapse",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
         self.body = body
         self.k = int(body.get("size", 10))
         self.from_ = int(body.get("from", 0))
+
+    def _as_bool_tree(self) -> tuple[dict, str | None]:
+        """Translate the body's query clause to a rich bool-tree spec
+        + field argument — the shared form behind ``_count`` and
+        ``collapse`` (both run over the full bool match set). Kinds
+        whose match sets are not bool-expressible (multi_match,
+        fuzziness, prefix expansion) raise."""
+        (kind, spec), = self.body["query"].items()
+        if kind == "match":
+            fld, opts = _field_text(spec, allowed={"operator"})
+            return (
+                {"must": [{"match": {"query": opts["query"],
+                                     "operator": opts.get("operator", "or")}}]},
+                self._resolve_match_field(fld),
+            )
+        if kind == "match_phrase":
+            fld, opts = _field_text(spec, allowed={"slop"})
+            return (
+                {"must": [{"match_phrase": {
+                    "query": opts["query"],
+                    "slop": int(opts.get("slop", 0))}}]},
+                self._resolve_match_field(fld),
+            )
+        if kind == "bool":
+            return self._bool_spec(spec)
+        if kind == "simple_query_string":
+            opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+            bad = set(opts) - {"query", "fields"}
+            if bad:
+                raise ValueError(
+                    f"unsupported simple_query_string option(s) {sorted(bad)}"
+                )
+            flds = list(opts.get("fields", []))
+            if len(flds) > 1:
+                raise ValueError("simple_query_string: one field supported")
+            return (
+                _parse_simple_query(opts["query"]),
+                self._resolve_match_field(flds[0]) if flds else None,
+            )
+        if kind == "ids":
+            vals = [int(v) for v in spec["values"]]
+            return {"filter": [{"terms": {"doc_id": vals}}]}, None
+        if kind in _STRUCTURED:
+            return {"filter": [{kind: spec}]}, None
+        raise ValueError(
+            f"query kind {kind!r} is not supported here (match / "
+            "match_phrase / bool / simple_query_string / ids / "
+            "structured are)"
+        )
+
+    def count(self) -> DataFrame:
+        """ES ``_count``: (query_id, total) for the body's query —
+        no paging keys allowed beside it."""
+        extra = set(self.body) - {"query"}
+        if extra:
+            raise ValueError(
+                f"_count takes a query only; remove {sorted(extra)}"
+            )
+        espec, fld = self._as_bool_tree()
+        return self.eng.bool_count([(0, espec)], field=fld)
 
     # query kinds that route a search_after cursor to the engine —
     # every other kind REJECTS the cursor (nothing silently ignored)
@@ -227,6 +292,23 @@ class EsRequest:
             raise ValueError("query must have exactly one top-level clause")
         (kind, spec), = q.items()
         eng, k, from_ = self.eng, self.k, self.from_
+
+        if self.body.get("collapse") is not None:
+            col = self.body["collapse"]
+            if not (isinstance(col, dict) and set(col) == {"field"}):
+                raise ValueError('collapse takes {"field": name}')
+            combos = {"sort", "search_after", "aggs", "highlight"} & set(
+                self.body
+            )
+            if combos:
+                raise ValueError(
+                    f"collapse beside {sorted(combos)} is not supported"
+                )
+            espec, fld = self._as_bool_tree()
+            return eng.collapse_topk(
+                [(0, espec)], collapse=col["field"], k=k, field=fld,
+                from_=from_,
+            )
 
         sort = self.body.get("sort")
         if sort and sort != "_score":
@@ -703,6 +785,14 @@ def es_search(engine: QueryEngine, body: dict) -> DataFrame:
     (query_id 0, rank, doc_id, score[, snippet]) or, for an
     aggs-only body, the bucket DataFrame."""
     return EsRequest(engine, dict(body)).run()
+
+
+def es_count(engine: QueryEngine, body: dict) -> DataFrame:
+    """ES ``_count``: the number of matching docs for a query body —
+    {"query": {...}} only (no paging keys). One scan + one count agg,
+    nothing paged; zero-hit queries return total 0. Returns a
+    (query_id 0, total) DataFrame."""
+    return EsRequest(engine, dict(body)).count()
 
 
 def es_msearch(engine: QueryEngine, bodies: list[dict]) -> DataFrame:

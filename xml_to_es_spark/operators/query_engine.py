@@ -2414,6 +2414,88 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", *cols, "score")
         )
 
+    def bool_count(
+        self,
+        queries: list[tuple[int, dict]],
+        field: str | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``_count``: the number of matching docs per query, no
+        paging, no scores fetched to the driver. Accepts the same
+        specs as :meth:`bool_topk` (flat role dicts or rich nested
+        trees — match/phrase queries count via their bool-tree
+        equivalents). Scale shape: the one-scan match set + ONE
+        count agg; queries with zero hits still return a row
+        (count 0), like ES. Returns (query_id, total)."""
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        qids = self.spark.createDataFrame(
+            [(int(q),) for q, _ in queries], schema="query_id long"
+        )
+        if hits is None:
+            return qids.select("query_id", F.lit(0).cast("long").alias("total"))
+        counts = hits.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("total")
+        )
+        return (
+            qids.join(counts, "query_id", "left")
+            .select("query_id", F.coalesce("total", F.lit(0)).alias("total"))
+        )
+
+    def collapse_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        collapse: str,
+        k: int = 10,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES field collapsing: the relevance page with ONE hit per
+        distinct ``collapse`` doc value — the best-scoring doc of each
+        group (the ES dedup-by-site pattern). Accepts the same specs
+        as :meth:`bool_topk` (flat or rich; a plain match query is
+        ``{"should": text}``).
+
+        Scale shape: the one-scan bool match set, one doc-values
+        join, then TWO WindowGroupLimits sharing the query_id
+        partition family — first row_number over (query_id, collapse
+        key) keeps each group's best (score desc, doc_id asc), then
+        the per-query rank window slices the page. The collapsed
+        ranking sees the FULL match set, so a page is exact at any
+        group cardinality — nothing collected. Returns (query_id,
+        rank, doc_id, <collapse>, score)."""
+        from pyspark.sql import Window as W
+
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, score double"
+            )
+        dv = (
+            docs.select("doc_id", collapse)
+            if docs is not None
+            else self._doc_values([collapse])
+        )
+        order = [F.desc("score"), F.asc("doc_id")]
+        best = W.partitionBy("query_id", collapse).orderBy(*order)
+        page = W.partitionBy("query_id").orderBy(*order)
+        return (
+            hits.select("query_id", "doc_id", "score")
+            .join(dv, "doc_id")
+            .withColumn("_g", F.row_number().over(best))
+            .filter(F.col("_g") == 1)
+            .drop("_g")
+            .withColumn("rank", F.row_number().over(page))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", collapse, "score")
+        )
+
     def bool_sort_topk(
         self,
         queries: list[tuple[int, dict]],
