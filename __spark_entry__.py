@@ -1321,6 +1321,92 @@ def _q_exact_dedup_full(spark, sf):
     )
 
 
+def _q_bm25_or_and(spark, sf):
+    """ES match OR (default) + operator:and (every distinct token
+    required) in one frame, tagged by `variant` — the two DataFrame-
+    path BM25 shapes."""
+    a = _q_bm25(spark, sf).withColumn("variant", F.lit("or"))
+    b = _q_bm25_and(spark, sf).withColumn("variant", F.lit("and"))
+    return a.unionByName(b)
+
+
+def _q_ann_lsh_ivf(spark, sf):
+    """Both approximate-ANN scale paths in one frame: sign-LSH
+    bucketed top-k and IVF cell-probed top-k (pinned plane/centroid
+    models — exact SQL twins), tagged by `variant`."""
+    a = _q_ann_topk_lsh(spark, sf).withColumn("variant", F.lit("lsh"))
+    b = _q_ann_topk_ivf(spark, sf).withColumn("variant", F.lit("ivf"))
+    return a.unionByName(b)
+
+
+ES_COLLAPSE_QUERIES = [(1, "hash join"), (3, "sort merge dup"), (6, "fast slow key")]
+
+ES_COUNT_BODIES = [
+    (1, {"match": {"text": "hash join"}}),
+    (2, {"match": {"text": {"query": "hash join", "operator": "and"}}}),
+    (3, {"match_phrase": {"text": "hash join"}}),
+    (4, {"bool": {"must": {"match": {"text": "sort"}},
+                  "must_not": {"match": {"text": "merge"}}}}),
+    (5, {"range": {"n_chars": {"gte": 300}}}),
+    (6, {"simple_query_string": {"query": '+fast -"slow scan"'}}),
+]
+
+
+def _q_es_collapse(spark, sf):
+    """ES field collapsing via the DSL: the relevance page with ONE
+    best-scoring hit per stored `source` value (dedup-by-site) —
+    full bool match set, one doc-values join, two WindowGroupLimits
+    sharing the query_id partition family."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = [
+        es_search(
+            eng,
+            {"query": {"match": {"text": text}}, "size": BM25_K,
+             "collapse": {"field": "source"}},
+        ).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "source",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, text in ES_COLLAPSE_QUERIES
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _q_es_count(spark, sf):
+    """The ES _count API via the DSL, across every bool-expressible
+    kind (match or/and, phrase, bool with exclusion, structured
+    range, simple_query_string with a quoted-phrase exclusion) —
+    match-set cardinality, zero-hit rows included."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_count
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = [
+        es_count(eng, {"query": q}).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("total").cast("long").alias("total"),
+        )
+        for qid, q in ES_COUNT_BODIES
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _q_text_metrics(spark, sf):
     """Folded text-analysis surface — lang-ID, quality score, and the
     two token counters — one JVM-only pass over documents."""
@@ -1346,8 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "term_df_top100": _q_term_df,
         "term_tf_top100": _q_term_tf,
-        "bm25_topk": _q_bm25,
-        "bm25_and_topk": _q_bm25_and,
+        "bm25_topk": _q_bm25_or_and,
         "bm25_phrase_topk": _q_bm25_phrase_both,
         "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
@@ -1358,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_nested_topk": _q_bool_nested,
         "es_dsl_parity_topk": _q_es_dsl_parity,
         "sqs_mixed_topk": _q_sqs_mixed,
+        "es_collapse_topk": _q_es_collapse,
+        "es_count_totals": _q_es_count,
         "bm25_sort_chars_topk": _q_sort_by_field,
         "search_aggs_source": _q_search_aggs,
         "search_aggs_histogram": _q_search_aggs_histogram,
@@ -1381,8 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_topk_lsh,
-        "ann_ivf_topk": _q_ann_topk_ivf,
+        "ann_lsh_ivf_topk": _q_ann_lsh_ivf,
         "snippets": _q_snippets,
         "text_metrics": _q_text_metrics,
         "tpch_q1": _q_tpch_q1,
@@ -2787,6 +2873,76 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
     )
 
 
+def _es_collapse_sql(k: int) -> str:
+    """Twin of es_search collapse bodies: the match set + BM25 sum of
+    _bm25_sql, one best (score desc, doc_id asc) row per (query,
+    source) group, the survivors re-ranked per query."""
+    import re
+
+    qvals = []
+    for qid, text in ES_COLLAPSE_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), grouped AS (
+  SELECT query_id, doc_id, d.source, score_raw,
+         row_number() OVER (PARTITION BY query_id, d.source
+                            ORDER BY score_raw DESC, doc_id ASC) AS g
+  FROM scored JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, source, round(score_raw, 6) AS score
+  FROM grouped WHERE g = 1
+)
+SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _es_count_sql() -> str:
+    """Twin of the _count bodies: per-query match-set cardinality as
+    plain COUNT(*) predicates over the documents table (a zero-hit
+    WHERE still yields one row with count 0 — the ES behaviour)."""
+    from xml_to_es_spark.functions.analysis import sql_phrase_match
+
+    phrase_hj = sql_phrase_match("tk", "hash join")
+    phrase_ss = sql_phrase_match("tk", "slow scan")
+    preds = {
+        1: "len(list_filter(tk, t -> t IN ('hash', 'join'))) > 0",
+        2: "list_has_all(tk, ['hash', 'join'])",
+        3: phrase_hj,
+        4: "list_contains(tk, 'sort') AND NOT list_contains(tk, 'merge')",
+        5: "n_chars >= 300",
+        6: f"list_contains(tk, 'fast') AND NOT ({phrase_ss})",
+    }
+    parts = [
+        f"SELECT {qid}::BIGINT AS query_id, count(*)::BIGINT AS total "
+        f"FROM (SELECT {TOK} AS tk, n_chars FROM documents) WHERE {p}"
+        for qid, p in preds.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _sqs_mixed_sql(k: int) -> str:
     """Twin of _q_sqs_mixed: parse the SAME simple_query_string texts
     with the engine's own parser and compile the resulting trees with
@@ -2827,8 +2983,11 @@ SELECT term, count(*) AS tf FROM (
   SELECT unnest({TOK}) AS term FROM documents)
 GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 """,
-        "bm25_topk": _bm25_sql(),
-        "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25_topk": f"""
+SELECT *, 'or' AS variant FROM ({_bm25_sql()})
+UNION ALL
+SELECT *, 'and' AS variant FROM ({_bm25_sql(conjunctive=True)})
+""",
         "bm25_phrase_topk": f"""
 SELECT *, 'exact' AS variant
 FROM ({_bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES)})
@@ -2854,6 +3013,8 @@ UNION ALL
 SELECT *, 'nested' AS variant FROM ({_bool_nested_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
+        "es_collapse_topk": _es_collapse_sql(BM25_K),
+        "es_count_totals": _es_count_sql(),
         "bm25_sort_chars_topk": f"""
 SELECT *, 'single' AS variant FROM ({_sort_by_field_sql(BM25_K)})
 UNION ALL
@@ -2942,8 +3103,11 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
 """,
         "embedding_near_dups": _neardup_sql(0.45),
-        "ann_lsh_topk": _ann_lsh_sql(10),
-        "ann_ivf_topk": _ann_ivf_sql(10),
+        "ann_lsh_ivf_topk": f"""
+SELECT *, 'lsh' AS variant FROM ({_ann_lsh_sql(10)})
+UNION ALL
+SELECT *, 'ivf' AS variant FROM ({_ann_ivf_sql(10)})
+""",
         "ann_cosine_topk": _emb_cte() + """
 , q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
 scored AS (
