@@ -300,3 +300,50 @@ def test_multi_match_tie_breaker_plan_no_extra_python(spark, tmp_path):
     assert plan.count("MapInPandas") == 1  # the decode, nothing else
     assert_no_cartesian(out)
     assert len(out.collect()) == 5
+
+
+def test_count_and_collapse_plans(spark, tmp_path):
+    """bool_count must be one count hash-agg over the match set (no
+    Window, no extra Python beyond the decode kernel); collapse_topk
+    must be two Windows (group-best + page rank) with the doc-values
+    scan pruned to (doc_id, collapse column)."""
+    import re
+
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(24),
+            "text": [f"alpha w{i}" for i in range(24)],
+            "site": [f"s{i % 4}" for i in range(24)],
+            "n_chars": [100 + i for i in range(24)],
+        })
+    )
+    idx = str(tmp_path / "cc_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, stored_fields=("site", "n_chars"))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+
+    spec = [(1, {"must": [{"match": "alpha"}]})]
+    cnt = eng.bool_count(spec)
+    plan = explain_str(cnt)
+    assert "Window" not in plan  # counting never ranks
+    # no MORE Python passes than the bool match set itself uses
+    base = explain_str(eng.bool_topk(spec, k=5))
+    assert plan.count("MapInPandas") <= base.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert [(int(r.query_id), int(r.total)) for r in cnt.collect()] == [(1, 24)]
+
+    col = eng.collapse_topk([(1, {"must": [{"match": "alpha"}]})],
+                            collapse="site", k=10)
+    plan = explain_str(col)
+    assert plan.count("Window") >= 2  # group-best + page rank
+    assert "BatchEvalPython" not in plan
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    dv_reads = [r for r in reads if "site" in r]
+    assert dv_reads and all("text" not in r for r in dv_reads), reads
+    rows = col.collect()
+    assert len(rows) == 4 and len({r["site"] for r in rows}) == 4
