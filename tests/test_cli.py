@@ -108,3 +108,25 @@ def test_cli_search_dsl(spark, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3 and lines[0]["rank"] == 1
     assert all(ln["score"] > 0 for ln in lines)
+
+
+def test_cli_search_count(spark, tmp_path, capsys):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"doc_id": range(6), "text": [f"alpha w{i}" for i in range(6)]}
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(docs).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["--cores", "8", "build", "--input-format", "docs",
+         "--input", src, "--output", idx, "--groups", "1"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", "--index", idx, "--count",
+         "--body", '{"query": {"match": {"text": "alpha"}}}']
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 6

@@ -213,7 +213,7 @@ def cmd_search(args) -> int:
     """Run one ES-style JSON search body (the es_query DSL) against an
     index — the spark-submit face of the reference's ES query
     surface."""
-    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.es_query import es_count, es_search
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     spark = _spark(args)
@@ -223,7 +223,8 @@ def cmd_search(args) -> int:
     else:
         body = json.loads(args.body)
     eng = QueryEngine(spark, args.index)
-    for row in es_search(eng, body).collect():
+    run = es_count if args.count else es_search
+    for row in run(eng, body).collect():
         print(json.dumps(row.asDict(), default=str))
     return 0
 
@@ -323,6 +324,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--body", default=None, help="inline JSON body")
     d.add_argument("--body-file", default=None, help="path to a JSON body file")
+    d.add_argument("--count", action="store_true",
+                   help="ES _count: print the match-set total instead of hits")
     d.set_defaults(fn=cmd_search)
 
     v = sub.add_parser("verify", help="recount index tables")
