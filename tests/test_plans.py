@@ -347,3 +347,56 @@ def test_count_and_collapse_plans(spark, tmp_path):
     assert dv_reads and all("text" not in r for r in dv_reads), reads
     rows = col.collect()
     assert len(rows) == 4 and len({r["site"] for r in rows}) == 4
+
+
+def test_nested_bool_tree_plan_single_scan(spark, tmp_path):
+    """A rich nested tree (sub-bools, boosts, minimum_should_match)
+    must cost the SAME number of Python decode passes as a flat bool
+    — the tree is a JVM expression over one clause hash-agg — and a
+    match_phrase leaf adds at most ONE positional pass for its field,
+    never one per clause."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"alpha beta w{i} gamma delta" for i in range(20)],
+        })
+    )
+    idx = str(tmp_path / "tree_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, store_positions=True)
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+
+    flat = explain_str(eng.bool_topk([(1, {"must": "alpha"})], k=5))
+    tree = explain_str(eng.bool_topk([(1, {
+        "must": [{"match": "alpha"}],
+        "should": [
+            {"bool": {"must": [{"match": "beta"}, {"match": "gamma"}]}},
+            {"match": {"query": "delta", "boost": 2.0}},
+        ],
+        "minimum_should_match": 1,
+    })], k=5))
+    assert tree.count("MapInPandas") == flat.count("MapInPandas")
+    assert "BatchEvalPython" not in tree
+
+    # phrase leaves share ONE positional kernel per field
+    # (applyInPandas ⇒ FlatMapGroupsInPandas): adding a second leaf
+    # must not add a pass, and the text-leaf decode count is unchanged
+    one = explain_str(eng.bool_topk([(1, {
+        "must": [{"match_phrase": {"query": "alpha beta"}}],
+        "should": [{"match": "w1"}],
+    })], k=5))
+    two = explain_str(eng.bool_topk([(1, {
+        "must": [{"match_phrase": {"query": "alpha beta"}},
+                 {"match_phrase": {"query": "gamma delta"}}],
+        "should": [{"match": "w1"}],
+    })], k=5))
+    assert two.count("FlatMapGroupsInPandas") == one.count(
+        "FlatMapGroupsInPandas"
+    )
+    assert two.count("MapInPandas") == one.count("MapInPandas")
+    assert "BatchEvalPython" not in two
