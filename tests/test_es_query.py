@@ -236,12 +236,14 @@ def test_dsl_nothing_silently_ignored():
     ):
         with pytest.raises(ValueError, match="search_after"):
             EsRequest(_Eng(), {"query": q, "search_after": sa})._hits()
-    # cursor + sort: the cursor would need sort-key ordering
-    with pytest.raises(ValueError, match="search_after"):
+    # cursor + sort is SUPPORTED since round 5 (sort-key cursors —
+    # test_dsl_sort_search_after_cursor covers it, wrong arity
+    # included); cursor + sort + from stays rejected
+    with pytest.raises(ValueError, match="exclusive"):
         EsRequest(_Eng(), {
             "query": {"match": {"text": "a"}},
             "sort": [{"n_chars": {"order": "desc"}}],
-            "search_after": sa,
+            "search_after": sa, "from": 5,
         })._hits()
     # fuzziness + operator/minimum_should_match: AND must not run as OR
     for opt in ({"operator": "and"}, {"minimum_should_match": 2}):
