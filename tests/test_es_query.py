@@ -544,3 +544,22 @@ def test_es_count_and_collapse(eng):
         es_search(eng, {"query": {"match": {"text": "beta"}},
                         "collapse": {"field": "lang"},
                         "sort": [{"n_chars": {"order": "asc"}}]})
+
+
+def test_dsl_track_total_hits(eng):
+    """track_total_hits returns the page PLUS the full match-set size
+    (the ES hits.total), equal to what _count reports; page contents
+    match the plain search."""
+    from xml_to_es_spark.operators.es_query import es_count
+
+    body = {"query": {"match": {"text": "beta"}}, "size": 5,
+            "track_total_hits": True}
+    got = es_search(eng, body).toPandas()
+    n = es_count(eng, {"query": {"match": {"text": "beta"}}}).toPandas().total.iat[0]
+    assert len(got) == 5 and set(got["total"]) == {n}
+    plain = es_search(eng, {"query": {"match": {"text": "beta"}},
+                            "size": 5}).toPandas()
+    assert list(got.sort_values("rank").doc_id) == list(
+        plain.sort_values("rank").doc_id)
+    with pytest.raises(ValueError, match="track_total_hits beside"):
+        es_search(eng, {**body, "sort": [{"n_chars": {"order": "asc"}}]})

@@ -60,6 +60,7 @@ raise, nothing is silently ignored)::
                                # flattened per (bucket, sub-bucket)
                               }}},
       "collapse": {"field": f},               # one best hit per value
+      "track_total_hits": true,               # hits page + ES total
       "highlight": {...}                      # any value → snippet col
     }
 
@@ -204,7 +205,7 @@ class EsRequest:
         self.eng = engine
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
-            "highlight", "track_scores", "collapse",
+            "highlight", "track_scores", "collapse", "track_total_hits",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -308,6 +309,23 @@ class EsRequest:
             return eng.collapse_topk(
                 [(0, espec)], collapse=col["field"], k=k, field=fld,
                 from_=from_,
+            )
+
+        if self.body.get("track_total_hits"):
+            # totals need the FULL match set, so the page routes over
+            # the bool-tree machinery (WAND pruning cannot count what
+            # it skips); the total rides the same shuffle as the rank
+            combos = {"sort", "search_after", "aggs", "highlight",
+                      "collapse"} & set(self.body)
+            if combos:
+                raise ValueError(
+                    f"track_total_hits beside {sorted(combos)} is not "
+                    "supported"
+                )
+            espec, fld = self._as_bool_tree()
+            return eng.bool_topk(
+                [(0, espec)], k=k, field=fld, from_=from_,
+                track_total_hits=True,
             )
 
         sort = self.body.get("sort")

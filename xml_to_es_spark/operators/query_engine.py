@@ -858,6 +858,7 @@ class QueryEngine:
         from_: int = 0,
         docs: DataFrame | None = None,
         search_after: dict[int, tuple[float, int]] | None = None,
+        track_total_hits: bool = False,
     ) -> DataFrame:
         """ES ``bool`` query over term clauses. Each query is
         ``(query_id, {"must": text, "should": text, "must_not": text,
@@ -926,7 +927,12 @@ class QueryEngine:
         ``search_after``: ES cursor pagination, rank-anchored on the
         cursor doc exactly like :meth:`topk_distributed` (bool scores
         are engine-ordered float sums, so the cursor must not rely on
-        bit-equal re-summation)."""
+        bit-equal re-summation).
+
+        ``track_total_hits``: adds a ``total`` column — the FULL
+        match-set size per query (the ES hits.total) — computed by an
+        unordered count window over the SAME query_id partitioning as
+        the rank window, so it costs no extra shuffle."""
         from pyspark.sql import Window as W
 
         if any(_is_rich_bool(c) for _, c in queries):
@@ -934,14 +940,24 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            if track_total_hits:
+                out = out.withColumn("total", F.lit(0).cast("long"))
+            return out
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         if search_after:
             hits = self._rank_anchored_after(hits, w, search_after)
+        cols = ["query_id", "rank", "doc_id", "score"]
+        if track_total_hits:
+            hits = hits.withColumn(
+                "total",
+                F.count("*").over(W.partitionBy("query_id")).cast("long"),
+            )
+            cols.append("total")
         return (
             hits.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
-            .select("query_id", "rank", "doc_id", "score")
+            .select(*cols)
         )
 
     def bool_aggs(
