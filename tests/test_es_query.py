@@ -563,3 +563,39 @@ def test_dsl_track_total_hits(eng):
         plain.sort_values("rank").doc_id)
     with pytest.raises(ValueError, match="track_total_hits beside"):
         es_search(eng, {**body, "sort": [{"n_chars": {"order": "asc"}}]})
+
+
+def test_dsl_wildcard_regexp_constant_score_fuzzy(eng):
+    """wildcard/regexp expand against the terms dictionary and match
+    at CONSTANT score (the ES multi-term rewrite); constant_score
+    wraps any bool-expressible filter at score=boost; the fuzzy kind
+    routes to the scoring fuzzy-match path."""
+    # w1, w10..w19 start with w1 → 'w1*' matches docs 1 and 10..19
+    got = es_search(eng, {"query": {"wildcard": {"text": "w1*"}},
+                          "size": 40}).toPandas()
+    assert set(got["doc_id"]) == {1} | set(range(10, 20))
+    assert (got["score"] == 1.0).all()
+    b = es_search(eng, {"query": {"wildcard": {"text": {
+        "value": "w?", "boost": 2.5}}}, "size": 40}).toPandas()
+    assert set(b["doc_id"]) == set(range(10))  # w0..w9 only
+    assert (b["score"] == 2.5).all()
+    # regexp is anchored: w[0-9] matches only single-digit terms
+    r = es_search(eng, {"query": {"regexp": {"text": "w[0-9]"}},
+                        "size": 40}).toPandas()
+    assert set(r["doc_id"]) == set(range(10))
+    # zero expansions → zero hits, no error
+    assert len(es_search(eng, {"query": {"wildcard": {"text": "zz*"}},
+                               "size": 5}).toPandas()) == 0
+    with pytest.raises(ValueError, match="analyzer alphabet"):
+        es_search(eng, {"query": {"wildcard": {"text": "a%b"}}})
+    # constant_score over a structured filter
+    cs = es_search(eng, {"query": {"constant_score": {
+        "filter": {"range": {"n_chars": {"gte": 214}}},
+        "boost": 3.0}}, "size": 10}).toPandas()
+    assert list(cs["doc_id"]) == [38, 39] and (cs["score"] == 3.0).all()
+    # fuzzy kind ≡ match + fuzziness
+    fz = es_search(eng, {"query": {"fuzzy": {"text": {
+        "value": "alphq", "fuzziness": 1}}}, "size": 5})
+    want = es_search(eng, {"query": {"match": {"text": {
+        "query": "alphq", "fuzziness": 1}}}, "size": 5})
+    _same(fz, want)

@@ -37,6 +37,11 @@ raise, nothing is silently ignored)::
                               # match clauses OR their tokens (ES).
         "term"/"terms"/"range"/"exists":  top-level = match_all + filter
         "ids":                {"values": [doc_id, ...]},
+        "wildcard":           {field: {"value": "fo*o?", "boost": b,
+                               "max_expansions": N}},  # constant score
+        "regexp":             {field: {"value": "w[0-9]+", ...}},  # anchored
+        "constant_score":     {"filter": {<any clause here>}, "boost": b},
+        "fuzzy":              {field: {"value": v, "fuzziness": N}},
         "simple_query_string": {"query": "+req -excl optional"}
       },
       "size": k, "from": n,
@@ -213,13 +218,14 @@ class EsRequest:
         self.k = int(body.get("size", 10))
         self.from_ = int(body.get("from", 0))
 
-    def _as_bool_tree(self) -> tuple[dict, str | None]:
-        """Translate the body's query clause to a rich bool-tree spec
-        + field argument — the shared form behind ``_count`` and
-        ``collapse`` (both run over the full bool match set). Kinds
-        whose match sets are not bool-expressible (multi_match,
-        fuzziness, prefix expansion) raise."""
-        (kind, spec), = self.body["query"].items()
+    def _as_bool_tree(self, q: dict | None = None) -> tuple[dict, str | None]:
+        """Translate a query clause (default: the body's) to a rich
+        bool-tree spec + field argument — the shared form behind
+        ``_count``, ``collapse``, ``track_total_hits`` and
+        ``constant_score``. Kinds whose match sets are not
+        bool-expressible (multi_match, fuzziness, prefix expansion)
+        raise."""
+        (kind, spec), = (q if q is not None else self.body["query"]).items()
         if kind == "match":
             fld, opts = _field_text(spec, allowed={"operator"})
             return (
@@ -490,6 +496,72 @@ class EsRequest:
             # top-level structured query = ES filter-context shortcut
             return eng.bool_topk(
                 [(0, {"filter": [{kind: spec}]})], k=k, from_=from_
+            )
+        if kind in ("wildcard", "regexp"):
+            (fld, v), = spec.items()
+            opts = dict(v) if isinstance(v, dict) else {"value": v}
+            bad = set(opts) - {"value", "boost", "max_expansions"}
+            if bad or "value" not in opts:
+                raise ValueError(
+                    f"{kind} supports value/boost/max_expansions, got "
+                    f"{sorted(bad) or 'no value'}"
+                )
+            f = self._resolve_match_field(fld)
+            fn = (eng.wildcard_variants if kind == "wildcard"
+                  else eng.regexp_variants)
+            stored = fn(
+                [str(opts["value"])], field=f,
+                max_expansions=int(opts.get("max_expansions", 50)),
+            )[str(opts["value"])]
+            bares = [t[len(f) + 1:] if f else t for t in stored]
+            boost = float(opts.get("boost", 1.0))
+            if not bares:
+                return eng.spark.createDataFrame(
+                    [], schema="query_id long, rank int, doc_id long, "
+                               "score double")
+            # ES default rewrite for multi-term queries is
+            # constant_score: every doc containing ANY expansion
+            # matches at score = boost (ranked by doc_id — all ties)
+            clause = {"match": {"query": " ".join(bares),
+                                "operator": "or"}}
+            if f:
+                clause["match"]["field"] = f
+            out = eng.bool_topk(
+                [(0, {"filter": [clause]})], k=k, from_=from_, field=f,
+            )
+            from pyspark.sql import functions as SF
+
+            return out.withColumn("score", SF.lit(boost))
+        if kind == "constant_score":
+            bad = set(spec) - {"filter", "boost"}
+            if bad or "filter" not in spec:
+                raise ValueError(
+                    f"constant_score takes filter (+boost), got "
+                    f"{sorted(bad) or 'no filter'}"
+                )
+            espec, fld = self._as_bool_tree(spec["filter"])
+            boost = float(spec.get("boost", 1.0))
+            out = eng.bool_topk(
+                [(0, {"filter": [{"bool": espec}]})], k=k, from_=from_,
+                field=fld,
+            )
+            from pyspark.sql import functions as SF
+
+            return out.withColumn("score", SF.lit(boost))
+        if kind == "fuzzy":
+            (fld, v), = spec.items()
+            opts = dict(v) if isinstance(v, dict) else {"value": v}
+            bad = set(opts) - {"value", "fuzziness"}
+            if bad or "value" not in opts:
+                raise ValueError(
+                    f"fuzzy supports value/fuzziness (the engine's "
+                    f"expansion cap is fixed at 50, the ES default), got "
+                    f"{sorted(bad) or 'no value'}"
+                )
+            return eng.topk_wand(
+                [(0, str(opts["value"]))], k=k, from_=from_,
+                field=self._resolve_match_field(fld),
+                fuzziness=int(opts.get("fuzziness", 1)),
             )
         if kind == "match_all":
             raise ValueError(

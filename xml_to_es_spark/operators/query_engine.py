@@ -2069,6 +2069,71 @@ class QueryEngine:
             out[r["qp"]].append(r["term"])
         return {p: sorted(v) for p, v in out.items()}
 
+    def wildcard_variants(
+        self,
+        patterns: list[str],
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> dict[str, list[str]]:
+        """ES ``wildcard`` expansion against the terms dictionary:
+        ``*`` matches any run, ``?`` one character (translated to SQL
+        LIKE — the predicate runs JVM-side over the vocabulary scan,
+        postings never touched), capped IN-PLAN per pattern like
+        :meth:`prefix_variants`. Patterns are validated to the
+        analyzer's alphabet plus wildcards, so LIKE metacharacters
+        cannot be smuggled in. Returned variants are STORED term
+        keys. A leading-``*`` pattern is allowed (the dictionary scan
+        is a full vocabulary pass either way — one terms-table scan,
+        never a postings scan)."""
+        import re
+
+        for p in patterns:
+            if not re.fullmatch(r"[a-z0-9*?]+", p):
+                raise ValueError(
+                    f"wildcard pattern {p!r}: only [a-z0-9], * and ? "
+                    "(the analyzer alphabet) are supported"
+                )
+        like_of = {p: p.replace("*", "%").replace("?", "_") for p in patterns}
+        inv = {v: k for k, v in like_of.items()}
+        capped = self._capped_expansion(
+            list(like_of.values()),
+            lambda bare, qp: F.expr("bare LIKE qp"),
+            field,
+            max_expansions,
+        )
+        out: dict[str, list[str]] = {p: [] for p in patterns}
+        for r in capped.collect():
+            out[inv[r["qp"]]].append(r["term"])
+        return {p: sorted(v) for p, v in out.items()}
+
+    def regexp_variants(
+        self,
+        patterns: list[str],
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> dict[str, list[str]]:
+        """ES ``regexp`` expansion: the pattern must match the WHOLE
+        term (ES anchors regexp queries), evaluated as an anchored
+        RLIKE over the vocabulary scan, capped IN-PLAN per pattern.
+        Patterns are compile-checked up front so a malformed regex
+        fails fast on the driver, not inside a task."""
+        import re
+
+        for p in patterns:
+            re.compile(p)  # malformed → ValueError here, not in a task
+        anch = {p: f"^(?:{p})$" for p in patterns}
+        inv = {v: k for k, v in anch.items()}
+        capped = self._capped_expansion(
+            list(anch.values()),
+            lambda bare, qp: F.expr("bare RLIKE qp"),
+            field,
+            max_expansions,
+        )
+        out: dict[str, list[str]] = {p: [] for p in patterns}
+        for r in capped.collect():
+            out[inv[r["qp"]]].append(r["term"])
+        return {p: sorted(v) for p, v in out.items()}
+
     def prefix_topk(
         self,
         queries: list[tuple[int, str]],
