@@ -1321,6 +1321,59 @@ def _q_exact_dedup_full(spark, sf):
     )
 
 
+def _q_prefix_both(spark, sf):
+    """Both dictionary-expansion relevance paths in one frame:
+    match_bool_prefix (every expansion a WAND cursor) and
+    match_phrase_prefix (expansions as exact phrases, dis_max),
+    tagged by `variant`."""
+    a = _q_prefix(spark, sf).withColumn("variant", F.lit("bool_prefix"))
+    b = _q_phrase_prefix(spark, sf).withColumn(
+        "variant", F.lit("phrase_prefix")
+    )
+    return a.unionByName(b)
+
+
+# wildcard / regexp bodies over the codec corpus vocabulary; query 3
+# matches no term (zero hits, no error) — the ES multi-term
+# constant-score rewrite, ranked by doc_id at score = boost
+ES_WILDCARD_QUERIES = [
+    (1, "wildcard", "ha*", 1.0),
+    (2, "wildcard", "?ey", 2.0),
+    (3, "wildcard", "zz*", 1.0),
+    (4, "regexp", "s[oe]rt", 1.0),
+    (5, "regexp", "(fast|slow)", 1.5),
+]
+
+
+def _q_es_wildcard(spark, sf):
+    """ES wildcard/regexp query kinds via the DSL: terms-dictionary
+    expansion (LIKE / anchored RLIKE over the vocabulary scan, capped
+    in-plan), constant-score match set ranked by doc_id."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = [
+        es_search(
+            eng,
+            {"query": {kind: {"text": {"value": pat, "boost": boost}}},
+             "size": BM25_K},
+        ).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, kind, pat, boost in ES_WILDCARD_QUERIES
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _q_bm25_or_and(spark, sf):
     """ES match OR (default) + operator:and (every distinct token
     required) in one frame, tagged by `variant` — the two DataFrame-
@@ -1452,8 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_filtered": _q_search_aggs_filtered,
         "search_aggs_nested": _q_search_aggs_nested,
         "search_aggs_range_filters": _q_search_aggs_range_filters,
-        "bm25_prefix_topk": _q_prefix,
-        "bm25_phrase_prefix_topk": _q_phrase_prefix,
+        "bm25_prefix_topk": _q_prefix_both,
+        "es_wildcard_topk": _q_es_wildcard,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match_both,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -2873,6 +2926,32 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
     )
 
 
+def _es_wildcard_sql(k: int) -> str:
+    """Twin of the wildcard/regexp bodies: token-level LIKE / anchored
+    regexp predicates over the doc token array, constant score =
+    boost, ranked by doc_id (the ES multi-term constant-score
+    rewrite). Wildcard * → %, ? → _ exactly as the engine
+    translates."""
+    parts = []
+    for qid, kind, pat, boost in ES_WILDCARD_QUERIES:
+        if kind == "wildcard":
+            like = pat.replace("*", "%").replace("?", "_")
+            pred = f"len(list_filter({TOK}, t -> t LIKE '{like}')) > 0"
+        else:
+            pred = (
+                f"len(list_filter({TOK}, t -> "
+                f"regexp_full_match(t, '{pat}'))) > 0"
+            )
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id,
+       row_number() OVER (ORDER BY doc_id ASC) AS rank,
+       doc_id, {boost}::DOUBLE AS score
+FROM documents WHERE {pred}
+ORDER BY doc_id ASC LIMIT {k}
+""")
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
 def _es_collapse_sql(k: int) -> str:
     """Twin of es_search collapse bodies: the match set + BM25 sum of
     _bm25_sql, one best (score desc, doc_id asc) row per (query,
@@ -3026,8 +3105,12 @@ SELECT *, 'multi' AS variant FROM ({_sort_by_field_sql(BM25_K, multi=True)})
         "search_aggs_filtered": _filtered_aggs_sql(),
         "search_aggs_nested": _search_aggs_nested_sql(),
         "search_aggs_range_filters": _search_aggs_range_filters_sql(),
-        "bm25_prefix_topk": _prefix_sql(BM25_K),
-        "bm25_phrase_prefix_topk": _phrase_prefix_sql(BM25_K),
+        "bm25_prefix_topk": f"""
+SELECT *, 'bool_prefix' AS variant FROM ({_prefix_sql(BM25_K)})
+UNION ALL
+SELECT *, 'phrase_prefix' AS variant FROM ({_phrase_prefix_sql(BM25_K)})
+""",
+        "es_wildcard_topk": _es_wildcard_sql(BM25_K),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": f"""
 SELECT *, 'best_fields' AS variant FROM ({_multi_match_sql(BM25_K)})
