@@ -599,3 +599,47 @@ def test_dsl_wildcard_regexp_constant_score_fuzzy(eng):
     want = es_search(eng, {"query": {"match": {"text": {
         "query": "alphq", "fuzziness": 1}}}, "size": 5})
     _same(fz, want)
+
+
+def test_es_bulk(spark, tmp_path_factory):
+    """ES _bulk NDJSON: mixed index/create/delete actions apply with
+    last-write-wins per id as one upsert + one delete batch; create
+    on a live id raises (the ES 409); update is rejected."""
+    import json
+
+    from xml_to_es_spark.operators.es_query import es_bulk
+
+    pdf = pd.DataFrame({
+        "doc_id": range(6), "text": [f"alpha w{i}" for i in range(6)]
+    })
+    idx = str(tmp_path_factory.mktemp("bulk") / "idx")
+    b = IndexBuilder(spark, IndexConfig(n_groups=1))
+    b.build(spark.createDataFrame(pdf), idx)
+    eng = QueryEngine(spark, idx)
+
+    nd = "\n".join([
+        json.dumps({"index": {"_id": 1}}),
+        json.dumps({"text": "omega replacement"}),
+        json.dumps({"delete": {"_id": 2}}),
+        json.dumps({"index": {"_id": 9}}),
+        json.dumps({"text": "omega nine"}),
+        json.dumps({"delete": {"_id": 9}}),     # last-wins: 9 ends deleted
+        json.dumps({"index": {"_id": 3}}),
+        json.dumps({"text": "alpha w3"}),       # unchanged content
+        json.dumps({"delete": {"_id": 77}}),    # never existed
+    ])
+    res = es_bulk(b, idx, nd)
+    assert res["indexed"] == 1 and res["unchanged"] == 1
+    assert res["deleted"] == 1 and res["not_found"] == 2  # 9 and 77
+    hits = QueryEngine(spark, idx).topk([(1, "omega")], k=5).toPandas()
+    assert list(hits["doc_id"]) == [1]
+    assert QueryEngine(spark, idx).bool_count(
+        [(0, {"must": [{"match": "alpha"}]})]
+    ).toPandas().total.iat[0] == 4  # 0,3,4,5 (1 replaced, 2 deleted)
+    # create on a live id → 409; on a fresh id → ok
+    with pytest.raises(ValueError, match="already exist"):
+        es_bulk(b, idx, [{"create": {"_id": 3, "doc": {"text": "x"}}}])
+    ok = es_bulk(b, idx, [{"create": {"_id": 50, "doc": {"text": "brand new"}}}])
+    assert ok["indexed"] == 1
+    with pytest.raises(ValueError, match="update is not supported"):
+        es_bulk(b, idx, [{"update": {"_id": 1, "doc": {"text": "y"}}}])

@@ -209,6 +209,20 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_bulk(args) -> int:
+    """ES _bulk NDJSON (index/create/delete actions) applied to an
+    existing index — one upsert + one delete batch, mapping inherited
+    from the index."""
+    from xml_to_es_spark.operators.es_query import es_bulk
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    spark = _spark(args)
+    with open(args.file) as f:
+        nd = f.read()
+    print(json.dumps(es_bulk(IndexBuilder(spark), args.index, nd)))
+    return 0
+
+
 def cmd_search(args) -> int:
     """Run one ES-style JSON search body (the es_query DSL) against an
     index — the spark-submit face of the reference's ES query
@@ -327,6 +341,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--count", action="store_true",
                    help="ES _count: print the match-set total instead of hits")
     d.set_defaults(fn=cmd_search)
+
+    bk = sub.add_parser("bulk", help="apply an ES _bulk NDJSON action file")
+    bk.add_argument("--index", required=True)
+    bk.add_argument("--file", required=True, help="NDJSON action/source lines")
+    bk.set_defaults(fn=cmd_bulk)
 
     v = sub.add_parser("verify", help="recount index tables")
     v.add_argument("--index", required=True)

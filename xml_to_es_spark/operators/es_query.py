@@ -877,6 +877,105 @@ def es_search(engine: QueryEngine, body: dict) -> DataFrame:
     return EsRequest(engine, dict(body)).run()
 
 
+def es_bulk(builder, index_dir: str, actions) -> dict:
+    """ES ``_bulk``: the action/metadata NDJSON surface —
+    ``{"index": {"_id": id}}`` followed by a source line, or
+    ``{"delete": {"_id": id}}`` — applied to one index with ES
+    last-write-wins-per-id semantics, as ONE
+    :meth:`~xml_to_es_spark.operators.index_build.IndexBuilder.upsert`
+    (all surviving index actions) plus ONE ``delete_docs`` batch (all
+    surviving deletes), each holding the writer lock. ``actions`` is
+    the raw NDJSON string or an already-parsed list of dicts
+    (action lines inline their source under ``doc`` or as the next
+    list element). ``create`` is index-that-must-not-exist — rejected
+    if the id is live; ``update`` is not supported (the engine's
+    upsert is full-document PUT semantics).
+
+    Scale shape: the batch parses driver-side (a bulk body is a
+    bounded request, not a corpus), then both applications are the
+    ordinary distributed upsert/delete paths."""
+    import json as _json
+
+    if isinstance(actions, str):
+        lines = [ln for ln in actions.splitlines() if ln.strip()]
+        parsed = [_json.loads(ln) for ln in lines]
+    else:
+        parsed = list(actions)
+    final: dict[int, tuple[str, dict | None]] = {}
+    creates: list[int] = []
+    i = 0
+    while i < len(parsed):
+        entry = parsed[i]
+        if not (isinstance(entry, dict) and len(entry) == 1):
+            raise ValueError(f"bulk line {i}: expected one action key")
+        (op, meta), = entry.items()
+        if op not in ("index", "create", "delete"):
+            raise ValueError(
+                f"bulk line {i}: unsupported action {op!r} "
+                "(index/create/delete; update is not supported — the "
+                "engine's upsert is full-document PUT)"
+            )
+        if "_id" not in meta:
+            raise ValueError(f"bulk line {i}: action needs _id")
+        doc_id = int(meta["_id"])
+        if op == "delete":
+            final[doc_id] = ("delete", None)
+            i += 1
+            continue
+        if "doc" in meta:
+            src = dict(meta["doc"])
+        else:
+            i += 1
+            if i >= len(parsed):
+                raise ValueError(f"bulk line {i - 1}: {op} needs a source")
+            src = dict(parsed[i])
+        src["doc_id"] = doc_id
+        final[doc_id] = ("index", src)
+        if op == "create":
+            creates.append(doc_id)
+        i += 1
+
+    from xml_to_es_spark.operators.index_build import live_docs
+
+    if creates:
+        live = {
+            int(r["doc_id"])
+            for r in live_docs(builder.spark, index_dir)
+            .select("doc_id")
+            .join(
+                builder.spark.createDataFrame(
+                    [(int(d),) for d in creates], schema="doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            .collect()
+        }
+        conflict = [d for d in creates if d in live and final[d][0] == "index"]
+        if conflict:
+            raise ValueError(
+                f"bulk create: id(s) {sorted(conflict)} already exist "
+                "(ES 409 version_conflict)"
+            )
+    import pandas as pd
+
+    docs = [src for op, src in final.values() if op == "index"]
+    dels = [d for d, (op, _s) in final.items() if op == "delete"]
+    out: dict = {"items": len(parsed), "indexed": 0, "deleted": 0,
+                 "not_found": 0}
+    if docs:
+        res = builder.upsert(
+            builder.spark.createDataFrame(pd.DataFrame(docs)), index_dir
+        )
+        out["indexed"] = int(res.get("n_new", 0)) + int(res.get("n_changed", 0))
+        out["unchanged"] = len(docs) - out["indexed"]
+    if dels:
+        res = builder.delete_docs(dels, index_dir)
+        out["deleted"] = int(res["n_deleted"])
+        out["not_found"] = int(res["n_not_found"])
+    return out
+
+
 def es_count(engine: QueryEngine, body: dict) -> DataFrame:
     """ES ``_count``: the number of matching docs for a query body —
     {"query": {...}} only (no paging keys). One scan + one count agg,
