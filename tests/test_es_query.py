@@ -645,3 +645,28 @@ def test_es_bulk(spark, tmp_path_factory):
     assert ok["indexed"] == 1
     with pytest.raises(ValueError, match="update is not supported"):
         es_bulk(b, idx, [{"update": {"_id": 1, "doc": {"text": "y"}}}])
+
+
+def test_es_mget(spark, tmp_path_factory):
+    """_mget returns the live stored version per requested id with a
+    found flag (missing ids reported, not dropped); deleted docs read
+    as not found."""
+    from xml_to_es_spark.operators.es_query import es_mget
+
+    pdf = pd.DataFrame({
+        "doc_id": range(5), "text": [f"alpha w{i}" for i in range(5)]
+    })
+    idx = str(tmp_path_factory.mktemp("mget") / "idx")
+    b = IndexBuilder(spark, IndexConfig(n_groups=1, store_source=True))
+    b.build(spark.createDataFrame(pdf), idx)
+    b.delete_docs([2], idx)
+    got = es_mget(QueryEngine(spark, idx),
+                  {"ids": [0, 2, 4, 99]}).toPandas().set_index("doc_id")
+    assert got.loc[0, "found"] and got.loc[4, "found"]
+    assert not got.loc[2, "found"] and not got.loc[99, "found"]
+    assert got.loc[4, "text"] == "alpha w4"
+    d = es_mget(QueryEngine(spark, idx),
+                {"docs": [{"_id": 1}]}).toPandas()
+    assert d.found.iat[0]
+    with pytest.raises(ValueError, match="_mget takes"):
+        es_mget(QueryEngine(spark, idx), {"ids": [1], "docs": []})

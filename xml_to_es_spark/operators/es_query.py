@@ -877,6 +877,30 @@ def es_search(engine: QueryEngine, body: dict) -> DataFrame:
     return EsRequest(engine, dict(body)).run()
 
 
+def es_mget(engine: QueryEngine, body: dict) -> DataFrame:
+    """ES ``_mget``: the LIVE stored version of each requested id —
+    ``{"ids": [..]}`` or ``{"docs": [{"_id": id}, ...]}``. A ``found``
+    column marks each requested id's liveness (ES reports missing
+    docs rather than dropping them). The id list is a pushed parquet
+    filter on the docs tables; nothing scans."""
+    from pyspark.sql import functions as SF
+
+    bad = set(body) - {"ids", "docs"}
+    if bad or len(body) != 1:
+        raise ValueError("_mget takes ids OR docs")
+    if "ids" in body:
+        ids = [int(v) for v in body["ids"]]
+    else:
+        ids = [int(d["_id"]) for d in body["docs"]]
+    req = engine.spark.createDataFrame(
+        [(i,) for i in ids], schema="doc_id long"
+    )
+    got = engine.fetch(ids)
+    return req.join(got, "doc_id", "left").withColumn(
+        "found", SF.col("text_md5").isNotNull()
+    )
+
+
 def es_bulk(builder, index_dir: str, actions) -> dict:
     """ES ``_bulk``: the action/metadata NDJSON surface —
     ``{"index": {"_id": id}}`` followed by a source line, or
