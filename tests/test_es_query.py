@@ -670,3 +670,48 @@ def test_es_mget(spark, tmp_path_factory):
     assert d.found.iat[0]
     with pytest.raises(ValueError, match="_mget takes"):
         es_mget(QueryEngine(spark, idx), {"ids": [1], "docs": []})
+
+
+def test_es_alias_search(spark, tmp_path_factory):
+    """Alias search merges per-index pages into one exact global
+    top-k (per-index statistics — the ES cross-index default); hits
+    carry the index name; unsupported body keys reject."""
+    from xml_to_es_spark.operators.es_query import es_alias_search
+
+    root = tmp_path_factory.mktemp("alias")
+    dirs = []
+    # per-doc length variation makes three score levels per index;
+    # equal levels tie across indexes and the deterministic
+    # (score, index, doc_id) merge interleaves both
+    for n, tag in (("idx_a", "aa"), ("idx_b", "bb")):
+        pdf = pd.DataFrame({
+            "doc_id": range(8),
+            "text": [f"alpha {tag} w{i}" + " pad" * (i % 3)
+                     for i in range(8)],
+        })
+        d = str(root / n)
+        IndexBuilder(spark, IndexConfig(n_groups=1)).build(
+            spark.createDataFrame(pdf), d)
+        dirs.append(d)
+    body = {"query": {"match": {"text": "alpha"}}, "size": 6}
+    got = es_alias_search(spark, dirs, body).toPandas().sort_values("rank")
+    assert len(got) == 6 and set(got["index"]) == {"idx_a", "idx_b"}
+    # exact merge: equals manually merging the per-index pages
+    a = es_search(QueryEngine(spark, dirs[0]), body).toPandas()
+    b = es_search(QueryEngine(spark, dirs[1]), body).toPandas()
+    a["index"], b["index"] = "idx_a", "idx_b"
+    manual = (
+        pd.concat([a, b])
+        .sort_values(["score", "index", "doc_id"],
+                     ascending=[False, True, True])
+        .head(6)
+    )
+    assert list(got["doc_id"]) == list(manual["doc_id"])
+    assert list(got["index"]) == list(manual["index"])
+    # per-index stats: the 'bb' term exists only in idx_b
+    only_b = es_alias_search(
+        spark, dirs, {"query": {"match": {"text": "bb"}}, "size": 5}
+    ).toPandas()
+    assert set(only_b["index"]) == {"idx_b"}
+    with pytest.raises(ValueError, match="query\\+size only"):
+        es_alias_search(spark, dirs, {**body, "from": 5})

@@ -877,6 +877,62 @@ def es_search(engine: QueryEngine, body: dict) -> DataFrame:
     return EsRequest(engine, dict(body)).run()
 
 
+def es_alias_search(spark, index_dirs: list[str], body: dict) -> DataFrame:
+    """ES index-pattern / alias search: the SAME body runs against
+    each index and the pages merge into one global top-k by
+    (score desc, index, doc_id). Statistics are PER-INDEX — each
+    index scores with its own df/idf/avgdl, exactly ES's default
+    cross-index behaviour (and its documented caveat: scores from
+    different indexes are not strictly comparable; use one index or
+    compare within an index when that matters).
+
+    Correctness of the merge: a doc in the global top-k must be in
+    its own index's top-k (merging never raises a doc's rank), so
+    unioning per-index k-pages and re-ranking is EXACT — per-index
+    result sizes bound the merge input at |indexes|·k rows, nothing
+    scans twice. Hits carry an ``index`` column (the ES _index
+    field). Body limits: hits-only first page (size; no
+    from/search_after/sort/aggs/collapse/highlight — cross-index
+    variants of those need per-index state this deliberately avoids).
+    """
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    if not index_dirs:
+        raise ValueError("alias search needs at least one index")
+    bad = set(body) - {"query", "size"}
+    if bad:
+        raise ValueError(
+            f"alias search supports query+size only, got {sorted(bad)}"
+        )
+    k = int(body.get("size", 10))
+    names = [Path(d.rstrip("/")).name for d in index_dirs]
+    if len(set(names)) != len(names):
+        names = [str(d) for d in index_dirs]
+    parts = []
+    for name, d in zip(names, index_dirs):
+        eng = QueryEngine(spark, d)
+        parts.append(
+            es_search(eng, dict(body)).select(
+                "query_id", "doc_id", "score",
+                SF.lit(name).alias("index"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    w = W.partitionBy("query_id").orderBy(
+        SF.desc("score"), SF.asc("index"), SF.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= k)
+        .select("query_id", "rank", "index", "doc_id", "score")
+    )
+
+
 def es_mget(engine: QueryEngine, body: dict) -> DataFrame:
     """ES ``_mget``: the LIVE stored version of each requested id —
     ``{"ids": [..]}`` or ``{"docs": [{"_id": id}, ...]}``. A ``found``
