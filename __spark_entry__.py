@@ -516,6 +516,15 @@ NESTED_BOOL_QUERIES = [
     (5, {"must": [{"bool": {"should": [{"match": "spark"}, {"match": "batch"}],
                             "boost": 0.5}}],
          "filter": [{"term": {"lang": "en"}}]}),
+    (6, {"must": [{"dis_max": {"queries": [
+            {"match": "hash join"},
+            {"match": {"query": "sort merge", "boost": 1.5}},
+            {"bool": {"must": [{"match": "fast"}, {"match": "key"}]}},
+         ], "tie_breaker": 0.3}}]}),
+    (7, {"must": [{"boosting": {"positive": {"match": "merge sort"},
+                                "negative": {"match": "window"},
+                                "negative_boost": 0.4}}],
+         "filter": [{"range": {"n_chars": {"gte": 120}}}]}),
 ]
 
 
@@ -575,6 +584,19 @@ def _q_es_dsl_bool_nested(spark, sf):
                                           {"match": {"text": "batch"}}],
                                "boost": 0.5}}],
             "filter": [{"term": {"lang": "en"}}]}}, "size": BM25_K},
+        6: {"query": {"dis_max": {"queries": [
+            {"match": {"text": "hash join"}},
+            {"match": {"text": {"query": "sort merge", "boost": 1.5}}},
+            {"bool": {"must": [{"match": {"text": "fast"}},
+                               {"match": {"text": "key"}}]}},
+        ], "tie_breaker": 0.3}}, "size": BM25_K},
+        7: {"query": {"bool": {
+            "must": [{"boosting": {
+                "positive": {"match": {"text": "merge sort"}},
+                "negative": {"match": {"text": "window"}},
+                "negative_boost": 0.4}}],
+            "filter": [{"range": {"n_chars": {"gte": 120}}}]}},
+            "size": BM25_K},
     }
     parts = [
         es_search(eng, b).select(
@@ -2311,8 +2333,63 @@ def _bool_nested_sql(k: int, queries=None) -> str:
     def tokz(text):
         return sorted(set(re.findall("[a-z0-9]+", text.lower())))
 
+    def compile_clause(cl, cs_scoring, leaves):
+        (ck, cspec), = cl.items()
+        if ck == "bool":
+            return ("node", compile_node(cspec, cs_scoring, leaves))
+        if ck == "dis_max":
+            # mirror of query_engine._compile_bool_clause: children in
+            # the should slot (matched = any), only the score combiner
+            # differs (max + tie_breaker·Σrest)
+            sub = {"must": [], "should": [], "must_not": [], "filter": [],
+                   "negative": [], "msm": None, "kind": "dis_max",
+                   "boost": float(cspec.get("boost", 1.0)),
+                   "tb": float(cspec.get("tie_breaker", 0.0))}
+            sub["should"] = [
+                compile_clause(c, cs_scoring, leaves)
+                for c in cspec["queries"]
+            ]
+            return ("node", sub)
+        if ck == "boosting":
+            sub = {"must": [], "should": [], "must_not": [], "filter": [],
+                   "negative": [], "msm": None, "kind": "boosting",
+                   "boost": 1.0,
+                   "nb": float(cspec.get("negative_boost", 0.5))}
+            sub["must"] = [compile_clause(cspec["positive"], cs_scoring, leaves)]
+            sub["negative"] = [compile_clause(cspec["negative"], False, leaves)]
+            return ("node", sub)
+        if ck == "match":
+            opts = (dict(cspec) if isinstance(cspec, dict)
+                    else {"query": cspec})
+            leaf = {
+                "cid": len(leaves),
+                "toks": tokz(opts["query"]),
+                "and": str(opts.get("operator", "or")).lower() == "and",
+                "boost": float(opts.get("boost", 1.0)),
+                "scoring": cs_scoring,
+                "phrase": None,
+            }
+            leaves.append(leaf)
+            return ("leaf", leaf)
+        if ck == "match_phrase":
+            opts = (dict(cspec) if isinstance(cspec, dict)
+                    else {"query": cspec})
+            leaf = {
+                "cid": len(leaves),
+                "toks": tokz(opts["query"]),
+                "and": True,
+                "boost": float(opts.get("boost", 1.0)),
+                "scoring": cs_scoring,
+                "phrase": opts["query"],
+                "slop": int(opts.get("slop", 0)),
+            }
+            leaves.append(leaf)
+            return ("leaf", leaf)
+        return ("struct", cl)
+
     def compile_node(spec, scoring, leaves):
         node = {"must": [], "should": [], "must_not": [], "filter": [],
+                "negative": [], "kind": "bool",
                 "msm": spec.get("minimum_should_match"),
                 "boost": float(spec.get("boost", 1.0))}
         for role in ("must", "should", "must_not", "filter"):
@@ -2321,40 +2398,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
                 continue
             cs_scoring = scoring and role in ("must", "should")
             for cl in (v if isinstance(v, list) else [v]):
-                (ck, cspec), = cl.items()
-                if ck == "bool":
-                    node[role].append(
-                        ("node", compile_node(cspec, cs_scoring, leaves))
-                    )
-                elif ck == "match":
-                    opts = (dict(cspec) if isinstance(cspec, dict)
-                            else {"query": cspec})
-                    leaf = {
-                        "cid": len(leaves),
-                        "toks": tokz(opts["query"]),
-                        "and": str(opts.get("operator", "or")).lower() == "and",
-                        "boost": float(opts.get("boost", 1.0)),
-                        "scoring": cs_scoring,
-                        "phrase": None,
-                    }
-                    leaves.append(leaf)
-                    node[role].append(("leaf", leaf))
-                elif ck == "match_phrase":
-                    opts = (dict(cspec) if isinstance(cspec, dict)
-                            else {"query": cspec})
-                    leaf = {
-                        "cid": len(leaves),
-                        "toks": tokz(opts["query"]),
-                        "and": True,
-                        "boost": float(opts.get("boost", 1.0)),
-                        "scoring": cs_scoring,
-                        "phrase": opts["query"],
-                        "slop": int(opts.get("slop", 0)),
-                    }
-                    leaves.append(leaf)
-                    node[role].append(("leaf", leaf))
-                else:
-                    node[role].append(("struct", cl))
+                node[role].append(compile_clause(cl, cs_scoring, leaves))
         return node
 
     def need_should(n):
@@ -2422,17 +2466,46 @@ def _bool_nested_sql(k: int, queries=None) -> str:
         return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
 
     def sql_score_node(n):
-        terms = [
-            f"(CASE WHEN {sql_matched(c)} THEN {sql_score(c)} ELSE 0.0 END)"
-            for c in n["must"] + n["should"]
-        ]
-        s = "(" + (" + ".join(terms) if terms else "0.0") + ")"
+        if n.get("kind") == "dis_max":
+            cases = [
+                f"(CASE WHEN {sql_matched(c)} THEN {sql_score(c)} "
+                f"ELSE 0.0 END)"
+                for c in n["should"]
+            ]
+            total = "(" + " + ".join(cases) + ")"
+            mx = (
+                "GREATEST(" + ", ".join(cases) + ")"
+                if len(cases) > 1
+                else cases[0]
+            )
+            s = (
+                f"({mx} + {n['tb']} * ({total} - {mx}))"
+                if n["tb"]
+                else f"({mx})"
+            )
+        elif n.get("kind") == "boosting":
+            pos = n["must"][0]
+            base = (
+                f"(CASE WHEN {sql_matched(pos)} THEN {sql_score(pos)} "
+                f"ELSE 0.0 END)"
+            )
+            neg = n["negative"][0]
+            s = (
+                f"(CASE WHEN {sql_matched(neg)} THEN {base} * {n['nb']} "
+                f"ELSE {base} END)"
+            )
+        else:
+            terms = [
+                f"(CASE WHEN {sql_matched(c)} THEN {sql_score(c)} ELSE 0.0 END)"
+                for c in n["must"] + n["should"]
+            ]
+            s = "(" + (" + ".join(terms) if terms else "0.0") + ")"
         if n["boost"] != 1.0:
             s = f"({s} * {n['boost']})"
         return s
 
     def structs_of(n, acc):
-        for role in ("must", "should", "must_not", "filter"):
+        for role in ("must", "should", "must_not", "filter", "negative"):
             for ch in n[role]:
                 kind, v = ch
                 if kind == "node":
@@ -2446,7 +2519,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
     for qid, spec in queries:
         trees[qid] = compile_node(spec, True, leaves)
     def leaves_of(n, acc):
-        for role in ("must", "should", "must_not", "filter"):
+        for role in ("must", "should", "must_not", "filter", "negative"):
             for ch in n[role]:
                 kind, v = ch
                 if kind == "node":

@@ -93,9 +93,12 @@ Semantics and limits:
 
 from __future__ import annotations
 
+import re
+
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from xml_to_es_spark.operators.query_engine import QueryEngine
 
@@ -262,6 +265,8 @@ class EsRequest:
             return {"filter": [{"terms": {"doc_id": vals}}]}, None
         if kind in _STRUCTURED:
             return {"filter": [{kind: spec}]}, None
+        if kind in ("dis_max", "boosting"):
+            return {"must": [self._rich_clause({kind: spec})]}, None
         raise ValueError(
             f"query kind {kind!r} is not supported here (match / "
             "match_phrase / bool / simple_query_string / ids / "
@@ -278,6 +283,19 @@ class EsRequest:
             )
         espec, fld = self._as_bool_tree()
         return self.eng.bool_count([(0, espec)], field=fld)
+
+    def match_ids(self) -> DataFrame:
+        """The body's FULL match set as (query_id 0, doc_id) — the
+        shared front half of ``_delete_by_query`` /
+        ``_update_by_query``. Query only (no paging keys); stays a
+        DataFrame end-to-end."""
+        extra = set(self.body) - {"query"}
+        if extra:
+            raise ValueError(
+                f"match_ids takes a query only; remove {sorted(extra)}"
+            )
+        espec, fld = self._as_bool_tree()
+        return self.eng.bool_match_ids([(0, espec)], field=fld)
 
     # query kinds that route a search_after cursor to the engine —
     # every other kind REJECTS the cursor (nothing silently ignored)
@@ -472,6 +490,9 @@ class EsRequest:
                 [(0, espec)], k=k, from_=from_, field=bfld,
                 search_after=cursor,
             )
+        if kind in ("dis_max", "boosting"):
+            espec = {"must": [self._rich_clause({kind: spec})]}
+            return eng.bool_topk([(0, espec)], k=k, from_=from_)
         if kind == "simple_query_string":
             opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
             bad = set(opts) - {"query", "fields"}
@@ -595,7 +616,7 @@ class EsRequest:
                         f"each bool clause must be a single-key dict, got {cl!r}"
                     )
                 (ck, cs), = cl.items()
-                if ck in ("bool", "match_phrase"):
+                if ck in ("bool", "match_phrase", "dis_max", "boosting"):
                     return True
                 if ck in _STRUCTURED:
                     if role != "filter":
@@ -688,6 +709,34 @@ class EsRequest:
             return {"bool": self._rich_bool_body(cs)}
         if ck in _STRUCTURED:
             return {ck: cs}
+        if ck == "dis_max":
+            bad = set(cs) - {"queries", "tie_breaker", "boost"}
+            if bad or not cs.get("queries"):
+                raise ValueError(
+                    f"dis_max takes queries (+tie_breaker, boost), got "
+                    f"{sorted(bad) or 'no queries'}"
+                )
+            out: dict[str, Any] = {
+                "queries": [self._rich_clause(c) for c in cs["queries"]]
+            }
+            for key in ("tie_breaker", "boost"):
+                if key in cs:
+                    out[key] = cs[key]
+            return {"dis_max": out}
+        if ck == "boosting":
+            bad = set(cs) - {"positive", "negative", "negative_boost"}
+            if bad or "positive" not in cs or "negative" not in cs:
+                raise ValueError(
+                    "boosting takes positive + negative (+negative_boost), "
+                    f"got {sorted(bad) or sorted(cs)}"
+                )
+            out = {
+                "positive": self._rich_clause(cs["positive"]),
+                "negative": self._rich_clause(cs["negative"]),
+            }
+            if "negative_boost" in cs:
+                out["negative_boost"] = cs["negative_boost"]
+            return {"boosting": out}
         if ck == "match_phrase":
             fld, opts = _field_text(
                 cs, allowed={"slop", "boost"}, extra_keys=frozenset({"boost"})
@@ -1054,6 +1103,189 @@ def es_bulk(builder, index_dir: str, actions) -> dict:
         out["deleted"] = int(res["n_deleted"])
         out["not_found"] = int(res["n_not_found"])
     return out
+
+
+def es_delete_by_query(
+    builder, engine: QueryEngine, index_dir: str, body: dict
+) -> dict:
+    """ES ``_delete_by_query``: every doc matching the body's query is
+    killed. The match set (any bool-expressible kind: match / phrase /
+    bool trees / simple_query_string / ids / structured) stays a
+    DataFrame from the postings scan to the kill log — a query
+    matching 10^9 docs never visits the driver; the kill-log append is
+    O(matched), no segment rewrite (see
+    :meth:`~xml_to_es_spark.operators.index_build.IndexBuilder.delete_docs`,
+    which holds the writer lock and re-checks liveness). ``engine``
+    must read the SAME ``index_dir``; construct a fresh engine for
+    post-delete queries (an engine snapshots the kill set at init)."""
+    bad = set(body) - {"query"}
+    if bad or "query" not in body:
+        raise ValueError(
+            "_delete_by_query takes exactly a query, got "
+            f"{sorted(body) or 'nothing'}"
+        )
+    ids = EsRequest(engine, {"query": body["query"]}).match_ids()
+    res = builder.delete_docs(ids.select("doc_id"), index_dir)
+    return {"deleted": int(res["n_deleted"]), "kill_ord": res["kill_ord"]}
+
+
+_SCRIPT_ASSIGN = re.compile(r"^\s*ctx\._source\.(\w+)\s*=\s*(.+?)\s*$")
+
+
+def _script_assignments(script) -> dict:
+    """Painless-subset update script → {field: literal value}.
+    Supported statements: ``ctx._source.<field> = <literal>`` (JSON /
+    Python literals) or ``= params.<name>``, ';'-separated — the
+    set-field form that covers the common ES update scripts. Anything
+    else raises (nothing silently ignored)."""
+    import ast
+
+    if isinstance(script, str):
+        script = {"source": script}
+    bad = set(script) - {"source", "params", "lang"}
+    if bad:
+        raise ValueError(f"unsupported script key(s) {sorted(bad)}")
+    if script.get("lang", "painless") != "painless":
+        raise ValueError("script lang must be painless")
+    params = script.get("params", {})
+    out: dict = {}
+    for stmt in str(script.get("source", "")).split(";"):
+        if not stmt.strip():
+            continue
+        m = _SCRIPT_ASSIGN.match(stmt)
+        if not m:
+            raise ValueError(
+                f"unsupported script statement {stmt.strip()!r}: only "
+                "'ctx._source.<field> = <literal | params.name>' "
+                "assignments are supported"
+            )
+        fld, rhs = m.groups()
+        if rhs.startswith("params."):
+            name = rhs[len("params."):]
+            if name not in params:
+                raise ValueError(f"script references missing param {name!r}")
+            out[fld] = params[name]
+        else:
+            try:
+                out[fld] = ast.literal_eval(rhs)
+            except (ValueError, SyntaxError):
+                raise ValueError(
+                    f"script rhs {rhs!r} is not a literal or params ref"
+                ) from None
+    if not out:
+        raise ValueError("script has no assignments")
+    return out
+
+
+def _live_source_rows(builder, index_dir: str) -> DataFrame:
+    """Live doc versions as RE-INDEXABLE input rows (meta columns
+    dropped). Partial updates need the stored source — like ES
+    requiring ``_source`` enabled for ``_update``."""
+    from xml_to_es_spark.operators.index_build import live_docs
+
+    rows = live_docs(builder.spark, index_dir)
+    drop = [
+        c for c in rows.columns
+        if c in ("text_md5", "ord") or c.startswith("doc_len")
+    ]
+    rows = rows.drop(*drop)
+    if "text" not in rows.columns:
+        raise ValueError(
+            "partial updates need an index built with store_source=True "
+            "(the stored text is the re-index input — ES likewise "
+            "requires _source for _update)"
+        )
+    return rows
+
+
+def es_update(builder, index_dir: str, doc_id: int, body: dict) -> dict:
+    """ES ``POST /index/_update/{id}`` with a partial ``doc``: the
+    live stored version merges the given top-level fields and is
+    re-PUT as one forced upsert (new version supersedes old —
+    doc values AND postings stay consistent; unchanged text re-encodes
+    to identical postings, so rankings only move where the text
+    moved). ``doc_as_upsert: true`` inserts the doc when the id is not
+    live (then it must carry the index's required source fields);
+    otherwise a missing id raises (ES 404). Unknown fields raise —
+    the docs-table schema is fixed at build time."""
+    bad = set(body) - {"doc", "doc_as_upsert"}
+    if bad:
+        raise ValueError(f"unsupported _update key(s) {sorted(bad)}")
+    doc = body.get("doc")
+    if not (isinstance(doc, dict) and doc):
+        raise ValueError("_update needs a non-empty doc object")
+    if "doc_id" in doc:
+        raise ValueError("doc must not carry doc_id (it is the request id)")
+    doc_id = int(doc_id)
+    rows = _live_source_rows(builder, index_dir)
+    mine = rows.filter(F.col("doc_id") == doc_id)
+    found = bool(mine.limit(1).count())
+    if not found:
+        if not body.get("doc_as_upsert"):
+            raise ValueError(
+                f"doc {doc_id} not found (ES 404); pass doc_as_upsert "
+                "to insert it"
+            )
+        if "text" not in doc:
+            raise ValueError("doc_as_upsert insert needs a text field")
+        import pandas as pd
+
+        res = builder.upsert(
+            builder.spark.createDataFrame(
+                pd.DataFrame([{"doc_id": doc_id, **doc}])
+            ),
+            index_dir,
+        )
+        return {"result": "created", **res}
+    unknown = sorted(set(doc) - set(rows.columns))
+    if unknown:
+        raise ValueError(
+            f"field(s) {unknown} not in the docs-table schema "
+            f"{sorted(c for c in rows.columns if c != 'doc_id')}"
+        )
+    for fld, val in doc.items():
+        mine = mine.withColumn(fld, F.lit(val))
+    res = builder.upsert(mine, index_dir, force_reindex=True)
+    return {"result": "updated", **res}
+
+
+def es_update_by_query(
+    builder, engine: QueryEngine, index_dir: str, body: dict
+) -> dict:
+    """ES ``_update_by_query`` with a set-field script: docs matching
+    the body's query get the script's ``ctx._source.<field> =
+    <literal>`` assignments applied and are re-PUT. Fully
+    distributed: match-set ids semi-join the live stored rows
+    (nothing collected), the assignments are JVM literal columns, and
+    ONE forced upsert re-indexes the affected docs — at 10^12-doc
+    scale the cost is proportional to the match set, not the corpus.
+    ``engine`` must read the same ``index_dir``; use a fresh engine
+    afterwards."""
+    bad = set(body) - {"query", "script"}
+    if bad or "query" not in body or "script" not in body:
+        raise ValueError(
+            "_update_by_query takes exactly query + script, got "
+            f"{sorted(body) or 'nothing'}"
+        )
+    assigns = _script_assignments(body["script"])
+    rows = _live_source_rows(builder, index_dir)
+    unknown = sorted(
+        (set(assigns) - set(rows.columns)) | ({"doc_id"} & set(assigns))
+    )
+    if unknown:
+        raise ValueError(
+            f"script assigns field(s) {unknown} not in the docs-table "
+            f"schema {sorted(c for c in rows.columns if c != 'doc_id')}"
+        )
+    ids = EsRequest(engine, {"query": body["query"]}).match_ids()
+    mine = rows.join(ids.select("doc_id"), "doc_id", "left_semi")
+    for fld, val in assigns.items():
+        mine = mine.withColumn(fld, F.lit(val))
+    res = builder.upsert(mine, index_dir, force_reindex=True)
+    return {
+        "updated": int(res.get("n_new", 0)) + int(res.get("n_changed", 0)),
+        **res,
+    }
 
 
 def es_count(engine: QueryEngine, body: dict) -> DataFrame:

@@ -762,7 +762,9 @@ class IndexBuilder:
         path.unlink(missing_ok=True)
         return existed
 
-    def upsert(self, docs: DataFrame, index_dir: str) -> dict:
+    def upsert(
+        self, docs: DataFrame, index_dir: str, force_reindex: bool = False
+    ) -> dict:
         """ES PUT-by-id semantics (reference ElasticIndexer.js:68-97:
         a re-PUT of an existing id overwrites the document) as an
         LSM-style delta: given a (doc_id, text[, url]) snapshot or
@@ -796,6 +798,14 @@ class IndexBuilder:
         ``_fail_before_commit`` / ``_fail_after_tombstones`` inject
         crashes in those windows (tests).
 
+        ``force_reindex=True`` disables the md5 skip: every patch row
+        lands in the delta even when its text is unchanged — the path
+        the ES ``_update`` / ``_update_by_query`` surfaces need, since
+        a stored-field-only change leaves text_md5 intact (the new
+        version's doc values supersede the old one's; rankings stay
+        bit-equal because identical text re-encodes to identical
+        postings in the delta).
+
         Concurrency: ord allocation is read-modify-write on the
         directory listing — a SINGLE-WRITER protocol, now ENFORCED by
         an exclusive lock file held for the mutation's duration (see
@@ -811,11 +821,19 @@ class IndexBuilder:
         # the stored mapping is authoritative (a PUT cannot change it)
         cfg = self._resolved_cfg(index_dir)
         if cfg != self.cfg:
-            return IndexBuilder(self.spark, cfg).upsert(docs, index_dir)
+            return IndexBuilder(self.spark, cfg).upsert(
+                docs, index_dir, force_reindex=force_reindex
+            )
         with self._writer_lock(index_dir):
-            return self._upsert_locked(docs, index_dir, base)
+            return self._upsert_locked(docs, index_dir, base, force_reindex)
 
-    def _upsert_locked(self, docs: DataFrame, index_dir: str, base: Path) -> dict:
+    def _upsert_locked(
+        self,
+        docs: DataFrame,
+        index_dir: str,
+        base: Path,
+        force_reindex: bool = False,
+    ) -> dict:
         docs = docs.persist()
         try:
             live = live_docs(self.spark, index_dir).select("doc_id", "text_md5")
@@ -823,9 +841,13 @@ class IndexBuilder:
             joined = patch.join(live, "doc_id", "left")
             # distinct: a patch that repeats a doc_id (replayed rows)
             # must not produce duplicate tombstones or delta rows
-            delta_ids = joined.filter(
-                F.col("text_md5").isNull() | (F.col("text_md5") != F.col("new_md5"))
-            ).select(
+            changed = (
+                F.lit(True)
+                if force_reindex
+                else F.col("text_md5").isNull()
+                | (F.col("text_md5") != F.col("new_md5"))
+            )
+            delta_ids = joined.filter(changed).select(
                 "doc_id", F.col("text_md5").isNotNull().alias("is_update")
             ).distinct().persist()
             n_new = delta_ids.filter(~F.col("is_update")).count()

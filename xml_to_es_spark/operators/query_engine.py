@@ -178,13 +178,24 @@ class _BoolStruct:
 
 class _BoolNode:
     """An ES ``bool`` node: role lists of children (leaves or nested
-    bools), optional ``minimum_should_match`` and ``boost``."""
+    bools), optional ``minimum_should_match`` and ``boost``.
 
-    __slots__ = ("must", "should", "must_not", "filter", "msm", "boost")
+    Two sibling compound kinds reuse the same shape: ``dis_max``
+    (children in ``should``, matched = any — ES scores max +
+    tie_breaker·Σrest instead of the bool sum) and ``boosting``
+    (positive child in ``must``, negative child in ``negative`` —
+    matched ignores the negative clause entirely; a negative match
+    DEMOTES the score by ``negative_boost`` instead of excluding,
+    which is exactly what must_not cannot express)."""
+
+    __slots__ = ("must", "should", "must_not", "filter", "msm", "boost",
+                 "kind", "tie_breaker", "negative", "negative_boost")
 
     def __init__(self):
         self.must, self.should, self.must_not, self.filter = [], [], [], []
         self.msm, self.boost = None, 1.0
+        self.kind, self.tie_breaker = "bool", 0.0
+        self.negative, self.negative_boost = [], 0.5
 
     def need_should(self) -> int:
         """Required matched-should count (ES default: 1 when no
@@ -1365,6 +1376,49 @@ class QueryEngine:
             s = _BoolStruct(cl)
             structs.append(s)
             return s
+        if kind == "dis_max":
+            bad = set(spec) - {"queries", "tie_breaker", "boost"}
+            if bad or not spec.get("queries"):
+                raise ValueError(
+                    f"dis_max takes queries (+tie_breaker, boost), got "
+                    f"{sorted(bad) or 'no queries'}"
+                )
+            node = _BoolNode()
+            node.kind = "dis_max"
+            node.boost = float(spec.get("boost", 1.0))
+            node.tie_breaker = float(spec.get("tie_breaker", 0.0))
+            if not 0.0 <= node.tie_breaker <= 1.0:
+                raise ValueError("tie_breaker must be in [0, 1]")
+            # children live in the should slot: matched = any child
+            # (need_should() → 1), only the score combiner differs
+            node.should = [
+                self._compile_bool_clause(
+                    c, scoring, default_field, leaves, structs
+                )
+                for c in spec["queries"]
+            ]
+            return node
+        if kind == "boosting":
+            bad = set(spec) - {"positive", "negative", "negative_boost"}
+            if bad or "positive" not in spec or "negative" not in spec:
+                raise ValueError(
+                    "boosting takes positive + negative (+negative_boost), "
+                    f"got {sorted(bad) or sorted(spec)}"
+                )
+            node = _BoolNode()
+            node.kind = "boosting"
+            node.negative_boost = float(spec.get("negative_boost", 0.5))
+            if not 0.0 <= node.negative_boost <= 1.0:
+                raise ValueError("negative_boost must be in [0, 1]")
+            node.must = [self._compile_bool_clause(
+                spec["positive"], scoring, default_field, leaves, structs
+            )]
+            # the negative clause never scores and never bounds the
+            # match set — it only demotes
+            node.negative = [self._compile_bool_clause(
+                spec["negative"], False, default_field, leaves, structs
+            )]
+            return node
         raise ValueError(f"unsupported bool clause kind {kind!r}")
 
     @staticmethod
@@ -1436,9 +1490,30 @@ class QueryEngine:
             return out if out is not None else F.lit(True)
 
         def score_node(n: _BoolNode) -> F.Column:
-            s = F.lit(0.0)
-            for c in n.must + n.should:
-                s = s + F.when(matched(c), score(c)).otherwise(F.lit(0.0))
+            if n.kind == "dis_max":
+                # ES dis_max: max matching clause + tie_breaker·Σrest
+                per = [
+                    F.when(matched(c), score(c)).otherwise(F.lit(0.0))
+                    for c in n.should
+                ]
+                total = per[0]
+                for p in per[1:]:
+                    total = total + p
+                mx = F.greatest(*per) if len(per) > 1 else per[0]
+                s = (
+                    mx + F.lit(n.tie_breaker) * (total - mx)
+                    if n.tie_breaker
+                    else mx
+                )
+            elif n.kind == "boosting":
+                pos = n.must[0]
+                s = F.when(matched(pos), score(pos)).otherwise(F.lit(0.0))
+                neg = matched(n.negative[0])
+                s = F.when(neg, s * F.lit(n.negative_boost)).otherwise(s)
+            else:
+                s = F.lit(0.0)
+                for c in n.must + n.should:
+                    s = s + F.when(matched(c), score(c)).otherwise(F.lit(0.0))
             if n.boost != 1.0:
                 s = s * F.lit(n.boost)
             return s
@@ -2523,6 +2598,30 @@ class QueryEngine:
         return (
             qids.join(counts, "query_id", "left")
             .select("query_id", F.coalesce("total", F.lit(0)).alias("total"))
+        )
+
+    def bool_match_ids(
+        self,
+        queries: list[tuple[int, dict]],
+        field: str | None = None,
+    ) -> DataFrame:
+        """The FULL match set as ids only — (query_id, doc_id), no
+        ranking tail, nothing collected. The front half of the ES
+        ``_delete_by_query`` / ``_update_by_query`` surfaces: the
+        match set stays a DataFrame end-to-end, so a query matching
+        10^9 docs feeds the kill log / re-index upsert without ever
+        visiting the driver. Accepts the same specs as
+        :meth:`bool_topk` (flat roles or rich nested trees)."""
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field)
+        else:
+            hits = self._bool_match_set(queries, field=field)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long"
+            )
+        return hits.select(
+            F.col("query_id").cast("long"), F.col("doc_id").cast("long")
         )
 
     def collapse_topk(
