@@ -117,6 +117,19 @@ def _q_term_tf(spark, sf):
     )
 
 
+def _q_term_stats(spark, sf):
+    """Both inverted-index statistics tables in one frame, tagged by
+    `variant`: per-term document frequency (df — the idf input) and
+    per-term total frequency (tf sum), each top-100."""
+    a = _q_term_df(spark, sf).withColumnRenamed("df", "n").withColumn(
+        "variant", F.lit("df")
+    )
+    b = _q_term_tf(spark, sf).withColumnRenamed("tf", "n").withColumn(
+        "variant", F.lit("tf")
+    )
+    return a.unionByName(b)
+
+
 def _q_bm25(spark, sf):
     from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
 
@@ -1321,11 +1334,14 @@ def _q_multi_match_both(spark, sf):
 
 
 def _q_es_dsl_parity(spark, sf):
-    """Both ES-DSL translation-identity suites (bool+structured-range
-    bodies; rich nested trees) in one frame, tagged by `variant`."""
+    """The ES-DSL translation-identity suites in one frame, tagged by
+    `variant`: bool+structured-range bodies, rich nested trees
+    (incl. dis_max/boosting), and the wildcard/regexp multi-term
+    constant-score kinds."""
     a = _q_es_dsl_bool_range(spark, sf).withColumn("variant", F.lit("range"))
     b = _q_es_dsl_bool_nested(spark, sf).withColumn("variant", F.lit("nested"))
-    return a.unionByName(b)
+    c = _q_es_wildcard(spark, sf).withColumn("variant", F.lit("wildcard"))
+    return a.unionByName(b).unionByName(c)
 
 
 def _q_exact_dedup_full(spark, sf):
@@ -1394,6 +1410,134 @@ def _q_es_wildcard(spark, sf):
     for pt in parts[1:]:
         out = out.unionByName(pt)
     return out
+
+
+def _q_es_top_hits(spark, sf):
+    """ES top_hits sub-aggregation — best-k scored hits per bucket of
+    the FULL match set, one rank window partitioned by (query,
+    bucket) with WindowGroupLimit pruning (k per partition BEFORE the
+    shuffle). Two variants in one frame: a terms bucket routed
+    through the DSL aggs body, and a histogram bucket with the ES
+    terms-agg size cap (top-size buckets by doc_count) via the engine
+    call."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    a = es_search(eng, {
+        "query": {"match": {"text": "hash join"}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"},
+                 "aggs": {"best": {"top_hits": {"size": 3}}}}},
+    }).select(
+        "query_id", SF.lit("lang").alias("variant"),
+        SF.col("lang").alias("bucket"),
+        SF.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id", SF.round("score", 6).alias("score"),
+    )
+    b = eng.bool_top_hits(
+        [(0, {"must": "hash join"})], group_by=("n_chars", 200.0),
+        k_hits=2, size=4,
+    ).select(
+        "query_id", SF.lit("chars").alias("variant"),
+        SF.col("n_chars_bucket").cast("string").alias("bucket"),
+        SF.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id", SF.round("score", 6).alias("score"),
+    )
+    return a.unionByName(b)
+
+
+def _es_top_hits_sql() -> str:
+    """DuckDB top_hits twin: the match-set scored CTE (same BM25
+    float chain as _bm25_sql) joined to the doc values, then one
+    row_number window per (query, bucket); the histogram variant adds
+    the top-size bucket window (doc_count desc, key asc)."""
+    idf = "ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))"
+    tfsat = "tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES (0, 'hash'), (0, 'join')),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id, sum({idf} * {tfsat}) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), hits AS (
+  SELECT s.query_id, s.doc_id, s.score_raw, d.lang, d.n_chars
+  FROM scored s JOIN documents d USING (doc_id)
+), lang_hits AS (
+  SELECT query_id, 'lang' AS variant, lang AS bucket,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score_raw DESC, doc_id ASC) AS hit_rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM hits QUALIFY hit_rank <= 3
+), cbuckets AS (
+  SELECT *, CAST((n_chars // 200) * 200 AS BIGINT) AS cb FROM hits
+), top_cb AS (
+  SELECT cb FROM (
+    SELECT cb, count(*) AS dc FROM cbuckets GROUP BY cb)
+  QUALIFY row_number() OVER (ORDER BY dc DESC, cb ASC) <= 4
+), chars_hits AS (
+  SELECT query_id, 'chars' AS variant, CAST(cb AS VARCHAR) AS bucket,
+         row_number() OVER (PARTITION BY query_id, cb
+                            ORDER BY score_raw DESC, doc_id ASC) AS hit_rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM cbuckets WHERE cb IN (SELECT cb FROM top_cb)
+  QUALIFY hit_rank <= 2
+)
+SELECT * FROM lang_hits UNION ALL SELECT * FROM chars_hits
+"""
+
+
+def _q_es_suggest(spark, sf):
+    """ES term suggester ("did you mean"): per misspelled token, the
+    closest vocabulary terms within 2 edits, ranked (distance asc,
+    df desc, term asc) — ONE dictionary job, candidate window capped
+    IN-PLAN at tokens×size rows before any collect; postings never
+    touched."""
+    from xml_to_es_spark.operators.es_query import es_suggest
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    return es_suggest(eng, {"suggest": {"dym": {
+        "text": "sprak jion windoww zzzzzzz",
+        "term": {"suggest_mode": "always", "max_edits": 2, "size": 5},
+    }}})
+
+
+def _es_suggest_sql() -> str:
+    """DuckDB suggester twin: vocabulary with per-term df off the
+    token arrays, levenshtein ≤ 2 candidates per probe, the ES
+    ranking window capped at size."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+), probes(token) AS (
+  VALUES ('sprak'), ('jion'), ('windoww'), ('zzzzzzz')
+), cand AS (
+  SELECT p.token, v.term AS suggestion,
+         levenshtein(v.term, p.token)::INT AS distance, v.df
+  FROM vocab v JOIN probes p
+    ON levenshtein(v.term, p.token) <= 2 AND v.term <> p.token
+)
+SELECT token,
+       row_number() OVER (PARTITION BY token
+                          ORDER BY distance ASC, df DESC, suggestion ASC
+                          )::BIGINT AS rank,
+       suggestion, distance, df
+FROM cand QUALIFY rank <= 5
+"""
 
 
 def _q_bm25_or_and(spark, sf):
@@ -1505,8 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
         "token_counts": _q_token_counts,
-        "term_df_top100": _q_term_df,
-        "term_tf_top100": _q_term_tf,
+        "term_stats_top100": _q_term_stats,
         "bm25_topk": _q_bm25_or_and,
         "bm25_phrase_topk": _q_bm25_phrase_both,
         "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
@@ -1528,7 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_nested": _q_search_aggs_nested,
         "search_aggs_range_filters": _q_search_aggs_range_filters,
         "bm25_prefix_topk": _q_prefix_both,
-        "es_wildcard_topk": _q_es_wildcard,
+        "es_top_hits": _q_es_top_hits,
+        "es_suggest_dym": _q_es_suggest,
         "bm25_title_topk": _q_bm25_title,
         "multi_match_topk": _q_multi_match_both,
         "doc_id_assignment": _q_doc_id_assignment,
@@ -3125,15 +3269,16 @@ SELECT count(*) AS n_docs, round(avg(len({TOK})), 6) AS avgdl,
        sum(len({TOK}))::BIGINT AS total_tokens FROM documents
 """,
         "token_counts": f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
-        "term_df_top100": f"""
-SELECT term, count(*) AS df FROM (
-  SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
-GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
-""",
-        "term_tf_top100": f"""
-SELECT term, count(*) AS tf FROM (
-  SELECT unnest({TOK}) AS term FROM documents)
-GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
+        "term_stats_top100": f"""
+SELECT term, n, 'df' AS variant FROM (
+  SELECT term, count(*) AS n FROM (
+    SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT 100)
+UNION ALL
+SELECT term, n, 'tf' AS variant FROM (
+  SELECT term, count(*) AS n FROM (
+    SELECT unnest({TOK}) AS term FROM documents)
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT 100)
 """,
         "bm25_topk": f"""
 SELECT *, 'or' AS variant FROM ({_bm25_sql()})
@@ -3163,6 +3308,8 @@ FROM ({_bm25_sql(from_=BM25_K)})
 SELECT *, 'range' AS variant FROM ({_bool_range_sql(BM25_K)})
 UNION ALL
 SELECT *, 'nested' AS variant FROM ({_bool_nested_sql(BM25_K)})
+UNION ALL
+SELECT *, 'wildcard' AS variant FROM ({_es_wildcard_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),
@@ -3183,7 +3330,8 @@ SELECT *, 'bool_prefix' AS variant FROM ({_prefix_sql(BM25_K)})
 UNION ALL
 SELECT *, 'phrase_prefix' AS variant FROM ({_phrase_prefix_sql(BM25_K)})
 """,
-        "es_wildcard_topk": _es_wildcard_sql(BM25_K),
+        "es_top_hits": _es_top_hits_sql(),
+        "es_suggest_dym": _es_suggest_sql(),
         "bm25_title_topk": _bm25_title_sql(BM25_K),
         "multi_match_topk": f"""
 SELECT *, 'best_fields' AS variant FROM ({_multi_match_sql(BM25_K)})

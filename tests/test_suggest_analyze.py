@@ -1,0 +1,161 @@
+"""ES term suggester (did-you-mean over the terms dictionary, capped
+in-plan) and the _analyze token-stream API. Suggester twin:
+brute-force python levenshtein over the corpus vocabulary with the ES
+ranking (distance asc, df desc, term asc)."""
+
+import pandas as pd
+import pytest
+
+from xml_to_es_spark.config import IndexConfig
+from xml_to_es_spark.operators.es_query import es_analyze, es_suggest
+from xml_to_es_spark.operators.index_build import IndexBuilder
+from xml_to_es_spark.operators.query_engine import QueryEngine
+
+CFG = IndexConfig(n_groups=2, salt_threshold=40, n_salts=3, block_size=32)
+
+WORDS = ["spark", "sparse", "shark", "stark", "spam", "merge", "marge",
+         "sort", "fort", "fast"]
+
+
+def _corpus(n=40):
+    rows = []
+    for i in range(n):
+        toks = [WORDS[j] for j in range(len(WORDS)) if i % (j + 2) == 0]
+        toks += [f"w{i}"]
+        rows.append((i, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _vocab_df(pdf):
+    from collections import Counter
+
+    c = Counter()
+    for t in pdf.text:
+        c.update(set(t.split()))
+    return dict(c)
+
+
+def _twin(pdf, token, max_edits=2, size=5, mode="missing"):
+    vocab = _vocab_df(pdf)
+    if mode == "missing" and vocab.get(token, 0) > 0:
+        return []
+    cands = [
+        (term, _lev(term, token), df)
+        for term, df in vocab.items()
+        if term != token and _lev(term, token) <= max_edits
+    ]
+    if mode == "popular":
+        own = vocab.get(token, 0)
+        cands = [c for c in cands if c[2] > own]
+    cands.sort(key=lambda c: (c[1], -c[2], c[0]))
+    return [(term, d, df) for term, d, df in cands[:size]]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("suggest")
+    pdf = _corpus()
+    path = str(root / "idx")
+    IndexBuilder(spark, CFG).build(spark.createDataFrame(pdf), path)
+    return pdf, path
+
+
+def test_suggest_missing_token_ranked_like_es(spark, idx):
+    pdf, path = idx
+    eng = QueryEngine(spark, path)
+    got = eng.suggest_terms(["sparc"], max_edits=2, size=5).toPandas()
+    want = _twin(pdf, "sparc")
+    assert list(zip(got.suggestion, got.distance, got.df)) == want
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_suggest_missing_mode_skips_present_tokens(spark, idx):
+    pdf, path = idx
+    eng = QueryEngine(spark, path)
+    got = eng.suggest_terms(
+        ["spark", "sparc"], max_edits=1, size=3
+    ).toPandas()
+    # "spark" is in the index -> no suggestions for it
+    assert set(got.token) == {"sparc"}
+    assert list(zip(got.suggestion, got.distance, got.df)) == _twin(
+        pdf, "sparc", max_edits=1, size=3
+    )
+
+
+def test_suggest_always_and_popular_modes(spark, idx):
+    pdf, path = idx
+    eng = QueryEngine(spark, path)
+    alw = eng.suggest_terms(
+        ["fort"], max_edits=1, size=5, suggest_mode="always"
+    ).toPandas()
+    assert list(zip(alw.suggestion, alw.distance, alw.df)) == _twin(
+        pdf, "fort", max_edits=1, size=5, mode="always"
+    )
+    pop = eng.suggest_terms(
+        ["fort"], max_edits=1, size=5, suggest_mode="popular"
+    ).toPandas()
+    assert list(zip(pop.suggestion, pop.distance, pop.df)) == _twin(
+        pdf, "fort", max_edits=1, size=5, mode="popular"
+    )
+    vocab = _vocab_df(pdf)
+    for df in pop.df:
+        assert df > vocab["fort"]
+
+
+def test_suggest_dsl_body(spark, idx):
+    pdf, path = idx
+    eng = QueryEngine(spark, path)
+    got = es_suggest(eng, {"suggest": {"dym": {
+        "text": "sparc merje",
+        "term": {"field": "text", "max_edits": 2, "size": 3},
+    }}}).toPandas()
+    assert set(got.token) == {"sparc", "merje"}
+    sparc = got[got.token == "sparc"]
+    assert list(zip(sparc.suggestion, sparc.distance, sparc.df)) == _twin(
+        pdf, "sparc", size=3
+    )
+    with pytest.raises(ValueError, match="suggest only"):
+        es_suggest(eng, {"suggest": {"d": {"text": "x", "term": {}}},
+                         "query": {"match": {"text": "x"}}})
+    with pytest.raises(ValueError, match="max_edits"):
+        eng.suggest_terms(["x"], max_edits=3)
+
+
+def test_suggest_in_plan_cap(spark, idx):
+    """The candidate window is capped BEFORE any collect: the plan's
+    row count is bounded at tokens x size."""
+    pdf, path = idx
+    eng = QueryEngine(spark, path)
+    out = eng.suggest_terms(["sparc"], max_edits=2, size=2)
+    assert out.count() <= 2
+
+
+def test_analyze_token_stream():
+    got = es_analyze({"text": "Hello, World! x2"})
+    assert [t["token"] for t in got] == ["hello", "world", "x2"]
+    assert got[0] == {"token": "hello", "start_offset": 0,
+                      "end_offset": 5, "position": 0}
+    assert got[1]["start_offset"] == 7 and got[1]["end_offset"] == 12
+    assert got[2]["position"] == 2
+    with pytest.raises(ValueError, match="text"):
+        es_analyze({"analyzer": "standard"})
+    with pytest.raises(ValueError, match="one string"):
+        es_analyze({"text": ["a", "b"]})
+
+
+def test_analyze_matches_engine_tokenizer():
+    from xml_to_es_spark.pyref import tokenize
+
+    for s in ["Mixed CASE 123 foo-bar", "", "  ", "a1b2"]:
+        assert [t["token"] for t in es_analyze({"text": s})] == tokenize(s)

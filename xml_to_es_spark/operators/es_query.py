@@ -214,6 +214,7 @@ class EsRequest:
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
+            "suggest",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -822,6 +823,18 @@ class EsRequest:
         if len(sub) == 1:
             (_n2, spec2), = sub.items()
             inner = set(spec2) - {"aggs"}
+            if inner == {"top_hits"}:
+                th = dict(spec2["top_hits"])
+                bad = set(th) - {"size"}
+                if bad:
+                    raise ValueError(
+                        f"top_hits supports size only, got {sorted(bad)}"
+                    )
+                espec, fld = self._as_bool_tree()
+                return self.eng.bool_top_hits(
+                    [(0, espec)], group_by=gb1,
+                    k_hits=int(th.get("size", 3)), size=size, field=fld,
+                )
             if inner and next(iter(inner)) in self._BUCKET_KINDS:
                 gb2, size2, sub2 = self._parse_bucket(spec2)
                 if size2 is not None:
@@ -862,7 +875,48 @@ class EsRequest:
             field=self._resolve_match_field(fld), size=size,
         )
 
+    def _suggest(self) -> DataFrame:
+        """ES term suggester ("did you mean") body::
+
+            {"suggest": {"<name>": {"text": "...", "term":
+                {"field": f, "suggest_mode": m, "max_edits": e,
+                 "size": n}}}}
+
+        Suggest-only bodies (no query beside it — ES allows mixing;
+        this surface keeps requests single-purpose). Routed to
+        :meth:`QueryEngine.suggest_terms` (one in-plan-capped
+        dictionary job)."""
+        if set(self.body) != {"suggest"}:
+            raise ValueError(
+                "a suggest body must contain suggest only "
+                f"(got {sorted(self.body)})"
+            )
+        sug = self.body["suggest"]
+        if not (isinstance(sug, dict) and len(sug) == 1):
+            raise ValueError("suggest takes exactly one named suggester")
+        (_name, spec), = sug.items()
+        bad = set(spec) - {"text", "term"}
+        if bad or "text" not in spec or "term" not in spec:
+            raise ValueError(
+                f"suggester needs text + term, got {sorted(bad) or sorted(spec)}"
+            )
+        t = dict(spec["term"])
+        bad = set(t) - {"field", "suggest_mode", "max_edits", "size"}
+        if bad:
+            raise ValueError(f"unsupported term-suggester option(s) {sorted(bad)}")
+        from xml_to_es_spark.pyref import tokenize
+
+        return self.eng.suggest_terms(
+            tokenize(spec["text"]),
+            field=self._resolve_match_field(t.get("field", "text")),
+            max_edits=int(t.get("max_edits", 2)),
+            size=int(t.get("size", 5)),
+            suggest_mode=t.get("suggest_mode", "missing"),
+        )
+
     def run(self) -> DataFrame:
+        if "suggest" in self.body:
+            return self._suggest()
         if "aggs" in self.body and "size" not in self.body:
             return self._aggs()
         hits = self._hits()
@@ -1286,6 +1340,44 @@ def es_update_by_query(
         "updated": int(res.get("n_new", 0)) + int(res.get("n_changed", 0)),
         **res,
     }
+
+
+def es_analyze(body: dict) -> list[dict]:
+    """ES ``_analyze``: the engine's PINNED analysis chain (lowercase
+    → ``[a-z0-9]+`` extraction, config.TOKEN_PATTERN — the same regex
+    the Spark build, the pure-Python oracle and the DuckDB twins all
+    use) applied to one text, returning the ES token-stream shape:
+    ``[{token, start_offset, end_offset, position}, ...]``. Offsets
+    index into the lowercased text (identical to the original for
+    ASCII; the token stream itself always matches the index's
+    tokenizer bit-for-bit). A debugging surface — driver-side by
+    design, like ES's own _analyze."""
+    from xml_to_es_spark.config import TOKEN_PATTERN
+
+    bad = set(body) - {"text"}
+    if bad or "text" not in body:
+        raise ValueError(
+            f"_analyze takes text only, got {sorted(bad) or 'no text'}"
+        )
+    text = body["text"]
+    if not isinstance(text, str):
+        raise ValueError("_analyze text must be one string")
+    return [
+        {
+            "token": m.group(0),
+            "start_offset": m.start(),
+            "end_offset": m.end(),
+            "position": i,
+        }
+        for i, m in enumerate(re.finditer(TOKEN_PATTERN, text.lower()))
+    ]
+
+
+def es_suggest(engine: QueryEngine, body: dict) -> DataFrame:
+    """ES ``_search`` suggest-only body → term-suggester DataFrame
+    (token, rank, suggestion, distance, df). See
+    :meth:`EsRequest._suggest` / :meth:`QueryEngine.suggest_terms`."""
+    return EsRequest(engine, dict(body)).run()
 
 
 def es_count(engine: QueryEngine, body: dict) -> DataFrame:

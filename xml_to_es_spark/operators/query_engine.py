@@ -2118,6 +2118,100 @@ class QueryEngine:
             .drop("_rn")
         )
 
+    def suggest_terms(
+        self,
+        tokens: list[str],
+        field: str | None = None,
+        max_edits: int = 2,
+        size: int = 5,
+        suggest_mode: str = "missing",
+    ) -> DataFrame:
+        """ES TERM SUGGESTER ("did you mean"): per input token, the
+        closest vocabulary terms within ``max_edits`` (1 or 2, the ES
+        bound), ranked like ES — similarity first (edit distance asc),
+        then document frequency desc, then term asc. ``suggest_mode``:
+        ``missing`` suggests only for tokens absent from the index
+        (the ES default), ``popular`` only terms MORE frequent than
+        the input token, ``always`` unconditionally.
+
+        Scale shape: ONE job over the unioned per-dir terms
+        dictionaries — postings never touched — with the candidate
+        window capped IN-PLAN per token (row_number ≤ size before any
+        collect), so a 10^9-term vocabulary reaches the driver as
+        ≤ tokens·size rows. df is the dictionary's raw sum across
+        dirs (pre-tombstone, like ES's shard-local suggest
+        frequencies — a documented approximation; the ranked paths
+        always use the live df).
+
+        Returns (token, rank, suggestion, distance, df)."""
+        from pyspark.sql import Window as W
+
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2 (the ES bound)")
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(
+                "suggest_mode must be missing / popular / always"
+            )
+        toks = [t for t in dict.fromkeys(tokens) if t]
+        empty = self.spark.createDataFrame(
+            [],
+            schema="token string, rank long, suggestion string, "
+                   "distance int, df long",
+        )
+        if not toks:
+            return empty
+        scans = [
+            self.spark.read.parquet(f"{p}/terms").select("term", "df")
+            for _, p in self.dirs
+        ]
+        vocab = scans[0]
+        for sc in scans[1:]:
+            vocab = vocab.unionByName(sc)
+        fld = self._resolve_field(field)
+        if fld is not None:
+            fp = f"{fld}:"
+            vocab = vocab.filter(F.col("term").startswith(fp)).withColumn(
+                "bare", F.expr(f"substring(term, {len(fp) + 1})")
+            )
+        else:
+            vocab = vocab.withColumn("bare", F.col("term"))
+        vocab = vocab.groupBy("bare").agg(F.sum("df").alias("df"))
+        # the input tokens' own df — a bounded probe (≤ |tokens| rows)
+        own = {t: 0 for t in toks}
+        for r in vocab.filter(F.col("bare").isin(toks)).collect():
+            own[r["bare"]] = int(r["df"])
+        if suggest_mode == "missing":
+            toks = [t for t in toks if own[t] == 0]
+            if not toks:
+                return empty
+        pairs = vocab.select(
+            "bare", "df",
+            F.explode(F.array(*[F.lit(t) for t in toks])).alias("qp"),
+        ).withColumn(
+            "distance", F.levenshtein(F.col("bare"), F.col("qp"))
+        ).filter(
+            (F.col("distance") <= int(max_edits)) & (F.col("bare") != F.col("qp"))
+        )
+        if suggest_mode == "popular":
+            own_df = F.create_map(
+                *[F.lit(x) for t in toks for x in (t, own[t])]
+            )
+            pairs = pairs.filter(F.col("df") > own_df[F.col("qp")])
+        w = W.partitionBy("qp").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("bare")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(size))
+            .select(
+                F.col("qp").alias("token"),
+                F.col("rank").cast("long"),
+                F.col("bare").alias("suggestion"),
+                F.col("distance").cast("int"),
+                F.col("df").cast("long"),
+            )
+        )
+
     def prefix_variants(
         self,
         prefixes: list[str],
@@ -2622,6 +2716,85 @@ class QueryEngine:
             )
         return hits.select(
             F.col("query_id").cast("long"), F.col("doc_id").cast("long")
+        )
+
+    def bool_top_hits(
+        self,
+        queries: list[tuple[int, dict]],
+        group_by,
+        k_hits: int = 3,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES ``top_hits`` sub-aggregation: the top ``k_hits`` SCORED
+        hits within each bucket of the FULL match set — "show me the
+        best 3 documents per language / per day". Accepts the same
+        query specs as :meth:`bool_topk` and the same bucket specs as
+        :meth:`search_aggs` (terms / histogram / date_histogram /
+        range / filters).
+
+        Scale shape: one scan + one (query, doc) hash-agg builds the
+        scored match set, one shuffle-join attaches the bucket doc
+        value, and ONE rank window partitioned by (query_id, bucket)
+        keeps k_hits rows per bucket — Spark's WindowGroupLimit
+        prunes to k_hits per partition BEFORE the shuffle, so a
+        stopword query over 10^12 docs moves ≤ buckets·k_hits rows
+        per partition, never the match set. ``size`` additionally
+        keeps only the top ``size`` buckets by doc_count (ES
+        terms-agg size), ranked in-plan.
+
+        Returns (query_id, <bucket>, hit_rank, doc_id, score) — the
+        flattened form of ES's hierarchical hits-in-buckets
+        response."""
+        from pyspark.sql import Window as W
+
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, score double"
+            )
+        spec = self._norm_bucket(group_by)
+        name, mode, expr, cols = self._bucket_col(spec)
+        dv = docs if docs is not None else self._doc_values(sorted(set(cols)))
+        b = (
+            hits.select("query_id", "doc_id", "score")
+            .join(dv, "doc_id")
+            .withColumn(name, expr)
+        )
+        if mode == "multi":
+            b = b.withColumn(name, F.explode(name))
+        else:
+            b = b.filter(F.col(name).isNotNull())
+        b = b.select("query_id", name, "doc_id", "score")
+        if size is not None:
+            # ES terms-agg size on the carrying bucket: top-size
+            # buckets by (doc_count desc, key asc), ranked in-plan
+            counts = b.groupBy("query_id", name).agg(
+                F.count("*").alias("_dc")
+            )
+            bw = W.partitionBy("query_id").orderBy(
+                F.desc("_dc"), F.asc(name)
+            )
+            keep = (
+                counts.withColumn("_br", F.row_number().over(bw))
+                .filter(F.col("_br") <= int(size))
+                .select("query_id", name)
+            )
+            b = b.join(keep, ["query_id", name], "left_semi")
+        w = W.partitionBy("query_id", name).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            b.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= int(k_hits))
+            .select(
+                "query_id", name,
+                F.col("hit_rank").cast("long"), "doc_id", "score",
+            )
         )
 
     def collapse_topk(
