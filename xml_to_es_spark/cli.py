@@ -243,6 +243,67 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """ES GET /index/_stats: live/killed counts, per-dir postings
+    bytes and term counts, the stored mapping — metadata only."""
+    from xml_to_es_spark.operators.es_query import index_stats
+
+    print(json.dumps(index_stats(_spark(args), args.index), default=str))
+    return 0
+
+
+def cmd_delete_by_query(args) -> int:
+    """ES _delete_by_query: kill every doc matching a JSON query
+    body; the match set never visits the driver."""
+    from xml_to_es_spark.operators.es_query import es_delete_by_query
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    spark = _spark(args)
+    body = json.loads(args.body)
+    print(json.dumps(es_delete_by_query(
+        IndexBuilder(spark), QueryEngine(spark, args.index),
+        args.index, body,
+    )))
+    return 0
+
+
+def cmd_update_by_query(args) -> int:
+    """ES _update_by_query with a set-field script."""
+    from xml_to_es_spark.operators.es_query import es_update_by_query
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    spark = _spark(args)
+    body = json.loads(args.body)
+    res = es_update_by_query(
+        IndexBuilder(spark), QueryEngine(spark, args.index),
+        args.index, body,
+    )
+    print(json.dumps({k: v for k, v in res.items() if k != "delta_build"}))
+    return 0
+
+
+def cmd_reindex(args) -> int:
+    """ES _reindex: src index → fresh dest under the stored mapping,
+    optionally bounded by --query."""
+    from xml_to_es_spark.operators.es_query import es_reindex
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    spark = _spark(args)
+    q = json.loads(args.query) if args.query else None
+    print(json.dumps(es_reindex(IndexBuilder(spark), args.src, args.dest, q)))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """ES _analyze: the pinned analysis chain's token stream."""
+    from xml_to_es_spark.operators.es_query import es_analyze
+
+    print(json.dumps(es_analyze({"text": args.text})))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xml_to_es_spark")
     p.add_argument("--cores", default="32")
@@ -350,6 +411,32 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="recount index tables")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    st = sub.add_parser("stats", help="ES GET /index/_stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    dbq = sub.add_parser("delete-by-query", help="ES _delete_by_query")
+    dbq.add_argument("--index", required=True)
+    dbq.add_argument("--body", required=True, help='{"query": {...}}')
+    dbq.set_defaults(fn=cmd_delete_by_query)
+
+    ubq = sub.add_parser("update-by-query", help="ES _update_by_query")
+    ubq.add_argument("--index", required=True)
+    ubq.add_argument("--body", required=True,
+                     help='{"query": {...}, "script": {...}}')
+    ubq.set_defaults(fn=cmd_update_by_query)
+
+    rx = sub.add_parser("reindex", help="ES _reindex (src → fresh dest)")
+    rx.add_argument("--src", required=True)
+    rx.add_argument("--dest", required=True)
+    rx.add_argument("--query", default=None,
+                    help="optional bool-expressible query JSON")
+    rx.set_defaults(fn=cmd_reindex)
+
+    an = sub.add_parser("analyze", help="ES _analyze token stream")
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

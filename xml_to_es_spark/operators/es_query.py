@@ -214,7 +214,7 @@ class EsRequest:
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
-            "suggest",
+            "suggest", "rescore",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -285,18 +285,23 @@ class EsRequest:
         espec, fld = self._as_bool_tree()
         return self.eng.bool_count([(0, espec)], field=fld)
 
-    def match_ids(self) -> DataFrame:
-        """The body's FULL match set as (query_id 0, doc_id) — the
-        shared front half of ``_delete_by_query`` /
-        ``_update_by_query``. Query only (no paging keys); stays a
-        DataFrame end-to-end."""
+    def match_hits(self) -> DataFrame:
+        """The body's FULL match set as (query_id 0, doc_id, score) —
+        no top-k, nothing collected (the scale-honest scroll). Query
+        only (no paging keys)."""
         extra = set(self.body) - {"query"}
         if extra:
             raise ValueError(
-                f"match_ids takes a query only; remove {sorted(extra)}"
+                f"the full match set takes a query only; remove {sorted(extra)}"
             )
         espec, fld = self._as_bool_tree()
-        return self.eng.bool_match_ids([(0, espec)], field=fld)
+        return self.eng.bool_match_hits([(0, espec)], field=fld)
+
+    def match_ids(self) -> DataFrame:
+        """The body's FULL match set as (query_id 0, doc_id) — the
+        shared front half of ``_delete_by_query`` /
+        ``_update_by_query``."""
+        return self.match_hits().select("query_id", "doc_id")
 
     # query kinds that route a search_after cursor to the engine —
     # every other kind REJECTS the cursor (nothing silently ignored)
@@ -914,9 +919,57 @@ class EsRequest:
             suggest_mode=t.get("suggest_mode", "missing"),
         )
 
+    def _rescore(self) -> DataFrame:
+        """ES ``rescore`` body::
+
+            {"query": {...}, "rescore": {"window_size": N, "query":
+                {"rescore_query": {...}, "query_weight": w,
+                 "rescore_query_weight": rw}}, "size": k}
+
+        Both legs must be bool-expressible (the usual pattern: cheap
+        match first pass, match_phrase rescorer). No other body keys —
+        the page comes entirely from the rescored window."""
+        bad = set(self.body) - {"query", "rescore", "size"}
+        if bad or "query" not in self.body:
+            raise ValueError(
+                f"rescore bodies take query + rescore + size, got "
+                f"{sorted(bad) or 'no query'}"
+            )
+        r = dict(self.body["rescore"])
+        bad = set(r) - {"window_size", "query"}
+        if bad or "query" not in r:
+            raise ValueError(
+                f"rescore takes window_size + query, got "
+                f"{sorted(bad) or 'no query'}"
+            )
+        rq = dict(r["query"])
+        bad = set(rq) - {"rescore_query", "query_weight",
+                         "rescore_query_weight"}
+        if bad or "rescore_query" not in rq:
+            raise ValueError(
+                f"rescore.query takes rescore_query (+weights), got "
+                f"{sorted(bad) or 'no rescore_query'}"
+            )
+        espec, fld = self._as_bool_tree()
+        rspec, rfld = self._as_bool_tree(rq["rescore_query"])
+        if fld is not None and rfld is not None and fld != rfld:
+            raise ValueError(
+                f"rescore legs resolve to different fields "
+                f"({fld!r} vs {rfld!r})"
+            )
+        return self.eng.rescore_topk(
+            [(0, espec)], [(0, rspec)], k=self.k,
+            window_size=int(r.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            field=fld if fld is not None else rfld,
+        )
+
     def run(self) -> DataFrame:
         if "suggest" in self.body:
             return self._suggest()
+        if "rescore" in self.body:
+            return self._rescore()
         if "aggs" in self.body and "size" not in self.body:
             return self._aggs()
         hits = self._hits()
@@ -1339,6 +1392,103 @@ def es_update_by_query(
     return {
         "updated": int(res.get("n_new", 0)) + int(res.get("n_changed", 0)),
         **res,
+    }
+
+
+def es_scroll_hits(engine: QueryEngine, body: dict) -> DataFrame:
+    """ES scroll / point-in-time, the Spark way: scroll exists so an
+    ES client can page an ENTIRE match set out of a server; here the
+    full match set is simply returned as a distributed DataFrame —
+    (query_id 0, doc_id, score), no top-k, nothing collected — to be
+    joined, aggregated, or written to parquet with ordinary DataFrame
+    ops. Any bool-expressible query body. Pair with
+    :meth:`QueryEngine.fetch`-style doc-value joins for source
+    columns; for interactive cursor paging of a RANKED list, use
+    ``search_after`` on the search surface instead."""
+    return EsRequest(engine, dict(body)).match_hits()
+
+
+def es_reindex(
+    builder, src_dir: str, dest_dir: str, query: dict | None = None
+) -> dict:
+    """ES ``_reindex``: the live stored docs of ``src_dir`` —
+    optionally bounded by a bool-expressible ``query`` — rebuilt as a
+    FRESH stand-alone index at ``dest_dir`` under the SOURCE's stored
+    mapping (a reindex cannot silently change analysis; build a new
+    index explicitly for that). Requires store_source, like ES
+    requiring ``_source`` for reindex.
+
+    Fully distributed: live rows × match-set semi-join × one ordinary
+    build — at 10^12 docs the cost is the selected corpus slice, and
+    the build is checkpoint-resumable like any other."""
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+
+    rows = _live_source_rows(builder, src_dir)
+    if query is not None:
+        eng = QueryEngine(builder.spark, src_dir)
+        ids = EsRequest(eng, {"query": query}).match_ids()
+        rows = rows.join(ids.select("doc_id"), "doc_id", "left_semi")
+    cfg = builder._resolved_cfg(src_dir)
+    res = IndexBuilder(builder.spark, cfg).build(rows, dest_dir)
+    return {"mode": "reindex", "dest": dest_dir, **res}
+
+
+def index_stats(spark, index_dir: str) -> dict:
+    """ES ``GET /index/_stats`` (+ ``HEAD /index`` existence): live
+    doc count, tombstoned-version count, per-dir (base + deltas) doc
+    counts, postings bytes and term counts off the manifests, and the
+    stored mapping — all from metadata tables, no postings scan."""
+    from pathlib import Path
+
+    from xml_to_es_spark.operators.index_build import (
+        IndexBuilder,
+        _kills_df,
+        index_dirs,
+        live_docs,
+    )
+
+    base = Path(index_dir)
+    if not (base / "stats").exists():
+        return {"exists": False}
+    dirs = index_dirs(index_dir)
+    per_dir = []
+    total_bytes = 0
+    n_terms = 0
+    for o, p in dirs:
+        st = spark.read.parquet(f"{p}/stats").first()
+        m = (
+            spark.read.parquet(f"{p}/_manifest")
+            .filter(F.col("stage") == "postings")
+            .agg(
+                F.sum("bytes").alias("b"),
+                F.sum("n_postings").alias("np"),
+            )
+            .first()
+            if (Path(p) / "_manifest").exists()
+            else None
+        )
+        tb = int(m["b"] or 0) if m else 0
+        terms = spark.read.parquet(f"{p}/terms").count()
+        total_bytes += tb
+        n_terms += terms
+        per_dir.append({
+            "ord": o,
+            "n_docs": int(st["n_docs"]),
+            "postings_bytes": tb,
+            "n_terms": terms,
+        })
+    kills = _kills_df(spark, index_dir)
+    n_killed = int(kills.count()) if kills is not None else 0
+    n_live = live_docs(spark, index_dir).count()
+    return {
+        "exists": True,
+        "n_docs_live": int(n_live),
+        "n_doc_versions_killed": n_killed,
+        "n_dirs": len(dirs),
+        "postings_bytes": total_bytes,
+        "n_terms_total": n_terms,
+        "dirs": per_dir,
+        "mapping": IndexBuilder(spark).get_mapping(index_dir),
     }
 
 

@@ -2694,28 +2694,114 @@ class QueryEngine:
             .select("query_id", F.coalesce("total", F.lit(0)).alias("total"))
         )
 
-    def bool_match_ids(
+    def bool_match_hits(
         self,
         queries: list[tuple[int, dict]],
         field: str | None = None,
     ) -> DataFrame:
-        """The FULL match set as ids only — (query_id, doc_id), no
-        ranking tail, nothing collected. The front half of the ES
-        ``_delete_by_query`` / ``_update_by_query`` surfaces: the
-        match set stays a DataFrame end-to-end, so a query matching
-        10^9 docs feeds the kill log / re-index upsert without ever
-        visiting the driver. Accepts the same specs as
-        :meth:`bool_topk` (flat roles or rich nested trees)."""
+        """The FULL match set — (query_id, doc_id, score), no ranking
+        tail, no top-k, nothing collected. The scale-honest SCROLL:
+        ES scroll/PIT exists to page an entire match set out of a
+        server; here the match set already IS a distributed DataFrame
+        — join it, aggregate it, or write it to parquet directly.
+        Accepts the same specs as :meth:`bool_topk` (flat roles or
+        rich nested trees)."""
         if any(_is_rich_bool(c) for _, c in queries):
             hits = self._bool_tree_match_set(queries, field=field)
         else:
             hits = self._bool_match_set(queries, field=field)
         if hits is None:
             return self.spark.createDataFrame(
-                [], schema="query_id long, doc_id long"
+                [], schema="query_id long, doc_id long, score double"
             )
         return hits.select(
-            F.col("query_id").cast("long"), F.col("doc_id").cast("long")
+            F.col("query_id").cast("long"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+
+    def bool_match_ids(
+        self,
+        queries: list[tuple[int, dict]],
+        field: str | None = None,
+    ) -> DataFrame:
+        """The FULL match set as ids only — (query_id, doc_id). The
+        front half of the ES ``_delete_by_query`` /
+        ``_update_by_query`` surfaces: the match set stays a DataFrame
+        end-to-end, so a query matching 10^9 docs feeds the kill log /
+        re-index upsert without ever visiting the driver."""
+        return self.bool_match_hits(queries, field=field).select(
+            "query_id", "doc_id"
+        )
+
+    def rescore_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        rescore: list[tuple[int, dict]],
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES ``rescore``: re-rank the top ``window_size`` hits of the
+        first-pass query by ``query_weight·score +
+        rescore_query_weight·rescore_score`` — the classic
+        cheap-BM25-then-expensive-phrase pattern. Both legs accept any
+        bool-expressible spec (:meth:`bool_topk` form), so the
+        rescorer is typically a match_phrase leaf evaluated by the
+        positional kernel over its FULL match set (no top-k pruning —
+        a window doc's phrase score is exact wherever it ranks
+        globally, which a second top-k pass could not guarantee).
+
+        Window docs NOT matching the rescorer keep
+        ``query_weight·score`` (the ES behaviour); ``k`` must be ≤
+        ``window_size`` — the returned page comes entirely from the
+        rescored window (ES appends un-rescored hits past the window;
+        this surface keeps requests window-bounded and says so).
+
+        Scale shape: first pass is the ordinary one-scan bool top-k;
+        the rescore match set is semi-joined down to the window by a
+        BROADCAST of the (≤ window_size) first-pass page before the
+        (window-sized) left join — the big rescore set is never
+        shuffled on its own."""
+        if k > window_size:
+            raise ValueError(
+                f"size {k} exceeds rescore window_size {window_size} — "
+                "the page must come from the rescored window"
+            )
+        from pyspark.sql import Window as W
+
+        first = self.bool_topk(queries, k=window_size, field=field)
+        if any(_is_rich_bool(c) for _, c in rescore):
+            rs = self._bool_tree_match_set(rescore, field=field)
+        else:
+            rs = self._bool_match_set(rescore, field=field)
+        page = first.select("query_id", "doc_id", "score")
+        if rs is None:
+            joined = page.withColumn("rescore_score", F.lit(None).cast("double"))
+        else:
+            rs_w = rs.select(
+                "query_id", "doc_id", F.col("score").alias("rescore_score")
+            ).join(
+                F.broadcast(page.select("query_id", "doc_id")),
+                ["query_id", "doc_id"],
+                "left_semi",
+            )
+            joined = page.join(
+                F.broadcast(rs_w), ["query_id", "doc_id"], "left"
+            )
+        combined = joined.withColumn(
+            "score",
+            F.lit(float(query_weight)) * F.col("score")
+            + F.lit(float(rescore_query_weight))
+            * F.coalesce(F.col("rescore_score"), F.lit(0.0)),
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            combined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", "rank", "doc_id", "score")
         )
 
     def bool_top_hits(
