@@ -269,6 +269,7 @@ def main():
     new_in_r5 = [
         "bm25_bool_nested_topk", "sqs_mixed_topk",
         "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
+        "es_top_hits_topk", "bm25_rescore_topk",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -322,6 +323,29 @@ def main():
         lambda: feng.phrase_topk(
             entry.BM25_PHRASE_QUERIES, k=10, n_ranges=8, field="text",
             search_after=pcur,
+        ).collect(),
+    )
+    # 24. ES top_hits sub-agg: best-3 scored hits per lang bucket over
+    # the FULL match set of the 6-query batch — one rank window per
+    # (query, bucket), WindowGroupLimit-pruned before the shuffle
+    timed(
+        "es_top_hits_topk",
+        lambda: eng.bool_top_hits(
+            [(qid, {"must": t}) for qid, t in entry.BM25_QUERIES],
+            group_by="lang", k_hits=3, docs=dv,
+        ).collect(),
+    )
+    # 25. ES rescore: BM25 first pass (window 50) re-ranked by the
+    # exact-phrase rescorer over its full match set, broadcast
+    # semi-joined down to the window
+    timed(
+        "bm25_rescore_topk",
+        lambda: feng.rescore_topk(
+            [(qid, {"must": t}) for qid, t in entry.BM25_PHRASE_QUERIES],
+            [(qid, {"must": [{"match_phrase": {"query": t}}]})
+             for qid, t in entry.BM25_PHRASE_QUERIES],
+            k=10, window_size=50, query_weight=1.0,
+            rescore_query_weight=2.0, field="text",
         ).collect(),
     )
     dv.unpersist()
