@@ -856,12 +856,28 @@ def _q_search_aggs_nested(spark, sf):
     )
 
 
+# composite-agg fold constants: (lang asc, 150-char histogram desc)
+# key order, CSIZE buckets per page; page 2 drives the REAL after
+# cursor (derived per query from page 1's collected last key)
+COMP_SOURCES = [
+    {"lg": {"terms": {"field": "lang"}}},
+    {"cb": {"histogram": {"field": "n_chars", "interval": 150,
+                          "order": "desc"}}},
+]
+CSIZE = 5
+
+
 def _q_search_aggs_range_filters(spark, sf):
     """The ES `range` and `filters` bucket kinds (multi-membership: a
     doc lands in EVERY matching range/filter — realized as an in-plan
     exploded matched-keys array, so overlap costs rows, never a second
     scan) with max + exact interpolated percentile metrics; both kinds
-    unioned under a part tag so one driver entry gates both."""
+    unioned under a part tag so one driver entry gates both. The
+    `comp1`/`comp2` parts add the ES COMPOSITE aggregation (key-
+    ordered, cursor-paginated buckets): page 1, then page 2 via the
+    real per-query `after` cursor derived from page 1's final key —
+    the twin checks the pages tile the key-ordered bucket ranking
+    exactly."""
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
@@ -887,8 +903,42 @@ def _q_search_aggs_range_filters(spark, sf):
         group_by={"filters": {"filters": AGG_FILTERS}},
         metrics=mets,
     )
-    return shape(r, "range", "n_chars_range").unionByName(
-        shape(f, "filters", "filter_bucket")
+    # composite pages ride the same OR match set: one rich or-match
+    # clause per query (the ES `match` default the aggs twin encodes)
+    cqueries = [
+        (qid, {"must": [{"match": {"query": text, "operator": "or"}}]})
+        for qid, text in BM25_QUERIES
+    ]
+
+    def cshape(df, part):
+        return df.select(
+            F.lit(part).alias("part"),
+            "query_id",
+            F.concat_ws(
+                "|", F.col("lg"), F.col("cb").cast("string")
+            ).alias("bucket"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("mx").cast("long").alias("mx"),
+            F.round("p50", 6).alias("p50"),
+        )
+
+    p1 = eng.composite_aggs(cqueries, COMP_SOURCES, size=CSIZE,
+                            metrics=mets)
+    # the real cursor: page 1's last key per query (lang asc, cb desc)
+    rows = sorted(
+        p1.select("query_id", "lg", "cb").collect(),
+        key=lambda r: (r.query_id, r.lg, -r.cb),
+    )
+    after = {}
+    for r2 in rows:
+        after[int(r2.query_id)] = (r2.lg, int(r2.cb))
+    p2 = eng.composite_aggs(cqueries, COMP_SOURCES, size=CSIZE,
+                            metrics=mets, after=after)
+    return (
+        shape(r, "range", "n_chars_range")
+        .unionByName(shape(f, "filters", "filter_bucket"))
+        .unionByName(cshape(p1, "comp1"))
+        .unionByName(cshape(p2, "comp2"))
     )
 
 
@@ -1336,12 +1386,62 @@ def _q_multi_match_both(spark, sf):
 def _q_es_dsl_parity(spark, sf):
     """The ES-DSL translation-identity suites in one frame, tagged by
     `variant`: bool+structured-range bodies, rich nested trees
-    (incl. dis_max/boosting), and the wildcard/regexp multi-term
-    constant-score kinds."""
+    (incl. dis_max/boosting), the wildcard/regexp multi-term
+    constant-score kinds, and function_score doc-value re-weighting."""
     a = _q_es_dsl_bool_range(spark, sf).withColumn("variant", F.lit("range"))
     b = _q_es_dsl_bool_nested(spark, sf).withColumn("variant", F.lit("nested"))
     c = _q_es_wildcard(spark, sf).withColumn("variant", F.lit("wildcard"))
-    return a.unionByName(b).unionByName(c)
+    d = _q_es_function_score(spark, sf).withColumn(
+        "variant", F.lit("fscore")
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+# function_score: the ES recency/length/quality boost — BM25 first
+# pass re-weighted by doc-value functions (field_value_factor log1p,
+# a lang-filtered constant weight, a gaussian length decay), combined
+# under score_mode=sum, boost_mode=multiply
+FS_GAUSS = {"origin": 400.0, "scale": 250.0, "offset": 25.0, "decay": 0.5}
+FS_FUNCS = [
+    {"field_value_factor": {"field": "n_chars", "factor": 0.001,
+                            "modifier": "log1p", "missing": 1.0}},
+    {"weight": 2.0, "filter": {"term": {"lang": "en"}}},
+    {"gauss": {"n_chars": FS_GAUSS}},
+]
+FS_QUERIES = [(1, "hash join"), (2, "sort merge dup"), (3, "fast slow key")]
+
+
+def _q_es_function_score(spark, sf):
+    """ES function_score bodies via the DSL: the one-scan match set +
+    one column-pruned doc-values join + pure-JVM function array
+    (QueryEngine.function_score_topk); oracle recomputes the exact
+    formula (same literal model and fold order) over the documents
+    table."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, text in FS_QUERIES:
+        body = {"query": {"function_score": {
+            "query": {"match": {"text": text}},
+            "functions": FS_FUNCS,
+            "score_mode": "sum", "boost_mode": "multiply",
+        }}, "size": BM25_K}
+        parts.append(
+            es_search(eng, body).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
 
 
 def _q_exact_dedup_full(spark, sf):
@@ -2181,12 +2281,33 @@ def _search_aggs_range_filters_sql() -> str:
     return _agg_hits_cte() + f""",
 memb AS (
 {union}
+),
+rf AS (
+  SELECT part, query_id, bucket,
+         count(*)::BIGINT AS doc_count,
+         max(n_chars)::BIGINT AS mx,
+         round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50
+  FROM memb GROUP BY 1, 2, 3
+),
+comp AS (
+  SELECT h.query_id, d.lang AS lg,
+         (floor(d.n_chars / 150.0) * 150)::BIGINT AS cb,
+         count(*)::BIGINT AS doc_count,
+         max(d.n_chars)::BIGINT AS mx,
+         round(quantile_cont(d.n_chars::DOUBLE, 0.5), 6) AS p50
+  FROM hits h JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY lg ASC, cb DESC) AS rn
+  FROM comp
 )
-SELECT part, query_id, bucket,
-       count(*)::BIGINT AS doc_count,
-       max(n_chars)::BIGINT AS mx,
-       round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50
-FROM memb GROUP BY 1, 2, 3
+SELECT part, query_id, bucket, doc_count, mx, p50 FROM rf
+UNION ALL
+SELECT CASE WHEN rn <= {CSIZE} THEN 'comp1' ELSE 'comp2' END AS part,
+       query_id, lg || '|' || cb::VARCHAR AS bucket, doc_count, mx, p50
+FROM cranked WHERE rn <= {2 * CSIZE}
 """
 
 
@@ -3169,6 +3290,66 @@ ORDER BY doc_id ASC LIMIT {k}
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
 
 
+def _function_score_sql(k: int) -> str:
+    """Twin of the function_score bodies: the OR-match BM25 sum of
+    _bm25_sql re-weighted by the SAME literal function model —
+    log10-based field_value_factor, lang-gated constant weight,
+    gaussian n_chars decay — with the engine's exact fold order
+    ((0 + fvf) + weight) + gauss (a non-matching filter contributes
+    literal 0.0, bit-equal to being absent from the fold)."""
+    import math
+    import re
+
+    qvals = []
+    for qid, text in FS_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    g = FS_GAUSS
+    two_sigma2 = 2.0 * (
+        -(g["scale"] * g["scale"]) / (2.0 * math.log(g["decay"]))
+    )
+    fvf = "log10(coalesce(d.n_chars::DOUBLE, 1.0) * 0.001 + 1.0)"
+    wflt = "(CASE WHEN d.lang = 'en' THEN 2.0 ELSE 0.0 END)"
+    dist = (
+        f"greatest(abs(d.n_chars::DOUBLE - {g['origin']!r}) - "
+        f"{g['offset']!r}, 0.0)"
+    )
+    gauss = f"exp(-(({dist}) * ({dist})) / {two_sigma2!r})"
+    fnsum = f"(((0.0 + {fvf}) + {wflt}) + {gauss})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), final AS (
+  SELECT s.query_id, s.doc_id, s.score_raw * {fnsum} AS fscore
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fscore DESC, doc_id ASC) AS rank,
+         doc_id, round(fscore, 6) AS score
+  FROM final
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _es_collapse_sql(k: int) -> str:
     """Twin of es_search collapse bodies: the match set + BM25 sum of
     _bm25_sql, one best (score desc, doc_id asc) row per (query,
@@ -3310,6 +3491,8 @@ UNION ALL
 SELECT *, 'nested' AS variant FROM ({_bool_nested_sql(BM25_K)})
 UNION ALL
 SELECT *, 'wildcard' AS variant FROM ({_es_wildcard_sql(BM25_K)})
+UNION ALL
+SELECT *, 'fscore' AS variant FROM ({_function_score_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),

@@ -400,3 +400,67 @@ def test_nested_bool_tree_plan_single_scan(spark, tmp_path):
     )
     assert two.count("MapInPandas") == one.count("MapInPandas")
     assert "BatchEvalPython" not in two
+
+
+def test_function_score_and_composite_plans(spark, tmp_path):
+    """function_score must cost exactly a bool_topk plus ONE
+    column-pruned doc-values join — the function array is pure JVM
+    (no extra Python, no extra aggregation pass); weight-only
+    functions (no doc values referenced) must not even join.
+    composite_aggs ranks key-ordered buckets with an in-plan
+    row_number window — no Python beyond the decode kernel, and the
+    after-cursor filter adds a predicate, not a pass."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(24),
+            "text": [f"alpha w{i} tail" for i in range(24)],
+            "lang": [("en", "de", "fr")[i % 3] for i in range(24)],
+            "n_chars": [100 + 13 * i for i in range(24)],
+        })
+    )
+    idx = str(tmp_path / "fs_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=2, stored_fields=("lang", "n_chars"))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+    q = [(1, {"must": "alpha"})]
+    funcs = [
+        {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                "modifier": "log1p", "missing": 1.0}},
+        {"weight": 2.0, "filter": {"term": {"lang": "en"}}},
+    ]
+
+    base = explain_str(eng.bool_topk(q, k=5), "simple")
+    fs = explain_str(
+        eng.function_score_topk(q, funcs, k=5, score_mode="sum"), "simple"
+    )
+    assert fs.count("MapInPandas") == base.count("MapInPandas")
+    assert "BatchEvalPython" not in fs
+    assert "FlatMapGroupsInPandas" not in fs
+    # one extra join (the doc-values projection), no extra hash-agg
+    assert fs.count("HashAggregate") == base.count("HashAggregate")
+    assert "WindowGroupLimit" in fs
+
+    # weight-only functions reference no doc values: no dv join at all
+    wonly = explain_str(
+        eng.function_score_topk(q, [{"weight": 3.0}], k=5), "simple"
+    )
+    assert wonly.count("Join") == base.count("Join")
+
+    comp = eng.composite_aggs(
+        q,
+        [{"lg": {"terms": {"field": "lang"}}},
+         {"cb": {"histogram": {"field": "n_chars", "interval": 100}}}],
+        size=3, after={1: ("de", 100)},
+    )
+    cplan = explain_str(comp, "simple")
+    assert "BatchEvalPython" not in cplan
+    assert cplan.count("MapInPandas") == base.count("MapInPandas")
+    # the page window is a rank over the bucket agg — in-plan, and the
+    # cursor is a filter (no extra shuffle beyond match-dedup, bucket
+    # agg, and the page window)
+    assert cplan.count("Exchange hashpartitioning") <= 3

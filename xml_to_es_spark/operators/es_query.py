@@ -42,7 +42,13 @@ raise, nothing is silently ignored)::
         "regexp":             {field: {"value": "w[0-9]+", ...}},  # anchored
         "constant_score":     {"filter": {<any clause here>}, "boost": b},
         "fuzzy":              {field: {"value": v, "fuzziness": N}},
-        "simple_query_string": {"query": "+req -excl optional"}
+        "simple_query_string": {"query": "+req -excl optional"},
+        "function_score":     {"query": {...}, "functions": [
+                               {"field_value_factor"/"gauss"/"exp"/
+                                "linear"/"weight": ...,
+                                "filter": structured-clause}],
+                               "score_mode"/"boost_mode"/"max_boost"/
+                               "min_score": ...}   # or ONE inline function
       },
       "size": k, "from": n,
       "search_after": [score, doc_id]        # single-query cursor
@@ -54,7 +60,9 @@ raise, nothing is silently ignored)::
                                          "calendar_interval": "day"} |
                       "range": {"field": f, "ranges": [
                                 {"key": k, "from": a, "to": b}, ...]} |
-                      "filters": {"filters": {name: structured-clause}},
+                      "filters": {"filters": {name: structured-clause}} |
+                      "composite": {"sources": [...], "size": N,
+                                    "after": {name: value}},
                       "aggs": {alias: {"avg"/"sum"/"min"/"max"/
                                        "cardinality"/"value_count"/
                                        "stats"/"percentiles":
@@ -499,6 +507,39 @@ class EsRequest:
         if kind in ("dis_max", "boosting"):
             espec = {"must": [self._rich_clause({kind: spec})]}
             return eng.bool_topk([(0, espec)], k=k, from_=from_)
+        if kind == "function_score":
+            fs = dict(spec)
+            inline_kinds = ("field_value_factor", "gauss", "exp", "linear",
+                            "weight", "filter")
+            bad = set(fs) - ({"query", "functions", "score_mode",
+                              "boost_mode", "max_boost", "min_score"}
+                             | set(inline_kinds))
+            if bad:
+                raise ValueError(
+                    f"unsupported function_score option(s) {sorted(bad)}"
+                )
+            if "query" not in fs:
+                raise ValueError(
+                    "function_score needs an inner query (a bare match_all "
+                    "is rejected here like everywhere else — bound the "
+                    "match set)"
+                )
+            inline = {kk: fs[kk] for kk in inline_kinds if kk in fs}
+            if inline and "functions" in fs:
+                raise ValueError(
+                    "give either a functions array or ONE inline function, "
+                    "not both"
+                )
+            functions = [inline] if inline else list(fs.get("functions", []))
+            espec, fld = self._as_bool_tree(fs["query"])
+            return eng.function_score_topk(
+                [(0, espec)], functions, k=k, from_=from_,
+                score_mode=str(fs.get("score_mode", "multiply")),
+                boost_mode=str(fs.get("boost_mode", "multiply")),
+                max_boost=fs.get("max_boost"),
+                min_score=fs.get("min_score"),
+                field=fld,
+            )
         if kind == "simple_query_string":
             opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
             bad = set(opts) - {"query", "fields"}
@@ -815,11 +856,59 @@ class EsRequest:
                 raise ValueError(f"unsupported metric {mk!r}")
         return metrics
 
+    def _composite(self, spec: dict) -> DataFrame:
+        """ES ``composite`` aggregation body::
+
+            {"query": {...}, "aggs": {name: {"composite": {
+                "sources": [{name: {"terms"/"histogram"/
+                             "date_histogram": {..., "order": ...}}}, ...],
+                "size": N, "after": {source_name: value, ...}},
+                "aggs": {metric sub-aggs}}}}
+
+        The ES bucket-PAGINATION agg: buckets ordered by key tuple,
+        the ``after`` cursor (keyed by source name, as ES returns it)
+        filters before the page window. Routed to
+        :meth:`QueryEngine.composite_aggs`."""
+        spec = dict(spec)
+        sub = spec.pop("aggs", {})
+        if set(spec) != {"composite"}:
+            raise ValueError(
+                f"composite beside {sorted(set(spec) - {'composite'})} "
+                "is not supported"
+            )
+        c = dict(spec["composite"])
+        bad = set(c) - {"sources", "size", "after"}
+        if bad or "sources" not in c:
+            raise ValueError(
+                f"composite takes sources/size/after, got "
+                f"{sorted(bad) or 'no sources'}"
+            )
+        sources = list(c["sources"])
+        after = None
+        if "after" in c:
+            a = dict(c["after"])
+            names = [next(iter(s)) for s in sources]
+            if set(a) != set(names):
+                raise ValueError(
+                    f"after keys {sorted(a)} must equal the source names "
+                    f"{names}"
+                )
+            after = {0: tuple(a[n] for n in names)}
+        if "query" not in self.body:
+            raise ValueError("composite aggs require a query")
+        espec, fld = self._as_bool_tree()
+        return self.eng.composite_aggs(
+            [(0, espec)], sources, size=int(c.get("size", 10)),
+            after=after, metrics=self._parse_metrics(sub), field=fld,
+        )
+
     def _aggs(self) -> DataFrame:
         aggs = self.body["aggs"]
         if len(aggs) != 1:
             raise ValueError("one top-level agg supported")
         (_name, spec), = aggs.items()
+        if "composite" in spec:
+            return self._composite(spec)
         group_by: Any
         gb1, size, sub = self._parse_bucket(spec)
         # one SUB-BUCKET nesting level (e.g. date_histogram → terms):

@@ -2804,6 +2804,273 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    # ES field_value_factor modifiers (log* are log10-based, the ES
+    # definitions; ln* are natural-log)
+    _FVF_MODIFIERS = {
+        "none": lambda c: c,
+        "log": lambda c: F.log10(c),
+        "log1p": lambda c: F.log10(c + F.lit(1.0)),
+        "log2p": lambda c: F.log10(c + F.lit(2.0)),
+        "ln": lambda c: F.log(c),
+        "ln1p": lambda c: F.log(c + F.lit(1.0)),
+        "ln2p": lambda c: F.log(c + F.lit(2.0)),
+        "square": lambda c: c * c,
+        "sqrt": lambda c: F.sqrt(c),
+        "reciprocal": lambda c: F.lit(1.0) / c,
+    }
+    _SCORE_MODES = ("multiply", "sum", "avg", "max", "min", "first")
+    _BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+
+    def _function_cols(
+        self, functions: list[dict]
+    ) -> tuple[list, list[str]]:
+        """Compile the ES ``functions`` array to per-function column
+        specs. Returns ([(match_pred, raw_value, weight)], doc-value
+        columns referenced). Everything is a pure JVM expression —
+        supported function kinds:
+
+        - ``{"weight": w}``: constant factor (raw value 1);
+        - ``{"field_value_factor": {"field", "factor", "modifier",
+          "missing"}}``: ``modifier(factor · value)`` with the ES
+          modifier set (log/log1p/log2p are log10-based, ln* natural);
+          ``missing`` is REQUIRED here — ES throws per-document when
+          the field is absent, which a column expression cannot, so
+          the default is explicit;
+        - ``{"gauss"|"exp"|"linear": {field: {"origin", "scale",
+          "offset", "decay"}}}``: the ES numeric decay curves (docs
+          missing the field decay to 1.0, the ES behaviour);
+        - any of the above plus ``"filter"``: a STRUCTURED clause
+          (term/terms/range/exists over stored doc values) gating
+          whether the function applies — text-match filters would
+          need the postings scan and are rejected (documented).
+        """
+        compiled, cols = [], []
+        for fn in functions:
+            fn = dict(fn)
+            filt = fn.pop("filter", None)
+            weight = float(fn.pop("weight", 1.0))
+            pred = F.lit(True)
+            if filt is not None:
+                (fkind, _), = filt.items()
+                if fkind == "match" or fkind not in self._STRUCTURED_KINDS:
+                    raise ValueError(
+                        f"function filter kind {fkind!r}: only structured "
+                        "doc-value filters (term/terms/range/exists) gate "
+                        "score functions"
+                    )
+                pred = self._structured_pred(filt)
+                cols.append(self._clause_col(filt))
+            if not fn:
+                compiled.append((pred, F.lit(1.0), weight))
+                continue
+            if len(fn) != 1:
+                raise ValueError(
+                    f"one function kind per entry, got {sorted(fn)}"
+                )
+            (kind, spec), = fn.items()
+            if kind == "field_value_factor":
+                spec = dict(spec)
+                bad = set(spec) - {"field", "factor", "modifier", "missing"}
+                if bad:
+                    raise ValueError(
+                        f"field_value_factor: unknown option(s) {sorted(bad)}"
+                    )
+                if "missing" not in spec:
+                    raise ValueError(
+                        "field_value_factor requires an explicit 'missing' "
+                        "value (ES throws per-document on absent fields; a "
+                        "distributed expression must pick the value up front)"
+                    )
+                mod = str(spec.get("modifier", "none"))
+                if mod not in self._FVF_MODIFIERS:
+                    raise ValueError(
+                        f"unknown modifier {mod!r}; expected one of "
+                        f"{sorted(self._FVF_MODIFIERS)}"
+                    )
+                col = F.coalesce(
+                    F.col(spec["field"]).cast("double"),
+                    F.lit(float(spec["missing"])),
+                )
+                raw = self._FVF_MODIFIERS[mod](
+                    col * F.lit(float(spec.get("factor", 1.0)))
+                )
+                cols.append(spec["field"])
+                compiled.append((pred, raw, weight))
+                continue
+            if kind in ("gauss", "exp", "linear"):
+                (dfld, dspec), = spec.items()
+                dspec = dict(dspec)
+                bad = set(dspec) - {"origin", "scale", "offset", "decay"}
+                if bad:
+                    raise ValueError(
+                        f"{kind} decay: unknown option(s) {sorted(bad)}"
+                    )
+                origin = float(dspec["origin"])
+                scale = float(dspec["scale"])
+                offset = float(dspec.get("offset", 0.0))
+                decay = float(dspec.get("decay", 0.5))
+                if not (0.0 < decay < 1.0) or scale <= 0:
+                    raise ValueError(
+                        f"{kind} decay needs scale > 0 and 0 < decay < 1"
+                    )
+                dist = F.greatest(
+                    F.abs(F.col(dfld).cast("double") - F.lit(origin))
+                    - F.lit(offset),
+                    F.lit(0.0),
+                )
+                if kind == "gauss":
+                    import math as _m
+
+                    sigma2 = -(scale * scale) / (2.0 * _m.log(decay))
+                    val = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+                elif kind == "exp":
+                    import math as _m
+
+                    lam = _m.log(decay) / scale
+                    val = F.exp(F.lit(lam) * dist)
+                else:  # linear
+                    s = scale / (1.0 - decay)
+                    val = F.greatest(
+                        (F.lit(s) - dist) / F.lit(s), F.lit(0.0)
+                    )
+                # ES: a doc missing the decay field scores 1.0
+                raw = F.coalesce(val, F.lit(1.0))
+                cols.append(dfld)
+                compiled.append((pred, raw, weight))
+                continue
+            raise ValueError(
+                f"unsupported score function {kind!r}; expected weight / "
+                "field_value_factor / gauss / exp / linear (script_score "
+                "and random_score are not supported: the first needs "
+                "painless, the second is nondeterministic)"
+            )
+        return compiled, sorted(set(cols))
+
+    def function_score_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        functions: list[dict],
+        k: int = 10,
+        boost_mode: str = "multiply",
+        score_mode: str = "multiply",
+        max_boost: float | None = None,
+        min_score: float | None = None,
+        field: str | None = None,
+        from_: int = 0,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``function_score``: re-weight the bool match set's BM25
+        scores by document-value functions — the standard ES
+        recency/popularity/quality boost. ``queries`` take any
+        :meth:`bool_topk` spec; ``functions`` is the ES array (see
+        :meth:`_function_cols` for the supported kinds and the
+        explicit-``missing`` rule).
+
+        Combination follows ES: per doc, the functions whose filters
+        match combine under ``score_mode`` (multiply / sum / max /
+        min / first / avg — avg is the ES WEIGHTED average
+        Σ(wᵢ·fᵢ)/Σwᵢ), the combined value is capped at ``max_boost``,
+        then merges with the query score under ``boost_mode``
+        (multiply / replace / sum / avg / max / min). A doc matching
+        NO function keeps its query score unchanged. ``min_score``
+        drops docs below the threshold AFTER combination (the ES
+        semantics — it can unseat pre-boost winners, which is why it
+        must run before the rank window, and does).
+
+        Scale shape: the one-scan bool match set + ONE column-pruned
+        doc-values join + pure JVM array expressions (the functions
+        array is a literal of driver-known size) + the same
+        WindowGroupLimit rank tail as :meth:`bool_topk`. No Python in
+        the row path, nothing collected. Fold order inside a
+        score_mode is the ``functions`` list order (pinned for
+        oracle parity; ES documents no order, so any is faithful).
+
+        Reference context: the reference's ES users boost crawl docs
+        by freshness/length exactly this way on the index built by
+        ElasticIndexer.js:76."""
+        from pyspark.sql import Window as W
+
+        if score_mode not in self._SCORE_MODES:
+            raise ValueError(
+                f"score_mode {score_mode!r}; expected one of "
+                f"{self._SCORE_MODES}"
+            )
+        if boost_mode not in self._BOOST_MODES:
+            raise ValueError(
+                f"boost_mode {boost_mode!r}; expected one of "
+                f"{self._BOOST_MODES}"
+            )
+        if not functions:
+            raise ValueError("function_score needs at least one function")
+        compiled, cols = self._function_cols(functions)
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if cols:
+            dv = (
+                docs.select("doc_id", *cols)
+                if docs is not None
+                else self._doc_values(cols)
+            )
+            hits = hits.join(dv, "doc_id")
+        structs = [
+            F.struct(
+                pred.alias("m"),
+                (raw * F.lit(w)).cast("double").alias("val"),
+                F.lit(w).alias("w"),
+            )
+            for pred, raw, w in compiled
+        ]
+        arr = F.filter(F.array(*structs), lambda s: s["m"])
+        n = F.size(arr)
+        if score_mode == "multiply":
+            fn_score = F.aggregate(
+                arr, F.lit(1.0), lambda acc, s: acc * s["val"]
+            )
+        elif score_mode == "sum":
+            fn_score = F.aggregate(
+                arr, F.lit(0.0), lambda acc, s: acc + s["val"]
+            )
+        elif score_mode == "avg":
+            fn_score = F.aggregate(
+                arr, F.lit(0.0), lambda acc, s: acc + s["val"]
+            ) / F.aggregate(arr, F.lit(0.0), lambda acc, s: acc + s["w"])
+        elif score_mode == "max":
+            fn_score = F.array_max(F.transform(arr, lambda s: s["val"]))
+        elif score_mode == "min":
+            fn_score = F.array_min(F.transform(arr, lambda s: s["val"]))
+        else:  # first
+            fn_score = F.element_at(arr, 1)["val"]
+        if max_boost is not None:
+            fn_score = F.least(fn_score, F.lit(float(max_boost)))
+        s = F.col("score")
+        if boost_mode == "multiply":
+            final = s * fn_score
+        elif boost_mode == "replace":
+            final = fn_score
+        elif boost_mode == "sum":
+            final = s + fn_score
+        elif boost_mode == "avg":
+            final = (s + fn_score) / F.lit(2.0)
+        elif boost_mode == "max":
+            final = F.greatest(s, fn_score)
+        else:  # min
+            final = F.least(s, fn_score)
+        out = hits.withColumn(
+            "score", F.when(n == 0, s).otherwise(final).cast("double")
+        )
+        if min_score is not None:
+            out = out.filter(F.col("score") >= F.lit(float(min_score)))
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def bool_top_hits(
         self,
         queries: list[tuple[int, dict]],
@@ -3310,6 +3577,128 @@ class QueryEngine:
                 .drop("_brank")
             )
         return out
+
+    @staticmethod
+    def _after_composite_key(
+        specs: list[tuple[str, bool]], after: tuple | list
+    ) -> Column:
+        """ES composite ``after`` cursor: keep buckets whose key tuple
+        is STRICTLY past the cursor in the per-source sort order.
+        Unlike :meth:`_after_sort_key` there is no doc_id tiebreak —
+        composite keys are unique per query after grouping, so the
+        full key tuple IS the cursor."""
+        if len(after) != len(specs):
+            raise ValueError(
+                f"composite after cursor needs one value per source "
+                f"({len(specs)}), got {len(after)}"
+            )
+        pred = F.lit(False)
+        for (c, asc), v in zip(reversed(specs), reversed(list(after))):
+            col, lit = F.col(c), F.lit(v)
+            strict = col > lit if asc else col < lit
+            pred = strict | (col.eqNullSafe(lit) & pred)
+        return pred
+
+    def composite_aggs(
+        self,
+        queries: list[tuple[int, dict]],
+        sources: list[dict],
+        size: int = 10,
+        after: dict[int, tuple] | None = None,
+        metrics: dict | None = None,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``composite`` aggregation — the PAGINATED bucket agg (the
+        ES-sanctioned way to stream ALL buckets of a high-cardinality
+        agg, where ``terms.size`` truncates): buckets are ordered by
+        their KEY tuple (not doc_count), pages are ``size`` buckets,
+        and the ``after`` cursor (the last page's final key tuple)
+        filters BEFORE the page window — so page 400 costs the same
+        shuffle as page 1 plus a predicate, never a 400·size window.
+
+        ``sources``: the ES list of single-entry dicts ``{name:
+        {kind: {..., "order": "asc"|"desc"}}}`` with kind in terms /
+        histogram / date_histogram (the ES composite source kinds;
+        range/filters are not composite sources in ES either). The
+        output column is named by the SOURCE name. ``after`` maps
+        query_id → key tuple in source order. ``queries`` take any
+        :meth:`bool_topk` spec; ``metrics`` as in :meth:`search_aggs`.
+
+        Scale shape: identical to :meth:`bool_aggs` — the one-scan
+        match set, one (query, doc) dedup shuffle, one column-pruned
+        doc-values join, one composite-key bucket agg — plus a
+        row_number window per query capped at ``size`` IN-PLAN.
+        Returns (query_id, <source names…>, doc_count [, metrics])."""
+        from pyspark.sql import Window as W
+
+        metrics = metrics or {}
+        self._check_metrics(metrics)
+        names, orders, exprs, cols = [], [], [], []
+        for s in sources:
+            if not (isinstance(s, dict) and len(s) == 1):
+                raise ValueError(
+                    f"each composite source is one {{name: spec}}, got {s!r}"
+                )
+            (name, spec), = s.items()
+            if not (isinstance(spec, dict) and len(spec) == 1):
+                raise ValueError(
+                    f"source {name!r}: one bucket kind per source"
+                )
+            (kind, b), = spec.items()
+            if kind not in ("terms", "histogram", "date_histogram"):
+                raise ValueError(
+                    f"source {name!r}: composite sources are terms/"
+                    f"histogram/date_histogram, got {kind!r}"
+                )
+            b = dict(b)
+            order = str(b.pop("order", "asc"))
+            if order not in ("asc", "desc"):
+                raise ValueError(f"source {name!r}: order {order!r}")
+            _bname, mode, expr, cc = self._bucket_col({kind: b})
+            assert mode == "scalar"
+            names.append(name)
+            orders.append(order == "asc")
+            exprs.append(expr)
+            cols += cc
+        if len(set(names)) != len(names):
+            raise ValueError(f"composite source names collide: {names}")
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field, docs=docs)
+        else:
+            hits = self._bool_match_set(queries, field=field, docs=docs)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], schema="query_id long, doc_id long, score double"
+            )
+        cols = list(dict.fromkeys(
+            cols + sorted({m[1] for m in metrics.values()})
+        ))
+        src = docs.select("doc_id", *cols) if docs is not None else (
+            self._doc_values(cols)
+        )
+        out = hits.select("query_id", "doc_id").join(src, "doc_id")
+        for name, expr in zip(names, exprs):
+            out = out.withColumn(name, expr)
+        aggs = [F.count("*").alias("doc_count")] + self._metric_aggs(metrics)
+        out = out.groupBy("query_id", *names).agg(*aggs)
+        specs = list(zip(names, orders))
+        if after:
+            pred = ~F.col("query_id").isin([int(q) for q in after])
+            for qid, tup in after.items():
+                pred = pred | (
+                    (F.col("query_id") == int(qid))
+                    & self._after_composite_key(specs, tup)
+                )
+            out = out.filter(pred)
+        w = W.partitionBy("query_id").orderBy(
+            *[F.asc(c) if asc else F.desc(c) for c, asc in specs]
+        )
+        return (
+            out.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= int(size))
+            .drop("_crank")
+        )
 
     def _rank_anchored_after(
         self,
