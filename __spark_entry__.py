@@ -1394,7 +1394,53 @@ def _q_es_dsl_parity(spark, sf):
     d = _q_es_function_score(spark, sf).withColumn(
         "variant", F.lit("fscore")
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = _q_es_mlt(spark, sf).withColumn("variant", F.lit("mlt"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
+
+
+# more_like_this: free-text likes (the codec index stores no _source,
+# so the by-id form stays a pytest surface), uniform selection config
+# so the twin's SQL selection CTE is one shape: like-tf ≥ 2, corpus
+# df ≥ 3, top-5 by tf·idf (term-asc ties), minimum_should_match 1.
+# Query 3's zzz token is corpus-absent (dropped by the df join).
+MLT_QUERIES = [
+    (1, "hash hash join join sort"),
+    (2, "sort sort merge merge dup dup window window"),
+    (3, "fast fast slow slow key zzz zzz"),
+]
+MLT_CFG = {"min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 5,
+           "minimum_should_match": 1}
+
+
+def _q_es_mlt(spark, sf):
+    """ES more_like_this via the DSL: driver-side ES term selection
+    (bounded by the like input), then the ordinary one-scan bool
+    machinery; oracle reruns the selection in SQL (same tf·idf rank,
+    same tie-break) and scores the selected terms."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, like in MLT_QUERIES:
+        body = {"query": {"more_like_this": {
+            "like": like, **MLT_CFG,
+        }}, "size": BM25_K}
+        parts.append(
+            es_search(eng, body).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
 
 
 # function_score: the ES recency/length/quality boost — BM25 first
@@ -3350,6 +3396,68 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
+def _mlt_sql(k: int) -> str:
+    """Twin of the more_like_this bodies: like-text tf counted at
+    SQL-generation time with the engine's own tokenizer (parser
+    identity, like _sqs_mixed_sql), ES selection re-run IN SQL — df
+    from the corpus, rank by tf·idf desc / term asc, top
+    max_query_terms — then the BM25 bool-should scoring of the
+    selected terms (minimum_should_match 1 ≙ any selected term)."""
+    from collections import Counter
+
+    from xml_to_es_spark.pyref import tokenize as _tokz
+
+    cfg = MLT_CFG
+    lvals = []
+    for qid, like in MLT_QUERIES:
+        for tok, tfc in sorted(Counter(_tokz(like)).items()):
+            if tfc >= cfg["min_term_freq"]:
+                lvals.append(f"({qid}, '{tok}', {tfc}::DOUBLE)")
+    values = ", ".join(lvals)
+    return f"""
+WITH likes(query_id, term, tf_like) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl FROM documents
+), alldf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM likes) GROUP BY term
+), sel AS (
+  SELECT query_id, term FROM (
+    SELECT l.query_id, l.term,
+           row_number() OVER (
+             PARTITION BY l.query_id
+             ORDER BY l.tf_like * ln(1.0 + (stats.n - a.df + 0.5)/(a.df + 0.5)) DESC,
+                      l.term ASC
+           ) AS rn
+    FROM likes l JOIN alldf a USING (term) CROSS JOIN stats
+    WHERE a.df >= {cfg["min_doc_freq"]}
+  ) WHERE rn <= {cfg["max_query_terms"]}
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM sel)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT s.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN sel s USING (term) CROSS JOIN stats
+  GROUP BY s.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _es_collapse_sql(k: int) -> str:
     """Twin of es_search collapse bodies: the match set + BM25 sum of
     _bm25_sql, one best (score desc, doc_id asc) row per (query,
@@ -3493,6 +3601,8 @@ UNION ALL
 SELECT *, 'wildcard' AS variant FROM ({_es_wildcard_sql(BM25_K)})
 UNION ALL
 SELECT *, 'fscore' AS variant FROM ({_function_score_sql(BM25_K)})
+UNION ALL
+SELECT *, 'mlt' AS variant FROM ({_mlt_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),

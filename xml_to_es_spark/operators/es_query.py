@@ -507,6 +507,33 @@ class EsRequest:
         if kind in ("dis_max", "boosting"):
             espec = {"must": [self._rich_clause({kind: spec})]}
             return eng.bool_topk([(0, espec)], k=k, from_=from_)
+        if kind == "more_like_this":
+            m = dict(spec)
+            bad = set(m) - ({"fields"} | QueryEngine._MLT_KEYS)
+            if bad:
+                raise ValueError(
+                    f"unsupported more_like_this option(s) {sorted(bad)}"
+                )
+            flds = list(m.pop("fields", []))
+            if len(flds) > 1:
+                raise ValueError("more_like_this: one field supported")
+
+            def _conv(like):
+                if isinstance(like, dict):
+                    if set(like) != {"_id"}:
+                        raise ValueError(
+                            f"doc likes are {{'_id': N}}, got {like!r}"
+                        )
+                    return int(like["_id"])
+                return like
+
+            likes = m.get("like")
+            m["like"] = ([_conv(x) for x in likes]
+                         if isinstance(likes, list) else _conv(likes))
+            return eng.more_like_this_topk(
+                [(0, m)], k=k, from_=from_,
+                field=self._resolve_match_field(flds[0]) if flds else None,
+            )
         if kind == "function_score":
             fs = dict(spec)
             inline_kinds = ("field_value_factor", "gauss", "exp", "linear",
@@ -1113,6 +1140,31 @@ class EsRequest:
                 "doc_id",
             )
         return hits
+
+
+def es_explain(engine: QueryEngine, doc_id: int, body: dict) -> DataFrame:
+    """ES ``GET /index/_explain/<id>``: the per-term BM25 breakdown of
+    one doc's score for a match query — (query_id 0, doc_id, term,
+    df, idf, tf_sat, contrib), Σcontrib = the doc's score on the
+    scoring paths bit-for-bit. Body = ``{"query": {"match": ...}}``
+    only (the explain API takes a query, nothing else)."""
+    extra = set(body) - {"query"}
+    if extra:
+        raise ValueError(f"_explain takes a query only; remove {sorted(extra)}")
+    q = body.get("query")
+    if not (isinstance(q, dict) and len(q) == 1):
+        raise ValueError("_explain needs exactly one query clause")
+    (kind, spec), = q.items()
+    if kind != "match":
+        raise ValueError(
+            "_explain supports match queries (the per-term breakdown is "
+            "a term-scoring concept)"
+        )
+    fld, opts = _field_text(spec)
+    return engine.explain_hits(
+        [(0, opts["query"])], [int(doc_id)],
+        field=fld if engine.fielded else None,
+    )
 
 
 def es_search(engine: QueryEngine, body: dict) -> DataFrame:

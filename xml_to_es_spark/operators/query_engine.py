@@ -3071,6 +3071,198 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    _MLT_KEYS = {"like", "min_term_freq", "min_doc_freq", "max_doc_freq",
+                 "max_query_terms", "minimum_should_match", "include"}
+
+    def more_like_this_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``more_like_this``: find documents similar to free text
+        and/or existing docs. Each spec::
+
+            {"like": text | doc_id | [texts and doc_ids...],
+             "min_term_freq": 2, "min_doc_freq": 5,
+             "max_doc_freq": None, "max_query_terms": 25,
+             "minimum_should_match": "30%", "include": False}
+
+        Term selection is the ES algorithm: analyze the like text
+        (doc-id likes fetch the LIVE stored ``_source`` — requires
+        ``store_source=True``, exactly ES's own requirement), keep
+        tokens with like-tf ≥ min_term_freq and corpus df within
+        [min_doc_freq, max_doc_freq], rank by tf·idf (idf = the BM25
+        idf; ties broken by term asc — pinned, ES leaves it
+        unspecified) and keep the top max_query_terms. The selected
+        terms run as a bool SHOULD query with minimum_should_match
+        (percentages resolve against the selected-term count, floor,
+        min 1 — a pure-should query always needs one match). Doc-id
+        likes are excluded from the results unless ``include=True``
+        (ES default) via a structured must_not.
+
+        Scale shape: selection is DRIVER-side but bounded by the like
+        input — like texts the caller provided plus fetched like docs
+        (a pushed-id-filter read of len(like_ids) rows); the corpus is
+        only touched by the dictionary df lookup (term-pruned, one
+        job for ALL queries' candidates) and then by the ordinary
+        one-scan bool machinery. A query whose selection is empty
+        matches nothing (the ES behaviour). Queries with zero
+        selected terms are dropped from the batch, not turned into
+        corpus scans."""
+        fld = self._resolve_field(field)
+        specs: dict[int, tuple[dict, list[str], list[int]]] = {}
+        all_ids: set[int] = set()
+        for qid, spec in queries:
+            spec = dict(spec)
+            bad = set(spec) - self._MLT_KEYS
+            if bad or "like" not in spec:
+                raise ValueError(
+                    f"more_like_this spec: unknown key(s) {sorted(bad)}"
+                    if bad else "more_like_this needs 'like'"
+                )
+            likes = (spec["like"] if isinstance(spec["like"], list)
+                     else [spec["like"]])
+            texts, ids = [], []
+            for like in likes:
+                if isinstance(like, bool):
+                    raise ValueError(f"bad like {like!r}")
+                if isinstance(like, str):
+                    texts.append(like)
+                elif isinstance(like, int):
+                    ids.append(int(like))
+                else:
+                    raise ValueError(
+                        f"like entries are text or doc_id, got {like!r}"
+                    )
+            specs[int(qid)] = (spec, texts, ids)
+            all_ids |= set(ids)
+        like_texts: dict[int, str] = {}
+        if all_ids:
+            fetched = self.fetch(sorted(all_ids))
+            if "text" not in fetched.columns:
+                raise ValueError(
+                    "doc-id likes need the stored _source — build with "
+                    "IndexConfig(store_source=True), like ES requires "
+                    "_source for more_like_this by id"
+                )
+            for r in fetched.select("doc_id", "text").collect():
+                like_texts[int(r["doc_id"])] = r["text"] or ""
+            missing = all_ids - set(like_texts)
+            if missing:
+                raise ValueError(f"like doc(s) not found: {sorted(missing)}")
+        from collections import Counter
+
+        cand: dict[int, dict[str, int]] = {}
+        for qid, (spec, texts, ids) in specs.items():
+            toks: list[str] = []
+            for t in texts:
+                toks += tokenize(t)
+            for i in ids:
+                toks += tokenize(like_texts[i])
+            mtf = int(spec.get("min_term_freq", 2))
+            cand[qid] = {
+                t: c for t, c in Counter(toks).items() if c >= mtf
+            }
+        stored = sorted({
+            self._term_of(t, fld) for c in cand.values() for t in c
+        })
+        meta = self._term_meta(stored) if stored else {}
+        bqueries: list[tuple[int, dict]] = []
+        for qid, (spec, _texts, ids) in specs.items():
+            mdf = int(spec.get("min_doc_freq", 5))
+            xdf = spec.get("max_doc_freq")
+            mqt = int(spec.get("max_query_terms", 25))
+            if mqt < 1:
+                raise ValueError("max_query_terms must be >= 1")
+            scored = []
+            for tok, tfc in cand[qid].items():
+                m = meta.get(self._term_of(tok, fld))
+                if not m or m["df"] <= 0:
+                    continue
+                dfc = int(m["df"])
+                if dfc < mdf or (xdf is not None and dfc > int(xdf)):
+                    continue
+                scored.append((tfc * _idf(self.n_docs, dfc), tok))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            sel = [tok for _, tok in scored[:mqt]]
+            if not sel:
+                continue
+            msm = spec.get("minimum_should_match", "30%")
+            if isinstance(msm, str) and msm.endswith("%"):
+                need = max(1, (int(msm[:-1]) * len(sel)) // 100)
+            else:
+                need = int(msm)
+            b: dict = {
+                "should": [{"match": {"query": t}} for t in sel],
+                "minimum_should_match": need,
+            }
+            if ids and not spec.get("include", False):
+                b["must_not"] = [
+                    {"terms": {"doc_id": [int(i) for i in ids]}}
+                ]
+            bqueries.append((qid, b))
+        if not bqueries:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self.bool_topk(
+            bqueries, k=k, field=field, from_=from_, docs=docs
+        )
+
+    def explain_hits(
+        self,
+        queries: list[tuple[int, str]],
+        doc_ids: list[int],
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES ``_explain`` for match queries: the per-term BM25
+        breakdown of the requested docs' scores — (query_id, doc_id,
+        term, df, idf, tf_sat, contrib) with contrib = idf·tf_sat and
+        Σcontrib = the doc's score on the scoring paths bit-for-bit
+        (same decode kernel, same floats). ``tf_sat`` is the
+        saturated term-frequency weight tf·(k1+1)/(tf+k1·norm) —
+        disclosed deviation: ES prints raw tf and the norm separately,
+        this surface reports their combined weight (sufficient to
+        audit any score, and exactly what the kernel computes).
+
+        Scale shape: the ordinary term+group-pruned postings scan with
+        the doc filter applied right after the decode kernel, plus a
+        broadcast of the O(query terms) df/idf table. Nothing
+        collected."""
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            raise ValueError("explain_hits needs at least one doc_id")
+        fld = self._resolve_field(field)
+        matched = self._matched_segments(queries, field=field)
+        empty = ("query_id long, doc_id long, term string, df long, "
+                 "idf double, tf_sat double, contrib double")
+        if matched is None:
+            return self.spark.createDataFrame([], schema=empty)
+        contribs = matched.mapInPandas(
+            _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+            schema=CONTRIB_SCHEMA,
+        ).filter(F.col("doc_id").isin(ids))
+        toks = sorted({
+            self._term_of(t, fld)
+            for _, text in queries for t in tokenize(text)
+        })
+        meta = self._term_meta(toks)
+        rows = [
+            (t, int(m["df"]), _idf(self.n_docs, m["df"]))
+            for t, m in meta.items() if m["df"] > 0
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], schema=empty)
+        tdf = self.spark.createDataFrame(
+            rows, schema="term string, df long, idf double"
+        )
+        return contribs.join(F.broadcast(tdf), "term").select(
+            "query_id", "doc_id", "term", "df", "idf",
+            (F.col("contrib") / F.col("idf")).alias("tf_sat"),
+            "contrib",
+        )
+
     def bool_top_hits(
         self,
         queries: list[tuple[int, dict]],
