@@ -270,6 +270,7 @@ def main():
         "bm25_bool_nested_topk", "sqs_mixed_topk",
         "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
         "es_top_hits_topk", "bm25_rescore_topk",
+        "es_function_score_topk", "es_mlt_topk",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -346,6 +347,27 @@ def main():
              for qid, t in entry.BM25_PHRASE_QUERIES],
             k=10, window_size=50, query_weight=1.0,
             rescore_query_weight=2.0, field="text",
+        ).collect(),
+    )
+    # 26. function_score: the 6-query bool match set re-weighted by
+    # doc-value functions (fvf log1p + lang-gated weight + gaussian
+    # length decay) — one dv join + pure JVM array expressions
+    timed(
+        "es_function_score_topk",
+        lambda: eng.function_score_topk(
+            [(qid, {"must": t}) for qid, t in entry.BM25_QUERIES],
+            entry.FS_FUNCS, k=10, score_mode="sum", docs=dv,
+        ).collect(),
+    )
+    # 27. more_like_this: driver-side ES term selection (bounded by
+    # the like input) + one dictionary df job + one bool scan for the
+    # whole 3-query batch
+    timed(
+        "es_mlt_topk",
+        lambda: eng.more_like_this_topk(
+            [(qid, {"like": like, **entry.MLT_CFG})
+             for qid, like in entry.MLT_QUERIES],
+            k=10,
         ).collect(),
     )
     dv.unpersist()
