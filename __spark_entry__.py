@@ -1354,8 +1354,11 @@ def _q_events_pivot(spark, sf):
 
 
 def _q_bm25_phrase_both(spark, sf):
-    """match_phrase exact (DataFrame path) + slop=2 (positional codec
-    kernel) in one frame, tagged by `variant`."""
+    """match_phrase exact (DataFrame path), slop=2 AND the exact
+    positional-codec path in one frame, tagged by `variant` —
+    round-5 fold: the former standalone bm25_phrase_codec_topk entry
+    became the `codec` variant to free a sweep slot for
+    significant_terms; both phrase paths stay hash-gated."""
     a = _q_bm25_phrase(spark, sf).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -1364,7 +1367,10 @@ def _q_bm25_phrase_both(spark, sf):
         F.lit("exact").alias("variant"),
     )
     b = _q_bm25_phrase_slop(spark, sf).withColumn("variant", F.lit("slop"))
-    return a.unionByName(b)
+    c = _q_bm25_phrase_codec(spark, sf).withColumn(
+        "variant", F.lit("codec")
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def _q_bm25_paging_both(spark, sf):
@@ -1488,6 +1494,27 @@ def _q_es_function_score(spark, sf):
     for pt in parts[1:]:
         out = out.unionByName(pt)
     return out
+
+
+def _q_significant_terms(spark, sf):
+    """ES significant_terms over the 6-query batch's full match sets:
+    one full-postings membership kernel (docs streams only) joined to
+    the match ids, dictionary background, JLH scoring — the
+    "what is this result set about" aggregation. Twin recomputes
+    fg/bg/JLH from the documents token arrays with the same division
+    shape and tie-break."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    qs = [
+        (qid, {"must": [{"match": {"query": t, "operator": "or"}}]})
+        for qid, t in BM25_QUERIES
+    ]
+    out = eng.significant_terms(qs, size=10, min_doc_count=3)
+    return out.select(
+        "query_id", "term", "fg", "bg",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def _q_exact_dedup_full(spark, sf):
@@ -1798,7 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats_top100": _q_term_stats,
         "bm25_topk": _q_bm25_or_and,
         "bm25_phrase_topk": _q_bm25_phrase_both,
-        "bm25_phrase_codec_topk": _q_bm25_phrase_codec,
+        "significant_terms": _q_significant_terms,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "bm25_wand_codec_topk": _q_bm25_wand,
         "bm25_paging_topk": _q_bm25_paging_both,
@@ -3504,6 +3531,49 @@ SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= {k}
 """
 
 
+def _significant_terms_sql(size: int = 10, min_dc: int = 3) -> str:
+    """Twin of significant_terms: or-match foreground sets per query,
+    fg = distinct-doc term counts within the match set, bg = corpus
+    df, JLH with the engine's exact division shape
+    ``(fg/ft − bg/n) · ((fg/ft) / (bg/n))``, (score desc, term asc)
+    rank capped at ``size``."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM toks t JOIN q USING (term)
+), ft AS (
+  SELECT query_id, count(*)::DOUBLE AS fg_total FROM hits GROUP BY query_id
+), fg AS (
+  SELECT h.query_id, t.term, count(*)::BIGINT AS fg
+  FROM hits h JOIN toks t USING (doc_id)
+  GROUP BY h.query_id, t.term HAVING count(*) >= {min_dc}
+), bg AS (
+  SELECT term, count(*)::BIGINT AS bg FROM toks GROUP BY term
+), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT fg.query_id, fg.term, fg.fg, bg.bg,
+         ((fg.fg / ft.fg_total - bg.bg / nn.n)
+          * ((fg.fg / ft.fg_total) / (bg.bg / nn.n))) AS score
+  FROM fg JOIN bg USING (term) JOIN ft USING (query_id) CROSS JOIN nn
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT query_id, term, fg, bg, round(score, 6) AS score
+FROM ranked WHERE rn <= {size}
+"""
+
+
 def _es_count_sql() -> str:
     """Twin of the _count bodies: per-query match-set cardinality as
     plain COUNT(*) predicates over the documents table (a zero-hit
@@ -3580,8 +3650,11 @@ FROM ({_bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES)})
 UNION ALL
 SELECT *, 'slop' AS variant
 FROM ({_bm25_sql(phrase=True, queries=BM25_PHRASE_SLOP_QUERIES, slop=PHRASE_SLOP)})
+UNION ALL
+SELECT *, 'codec' AS variant
+FROM ({_bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES)})
 """,
-        "bm25_phrase_codec_topk": _bm25_sql(phrase=True, queries=BM25_PHRASE_QUERIES),
+        "significant_terms": _significant_terms_sql(),
         "bm25_fuzzy_topk": _bm25_sql(fuzziness=1, queries=BM25_FUZZY_QUERIES),
         "bm25_wand_codec_topk": _bm25_sql(),
         "bm25_paging_topk": f"""

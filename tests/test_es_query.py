@@ -144,10 +144,10 @@ def test_dsl_sort_aggs_cursor(eng):
 def test_dsl_rejects_unknown(eng):
     with pytest.raises(ValueError, match="unsupported body key"):
         es_search(eng, {"query": {"match": {"text": "a"}}, "explain": True})
-    # regexp became a supported kind in round 5 — use a genuinely
-    # unsupported one
+    # regexp (round 5) and more_like_this (late round 5) became
+    # supported kinds — use a genuinely unsupported one
     with pytest.raises(ValueError, match="unsupported query kind"):
-        es_search(eng, {"query": {"more_like_this": {"fields": ["text"]}}})
+        es_search(eng, {"query": {"span_near": {"clauses": []}}})
     with pytest.raises(ValueError, match="match_all"):
         es_search(eng, {"query": {"match_all": {}}})
     with pytest.raises(ValueError, match="unsupported match option"):

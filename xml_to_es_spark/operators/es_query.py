@@ -936,6 +936,32 @@ class EsRequest:
         (_name, spec), = aggs.items()
         if "composite" in spec:
             return self._composite(spec)
+        if "significant_terms" in spec:
+            st = dict(spec)
+            sub = st.pop("aggs", {})
+            if sub or set(st) != {"significant_terms"}:
+                raise ValueError(
+                    "significant_terms stands alone (no sub-aggs, no "
+                    "sibling bucket kinds)"
+                )
+            c = dict(st["significant_terms"])
+            bad = set(c) - {"field", "size", "min_doc_count"}
+            if bad:
+                raise ValueError(
+                    f"unsupported significant_terms option(s) {sorted(bad)}"
+                )
+            if "query" not in self.body:
+                raise ValueError(
+                    "significant_terms needs a query (the foreground "
+                    "match set)"
+                )
+            espec, qfld = self._as_bool_tree()
+            f = c.get("field")
+            fld = self._resolve_match_field(f) if f is not None else qfld
+            return self.eng.significant_terms(
+                [(0, espec)], size=int(c.get("size", 10)),
+                min_doc_count=int(c.get("min_doc_count", 3)), field=fld,
+            )
         group_by: Any
         gb1, size, sub = self._parse_bucket(spec)
         # one SUB-BUCKET nesting level (e.g. date_histogram → terms):

@@ -110,6 +110,46 @@ def _score_segments(k1: float, b: float, dead_by_ord=None):
     return run
 
 
+def _term_docs_segments(dead_by_ord=None):
+    """mapInPandas kernel for the significant_terms foreground pass:
+    postings segments → (term, doc_id) membership pairs, docs stream
+    only (tf/dl bytes are never decoded — membership is all the
+    aggregation needs), tombstoned versions dropped exactly like the
+    scoring kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_t, out_d = [], []
+            for i in range(len(pdf)):
+                n = int(pdf["n_docs"].iat[i])
+                doc_ids = np.cumsum(
+                    varbyte_decode(pdf["docs_bin"].iat[i], n).astype(np.int64)
+                )
+                if dead_by_ord:
+                    dead = dead_by_ord.get(int(pdf["ord"].iat[i]))
+                    m = _dead_mask(doc_ids, dead)
+                    if m is not None and m.any():
+                        doc_ids = doc_ids[~m]
+                        if doc_ids.size == 0:
+                            continue
+                out_t.append(
+                    np.full(doc_ids.size, pdf["term"].iat[i], dtype=object)
+                )
+                out_d.append(doc_ids)
+            if not out_t:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(out_t),
+                    "doc_id": np.concatenate(out_d),
+                }
+            )
+
+    return run
+
+
 def _topk_reduce(k: int):
     """applyInPandas per query: pinned-order summation (sort by term
     then doc_id → per-doc addition happens term-major, matching
@@ -3890,6 +3930,115 @@ class QueryEngine:
             out.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= int(size))
             .drop("_crank")
+        )
+
+    def significant_terms(
+        self,
+        queries: list[tuple[int, dict]],
+        size: int = 10,
+        min_doc_count: int = 3,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES ``significant_terms``: for each query's FULL match set
+        (the foreground), the terms statistically overrepresented
+        against the whole index (the background) — the "what is this
+        result set about" aggregation, scored with ES's default JLH:
+        ``(fg% − bg%) · (fg% / bg%)`` where fg% = fg/|match set| and
+        bg% = df/|index|. Background counts come from the terms
+        dictionaries RAW (per-dir df summed, deleted-but-unmerged
+        versions included) — exactly ES, whose background doc_freq
+        also ignores unmerged deletes; the foreground pass IS
+        dead-masked, like every scoring read. ``min_doc_count``
+        (ES default 3) drops rare-in-foreground terms before
+        scoring; the page is the top ``size`` per query by
+        (score desc, term asc).
+
+        Scale shape — the honest cost of the aggregation: ONE full
+        postings scan (EVERY term's membership, the same bytes ES
+        touches; docs streams only — tf/dl bytes never decoded)
+        joined to the broadcast-sized match-id set, one (query, term)
+        count agg, one dictionary scan for the background, one rank
+        window. Nothing is collected; foreground work is proportional
+        to corpus size × match selectivity. Run it on purpose, not
+        per keystroke — ES says the same in its docs.
+
+        Returns (query_id, term, fg, bg, score)."""
+        from pyspark.sql import Window as W
+
+        if any(_is_rich_bool(c) for _, c in queries):
+            hits = self._bool_tree_match_set(queries, field=field)
+        else:
+            hits = self._bool_match_set(queries, field=field)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], schema="query_id long, term string, fg long, "
+                           "bg long, score double",
+            )
+        # the match-set size rides a count window on the SAME subtree
+        # (a separate groupBy-count would re-run the match-set decode)
+        ids = hits.select("query_id", "doc_id").withColumn(
+            "fg_total", F.count("*").over(W.partitionBy("query_id"))
+        )
+        fld = self._resolve_field(field)
+        scans, dicts = [], []
+        for o, p in self.dirs:
+            sc = self.spark.read.parquet(f"{p}/postings")
+            dc = self.spark.read.parquet(f"{p}/terms").select(
+                "term", "df"
+            )
+            if fld is not None:
+                # fielded term keys: only this field's postings rows
+                # (a pushed startswith filter), bare token emitted
+                sc = sc.filter(F.col("term").startswith(f"{fld}:"))
+                dc = dc.filter(F.col("term").startswith(f"{fld}:"))
+            scans.append(
+                sc.select("term", "n_docs", "docs_bin")
+                .withColumn("ord", F.lit(o))
+            )
+            dicts.append(dc)
+        allp = scans[0]
+        for sc in scans[1:]:
+            allp = allp.unionByName(sc)
+        pairs = allp.mapInPandas(
+            _term_docs_segments(self._dead_by_ord),
+            schema="term string, doc_id long",
+        )
+        fg = (
+            pairs.join(ids, "doc_id")
+            .groupBy("query_id", "term")
+            .agg(
+                F.count("*").alias("fg"),
+                F.first("fg_total").alias("fg_total"),
+            )
+            .filter(F.col("fg") >= int(min_doc_count))
+        )
+        alld = dicts[0]
+        for dc in dicts[1:]:
+            alld = alld.unionByName(dc)
+        bg = alld.groupBy("term").agg(F.sum("df").alias("bg"))
+        bg_total = float(sum(
+            int(self._dir_stats[o]["n_docs"]) for o, _ in self.dirs
+        ))
+        out = fg.join(bg, "term")
+        if fld is not None:
+            out = out.withColumn(
+                "term", F.expr(f"substring(term, {len(fld) + 2})")
+            )
+        fg_pct = F.col("fg") / F.col("fg_total")
+        bg_pct = F.col("bg") / F.lit(bg_total)
+        out = out.withColumn(
+            "score", ((fg_pct - bg_pct) * (fg_pct / bg_pct)).cast("double")
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+        return (
+            out.withColumn("_srank", F.row_number().over(w))
+            .filter(F.col("_srank") <= int(size))
+            .select(
+                "query_id", "term",
+                F.col("fg").cast("long").alias("fg"),
+                F.col("bg").cast("long").alias("bg"),
+                "score",
+            )
         )
 
     def _rank_anchored_after(
