@@ -270,7 +270,7 @@ def main():
         "bm25_bool_nested_topk", "sqs_mixed_topk",
         "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
         "es_top_hits_topk", "bm25_rescore_topk",
-        "es_function_score_topk", "es_mlt_topk",
+        "es_function_score_topk", "es_mlt_topk", "significant_terms",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -368,6 +368,16 @@ def main():
             [(qid, {"like": like, **entry.MLT_CFG})
              for qid, like in entry.MLT_QUERIES],
             k=10,
+        ).collect(),
+    )
+    # 28. significant_terms: the honest full-postings membership scan
+    # + match-id join + JLH for the 6-query batch
+    timed(
+        "significant_terms",
+        lambda: eng.significant_terms(
+            [(qid, {"must": [{"match": {"query": t, "operator": "or"}}]})
+             for qid, t in entry.BM25_QUERIES],
+            size=10, min_doc_count=3,
         ).collect(),
     )
     dv.unpersist()
