@@ -541,6 +541,58 @@ NESTED_BOOL_QUERIES = [
 ]
 
 
+# Full Lucene query_string syntax (round-5 S54): precedence, ±markers
+# with boosts, phrase slop + explicit groups, doc-values constant_score
+# atoms, and a boosted group under AND NOT. Parsed ONCE here (pure
+# python, no expansion atoms) — the Spark side routes the STRING
+# through es_search and the DuckDB twin compiles the SAME parsed specs
+# through the nested-bool mini-compiler: parser identity, the
+# sqs_mixed pattern.
+QS_QUERIES = [
+    (1, "hash AND join OR sort AND merge"),
+    (2, "+fast -window key^2"),
+    (3, '"sort merge"~1 OR (dup AND key)'),
+    (4, "sort lang:en^0.5 n_chars:[150 TO *]"),
+    (5, "(hash join)^2 AND NOT window"),
+]
+
+
+def _qs_specs():
+    from xml_to_es_spark.operators.query_string import parse_query_string
+
+    return [
+        (qid, parse_query_string(t, docvalue_fields={"lang", "n_chars"}))
+        for qid, t in QS_QUERIES
+    ]
+
+
+def _q_es_query_string(spark, sf):
+    """ES query_string bodies through es_search — the full Lucene
+    syntax compiled onto the one-scan bool-tree path (operator
+    precedence, +/- markers, boosts on terms and groups, phrase slop,
+    doc-values constant_score atoms)."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = [
+        es_search(eng, {"query": {"query_string": {"query": t}},
+                        "size": BM25_K}).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, t in QS_QUERIES
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _q_bool_nested(spark, sf):
     """RICH nested bool trees over the codec index: clause lists with
     per-clause OR-match and boost, nested {"bool": ...} sub-trees
@@ -1401,8 +1453,9 @@ def _q_es_dsl_parity(spark, sf):
         "variant", F.lit("fscore")
     )
     e = _q_es_mlt(spark, sf).withColumn("variant", F.lit("mlt"))
+    f = _q_es_query_string(spark, sf).withColumn("variant", F.lit("qs"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(f))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -2696,6 +2749,15 @@ def _bool_nested_sql(k: int, queries=None) -> str:
             sub["must"] = [compile_clause(cspec["positive"], cs_scoring, leaves)]
             sub["negative"] = [compile_clause(cspec["negative"], False, leaves)]
             return ("node", sub)
+        if ck == "constant_score":
+            # mirror of query_engine: matched = the filter child (never
+            # scores), score = the constant boost, 0 in filter context
+            sub = {"must": [], "should": [], "must_not": [], "filter": [],
+                   "negative": [], "msm": None, "kind": "constant_score",
+                   "boost": float(cspec.get("boost", 1.0)),
+                   "cs_scoring": cs_scoring}
+            sub["filter"] = [compile_clause(cspec["filter"], False, leaves)]
+            return ("node", sub)
         if ck == "match":
             opts = (dict(cspec) if isinstance(cspec, dict)
                     else {"query": cspec})
@@ -2832,6 +2894,8 @@ def _bool_nested_sql(k: int, queries=None) -> str:
                 f"(CASE WHEN {sql_matched(neg)} THEN {base} * {n['nb']} "
                 f"ELSE {base} END)"
             )
+        elif n.get("kind") == "constant_score":
+            return f"({n['boost'] if n['cs_scoring'] else 0.0})"
         else:
             terms = [
                 f"(CASE WHEN {sql_matched(c)} THEN {sql_score(c)} ELSE 0.0 END)"
@@ -3676,6 +3740,8 @@ UNION ALL
 SELECT *, 'fscore' AS variant FROM ({_function_score_sql(BM25_K)})
 UNION ALL
 SELECT *, 'mlt' AS variant FROM ({_mlt_sql(BM25_K)})
+UNION ALL
+SELECT *, 'qs' AS variant FROM ({_bool_nested_sql(BM25_K, queries=_qs_specs())})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),

@@ -271,6 +271,7 @@ def main():
         "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
         "es_top_hits_topk", "bm25_rescore_topk",
         "es_function_score_topk", "es_mlt_topk", "significant_terms",
+        "es_query_string_topk",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -369,6 +370,17 @@ def main():
              for qid, like in entry.MLT_QUERIES],
             k=10,
         ).collect(),
+    )
+    # 28b. full Lucene query_string: five strings (precedence,
+    # ±markers + boost, phrase slop + group, doc-values
+    # constant_score atoms, boosted group under AND NOT), parsed
+    # driver-side (pure python, zero jobs) and run as ONE batched
+    # bool-tree pass — one scan + one clause agg + one positional
+    # pass for the whole suite (es_search routes single bodies; the
+    # oracle qs variant covers that path)
+    timed(
+        "es_query_string_topk",
+        lambda: eng.bool_topk(entry._qs_specs(), k=10, docs=dv).collect(),
     )
     # 28. significant_terms: the honest full-postings membership scan
     # + match-id join + JLH for the 6-query batch

@@ -43,6 +43,14 @@ raise, nothing is silently ignored)::
         "constant_score":     {"filter": {<any clause here>}, "boost": b},
         "fuzzy":              {field: {"value": v, "fuzziness": N}},
         "simple_query_string": {"query": "+req -excl optional"},
+        "query_string":       {"query": 'title:a AND (b OR "c d"~2)^2 '
+                               'lang:en n_chars:[100 TO *] fuzz~1 wild*',
+                               "default_field": f,
+                               "default_operator": "or"|"and",
+                               "max_expansions": N},
+                              # the full Lucene syntax — see
+                              # operators/query_string.py for the
+                              # grammar and documented deviations
         "function_score":     {"query": {...}, "functions": [
                                {"field_value_factor"/"gauss"/"exp"/
                                 "linear"/"weight": ...,
@@ -269,6 +277,8 @@ class EsRequest:
                 _parse_simple_query(opts["query"]),
                 self._resolve_match_field(flds[0]) if flds else None,
             )
+        if kind == "query_string":
+            return self._query_string_spec(spec), None
         if kind == "ids":
             vals = [int(v) for v in spec["values"]]
             return {"filter": [{"terms": {"doc_id": vals}}]}, None
@@ -278,8 +288,67 @@ class EsRequest:
             return {"must": [self._rich_clause({kind: spec})]}, None
         raise ValueError(
             f"query kind {kind!r} is not supported here (match / "
-            "match_phrase / bool / simple_query_string / ids / "
-            "structured are)"
+            "match_phrase / bool / simple_query_string / query_string / "
+            "ids / structured are)"
+        )
+
+    def _docvalue_cols(self) -> set:
+        """Stored doc-value column names of the engine's index (the
+        ``field:`` targets that compile to structured filters rather
+        than text matches) — the live docs table's schema minus the
+        indexed text fields. One parquet-footer schema read, no data."""
+        from xml_to_es_spark.operators.index_build import live_docs
+
+        cols = set(live_docs(self.eng.spark, self.eng.dir).columns)
+        return cols - set(self.eng.fields) - {"text"}
+
+    def _query_string_spec(self, spec) -> dict:
+        """ES ``query_string`` body → the engine's rich bool-tree spec
+        (full Lucene syntax — grammar and deviations documented in
+        :mod:`xml_to_es_spark.operators.query_string`). Fuzzy and
+        wildcard atoms expand against the terms dictionary here
+        (bounded: ≤ max_expansions per atom, the capped-in-plan
+        expansion paths), so the resolved spec contains only literal
+        terms — one bool-tree pass, one postings scan."""
+        from xml_to_es_spark.operators.query_string import (
+            parse_query_string,
+        )
+
+        opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
+        bad = set(opts) - {"query", "default_field", "default_operator",
+                           "max_expansions"}
+        if bad or "query" not in opts:
+            raise ValueError(
+                f"query_string supports query/default_field/"
+                f"default_operator/max_expansions, got "
+                f"{sorted(bad) or 'no query'}"
+            )
+        cap = int(opts.get("max_expansions", 50))
+
+        def expand(ekind, pattern, field, fuzziness, cap_):
+            f = self._resolve_match_field(field) if field else None
+            if ekind == "fuzzy":
+                stored = self.eng.fuzzy_variants(
+                    [pattern], int(fuzziness or 1), field=f,
+                    max_expansions=cap_,
+                )[pattern]
+            else:
+                stored = self.eng.wildcard_variants(
+                    [pattern], field=f, max_expansions=cap_,
+                )[pattern]
+            # match leaves re-prefix via their field key, so hand
+            # back BARE tokens
+            return [t[len(f) + 1:] if f else t for t in stored]
+
+        return parse_query_string(
+            opts["query"],
+            default_field=opts.get("default_field"),
+            default_operator=str(
+                opts.get("default_operator", "or")
+            ).lower(),
+            docvalue_fields=self._docvalue_cols(),
+            expand=expand,
+            max_expansions=cap,
         )
 
     def count(self) -> DataFrame:
@@ -414,10 +483,15 @@ class EsRequest:
                     [(0, {"filter": [{kind: spec}]})], by=specs, k=k,
                     from_=from_, search_after=after,
                 )
+            elif kind == "query_string":
+                out = eng.bool_sort_topk(
+                    [(0, self._query_string_spec(spec))], by=specs, k=k,
+                    from_=from_, search_after=after,
+                )
             else:
                 raise ValueError(
                     "sort-by-field supports match / bool / ids / "
-                    "structured queries"
+                    "query_string / structured queries"
                 )
             return out.drop(*drop_cols)
 
@@ -582,6 +656,10 @@ class EsRequest:
                 [(0, clauses)], k=k, from_=from_,
                 field=self._resolve_match_field(flds[0]) if flds else None,
             )
+        if kind == "query_string":
+            return eng.bool_topk(
+                [(0, self._query_string_spec(spec))], k=k, from_=from_,
+            )
         if kind == "ids":
             vals = [int(v) for v in spec["values"]]
             return eng.bool_topk(
@@ -690,7 +768,8 @@ class EsRequest:
                         f"each bool clause must be a single-key dict, got {cl!r}"
                     )
                 (ck, cs), = cl.items()
-                if ck in ("bool", "match_phrase", "dis_max", "boosting"):
+                if ck in ("bool", "match_phrase", "dis_max", "boosting",
+                          "constant_score"):
                     return True
                 if ck in _STRUCTURED:
                     if role != "filter":
@@ -797,6 +876,17 @@ class EsRequest:
                 if key in cs:
                     out[key] = cs[key]
             return {"dis_max": out}
+        if ck == "constant_score":
+            bad = set(cs) - {"filter", "boost"}
+            if bad or "filter" not in cs:
+                raise ValueError(
+                    f"constant_score takes filter (+boost), got "
+                    f"{sorted(bad) or 'no filter'}"
+                )
+            out = {"filter": self._rich_clause(cs["filter"])}
+            if "boost" in cs:
+                out["boost"] = cs["boost"]
+            return {"constant_score": out}
         if ck == "boosting":
             bad = set(cs) - {"positive", "negative", "negative_boost"}
             if bad or "positive" not in cs or "negative" not in cs:

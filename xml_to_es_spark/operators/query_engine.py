@@ -226,16 +226,21 @@ class _BoolNode:
     (positive child in ``must``, negative child in ``negative`` —
     matched ignores the negative clause entirely; a negative match
     DEMOTES the score by ``negative_boost`` instead of excluding,
-    which is exactly what must_not cannot express)."""
+    which is exactly what must_not cannot express), and
+    ``constant_score`` (one filter child — matched = the child,
+    score = a constant 1.0 × boost, the Lucene multi-term rewrite;
+    ``scoring`` False pins the constant to 0 in filter context)."""
 
     __slots__ = ("must", "should", "must_not", "filter", "msm", "boost",
-                 "kind", "tie_breaker", "negative", "negative_boost")
+                 "kind", "tie_breaker", "negative", "negative_boost",
+                 "scoring")
 
     def __init__(self):
         self.must, self.should, self.must_not, self.filter = [], [], [], []
         self.msm, self.boost = None, 1.0
         self.kind, self.tie_breaker = "bool", 0.0
         self.negative, self.negative_boost = [], 0.5
+        self.scoring = True
 
     def need_should(self) -> int:
         """Required matched-should count (ES default: 1 when no
@@ -1438,6 +1443,23 @@ class QueryEngine:
                 for c in spec["queries"]
             ]
             return node
+        if kind == "constant_score":
+            bad = set(spec) - {"filter", "boost"}
+            if bad or "filter" not in spec:
+                raise ValueError(
+                    f"constant_score takes filter (+boost), got "
+                    f"{sorted(bad) or 'no filter'}"
+                )
+            node = _BoolNode()
+            node.kind = "constant_score"
+            node.boost = float(spec.get("boost", 1.0))
+            node.scoring = scoring
+            # the wrapped clause is ES filter context: never scores,
+            # only gates the match — exactly the multi-term rewrite
+            node.filter = [self._compile_bool_clause(
+                spec["filter"], False, default_field, leaves, structs
+            )]
+            return node
         if kind == "boosting":
             bad = set(spec) - {"positive", "negative", "negative_boost"}
             if bad or "positive" not in spec or "negative" not in spec:
@@ -1550,6 +1572,11 @@ class QueryEngine:
                 s = F.when(matched(pos), score(pos)).otherwise(F.lit(0.0))
                 neg = matched(n.negative[0])
                 s = F.when(neg, s * F.lit(n.negative_boost)).otherwise(s)
+            elif n.kind == "constant_score":
+                # matched gating happens in the caller's CASE; the
+                # node's own contribution is the constant (0 when the
+                # node sits in filter/must_not context)
+                return F.lit(n.boost if n.scoring else 0.0)
             else:
                 s = F.lit(0.0)
                 for c in n.must + n.should:
