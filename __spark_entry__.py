@@ -892,7 +892,11 @@ def _q_search_aggs_nested(spark, sf):
     out = eng.search_aggs(
         BM25_QUERIES,
         group_by=[("warc_ts", "day"), "lang"],
-        metrics={"st": ("stats", "n_chars")},
+        metrics={"st": ("stats", "n_chars"),
+                 # round-5 metric additions, same agg pass
+                 "xs": ("extended_stats", "n_chars"),
+                 "pr": ("percentile_rank", "n_chars", 400),
+                 "vc": ("count", "n_chars")},
         size=8,
     )
     return out.select(
@@ -905,6 +909,11 @@ def _q_search_aggs_nested(spark, sf):
         F.col("st_max").cast("long").alias("st_max"),
         F.round("st_avg", 6).alias("st_avg"),
         F.col("st_sum").cast("long").alias("st_sum"),
+        F.col("xs_sum_of_squares").cast("long").alias("xs_sumsq"),
+        F.round("xs_variance", 6).alias("xs_variance"),
+        F.round("xs_std_deviation", 6).alias("xs_std"),
+        F.round("pr", 6).alias("pr"),
+        F.col("vc").cast("long").alias("vc"),
     )
 
 
@@ -2365,7 +2374,13 @@ dv AS (
          min(dv.n_chars)::BIGINT AS st_min,
          max(dv.n_chars)::BIGINT AS st_max,
          round(avg(dv.n_chars), 6) AS st_avg,
-         sum(dv.n_chars)::BIGINT AS st_sum
+         sum(dv.n_chars)::BIGINT AS st_sum,
+         sum(dv.n_chars * dv.n_chars)::BIGINT AS xs_sumsq,
+         round(coalesce(var_pop(dv.n_chars), 0.0), 6) AS xs_variance,
+         round(coalesce(stddev_pop(dv.n_chars), 0.0), 6) AS xs_std,
+         round(100.0 * avg(CASE WHEN dv.n_chars <= 400 THEN 1.0
+                           ELSE 0.0 END), 6) AS pr,
+         count(dv.n_chars)::BIGINT AS vc
   FROM hits JOIN dv USING (doc_id)
   GROUP BY 1, 2, 3
 ), ranked AS (
@@ -2374,7 +2389,7 @@ dv AS (
   ) AS brank FROM buckets
 )
 SELECT query_id, day_bucket, lang, doc_count, st_count, st_min, st_max,
-       st_avg, st_sum
+       st_avg, st_sum, xs_sumsq, xs_variance, xs_std, pr, vc
 FROM ranked WHERE brank <= {k}
 """
 

@@ -378,9 +378,11 @@ def main():
     # bool-tree pass — one scan + one clause agg + one positional
     # pass for the whole suite (es_search routes single bodies; the
     # oracle qs variant covers that path)
+    # (feng: the phrase-slop atom needs the positional sidecar;
+    # field-less leaves resolve to the default "text" field)
     timed(
         "es_query_string_topk",
-        lambda: eng.bool_topk(entry._qs_specs(), k=10, docs=dv).collect(),
+        lambda: feng.bool_topk(entry._qs_specs(), k=10, docs=dv).collect(),
     )
     # 28. significant_terms: the honest full-postings membership scan
     # + match-id join + JLH for the 6-query batch

@@ -118,6 +118,55 @@ def test_dsl_nested_and_new_buckets(eng):
                                          "field": "lang", "size": 2}}}}}})
 
 
+def test_extended_stats_percentile_rank_value_count_missing(eng):
+    """Round-5 metric additions: extended_stats (population variance,
+    the ES default), percentile_ranks (percent of values ≤ v, exact),
+    value_count (NON-distinct, the ES semantics), and the missing agg
+    as a per-bucket metric."""
+    import numpy as np
+
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")], group_by="lang",
+        metrics={
+            "xs": ("extended_stats", "n_chars"),
+            "pr": ("percentile_rank", "n_chars", 200),
+            "vc": ("count", "n_chars"),
+            "mi": ("missing", "lang"),
+        },
+    ).toPandas().set_index("lang")
+    for lg in ("en", "de", "fr"):
+        vals = np.array([
+            x for i, x in enumerate(pdf.n_chars)
+            if ["en", "de", "fr"][i % 3] == lg
+        ], dtype=float)
+        row = out.loc[lg]
+        assert int(row["xs_count"]) == len(vals)
+        assert abs(row["xs_sum_of_squares"] - (vals ** 2).sum()) < 1e-6
+        assert abs(row["xs_variance"] - vals.var()) < 1e-6      # population
+        assert abs(row["xs_std_deviation"] - vals.std()) < 1e-6
+        assert abs(row["pr"] - 100.0 * (vals <= 200).mean()) < 1e-9
+        assert int(row["vc"]) == len(vals)  # counts values, not distinct
+        assert int(row["mi"]) == 0
+    # DSL routing for the same four
+    body = {"query": {"match": {"text": "alpha"}},
+            "aggs": {"byl": {"terms": {"field": "lang"},
+                             "aggs": {
+                                 "xs": {"extended_stats":
+                                        {"field": "n_chars"}},
+                                 "pr": {"percentile_ranks":
+                                        {"field": "n_chars",
+                                         "values": [200]}},
+                                 "vc": {"value_count":
+                                        {"field": "n_chars"}},
+                                 "mi": {"missing": {"field": "lang"}},
+                             }}}}
+    d = es_search(e, body).toPandas()
+    assert {"xs_variance", "xs_std_deviation", "xs_sum_of_squares",
+            "pr", "vc", "mi"} <= set(d.columns)
+    assert int(d["vc"].sum()) == N  # every doc counted once, not distinct
+
+
 def test_bucket_validation(eng):
     e, _pdf = eng
     with pytest.raises(ValueError, match="nesting level"):

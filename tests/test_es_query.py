@@ -377,6 +377,31 @@ def test_dsl_highlight_fragments(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="unsupported highlight"):
         es_search(e, {"query": {"match": {"text": "needle"}},
                       "highlight": {"pre_tags": ["<em>"]}})
+    # round-5: highlight works on bool / query_string / dis_max bodies
+    # (terms gathered from the SCORING clauses of the compiled tree)
+    bq = {"query": {"bool": {
+        "must": [{"match": {"text": "needle"}}],
+        "should": [{"match": {"text": "later"}}],
+    }}, "size": 4, "highlight": {"fragment_size": 30}}
+    got = es_search(e, bq).toPandas()
+    assert len(got) == 4
+    assert all(("needle" in s) or ("later" in s) for s in got["snippet"])
+    qs = {"query": {"query_string": {"query": "needle AND later"}},
+          "size": 4, "highlight": {"fragment_size": 30}}
+    got = es_search(e, qs).toPandas()
+    assert len(got) == 4 and all("needle" in s or "later" in s
+                                 for s in got["snippet"])
+    dm = {"query": {"dis_max": {"queries": [
+        {"match": {"text": "needle"}}, {"match": {"text": "again"}},
+    ]}}, "size": 4, "highlight": {"fragment_size": 30}}
+    assert len(es_search(e, dm).toPandas()) == 4
+    # a filter-only query has nothing to mark
+    with pytest.raises(ValueError, match="no scoring text clauses"):
+        es_search(e, {"query": {"bool": {
+            "filter": [{"exists": {"field": "doc_id"}}],
+            "must": [{"constant_score": {
+                "filter": {"exists": {"field": "doc_id"}}}}],
+        }}, "size": 2, "highlight": {}})
 
 
 def test_msearch_batches_simple_query_string(eng):

@@ -73,7 +73,9 @@ raise, nothing is silently ignored)::
                                     "after": {name: value}},
                       "aggs": {alias: {"avg"/"sum"/"min"/"max"/
                                        "cardinality"/"value_count"/
-                                       "stats"/"percentiles":
+                                       "missing"/"stats"/
+                                       "extended_stats"/"percentiles"/
+                                       "percentile_ranks":
                                        {"field": f}}
                                # OR one nested BUCKET agg (one level:
                                # e.g. date_histogram → terms) whose own
@@ -291,6 +293,76 @@ class EsRequest:
             "match_phrase / bool / simple_query_string / query_string / "
             "ids / structured are)"
         )
+
+    def _highlight_terms(self) -> list[str]:
+        """Tokens to mark in highlight snippets, collected from the
+        body's query — the SCORING text clauses only (must/should
+        context of the compiled tree; filter/must_not and structured
+        clauses contribute none, the ES unified-highlighter default).
+        Multi-term expansions (fuzziness, prefix, wildcard) highlight
+        their LITERAL tokens, not the dictionary variants — a
+        documented deviation (ES marks the matched variants)."""
+        from xml_to_es_spark.pyref import tokenize
+
+        q = self.body.get("query", {})
+        (kind, spec), = q.items()
+        if kind in ("match", "match_phrase", "match_phrase_prefix",
+                    "match_bool_prefix"):
+            _fld, opts = _field_text(
+                spec, allowed={"operator", "fuzziness",
+                               "minimum_should_match", "slop",
+                               "max_expansions"},
+            )
+            return sorted(set(tokenize(opts["query"])))
+        if kind == "multi_match":
+            return sorted(set(tokenize(spec["query"])))
+        if kind in ("bool", "simple_query_string", "query_string",
+                    "dis_max", "boosting"):
+            espec, _f = self._as_bool_tree(q)
+            acc: set[str] = set()
+            self._collect_scoring_tokens(espec, acc)
+            terms = sorted(acc)
+            if not terms:
+                raise ValueError(
+                    "highlight: the query has no scoring text clauses "
+                    "to mark (filter-only / constant_score queries "
+                    "highlight nothing)"
+                )
+            return terms
+        raise ValueError(
+            f"highlight is not supported on {kind!r} queries"
+        )
+
+    @staticmethod
+    def _collect_scoring_tokens(espec: dict, acc: set) -> None:
+        """Walk a bool NODE spec (legacy flat or rich) gathering the
+        tokens of scoring text clauses into ``acc``."""
+        from xml_to_es_spark.pyref import tokenize
+
+        for role in ("must", "should"):
+            v = espec.get(role)
+            if v is None:
+                continue
+            if isinstance(v, str):  # legacy flat: role → token string
+                acc.update(tokenize(v))
+                continue
+            for cl in (v if isinstance(v, list) else [v]):
+                (ck, cs), = cl.items()
+                if ck in ("match", "match_phrase"):
+                    txt = cs["query"] if isinstance(cs, dict) else cs
+                    acc.update(tokenize(txt))
+                elif ck == "bool":
+                    EsRequest._collect_scoring_tokens(cs, acc)
+                elif ck == "dis_max":
+                    for c in cs["queries"]:
+                        EsRequest._collect_scoring_tokens(
+                            {"should": [c]}, acc
+                        )
+                elif ck == "boosting":
+                    EsRequest._collect_scoring_tokens(
+                        {"must": [cs["positive"]]}, acc
+                    )
+                # constant_score / structured: filter context, no terms
 
     def _docvalue_cols(self) -> set:
         """Stored doc-value column names of the engine's index (the
@@ -932,9 +1004,12 @@ class EsRequest:
 
     # -- aggs ----------------------------------------------------------------
 
+    # value_count is ES's NON-distinct value counter (distinct is
+    # cardinality); missing is the ES missing agg as a per-bucket
+    # metric (docs whose field is null)
     _METRIC_FNS = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
                    "cardinality": "cardinality",
-                   "value_count": "count_distinct"}
+                   "value_count": "count", "missing": "missing"}
     _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                      "filters")
 
@@ -958,8 +1033,8 @@ class EsRequest:
         metrics = {}
         for alias, mspec in sub.items():
             (mk, ms), = mspec.items()
-            if mk == "stats":
-                metrics[alias] = ("stats", ms["field"])
+            if mk in ("stats", "extended_stats"):
+                metrics[alias] = (mk, ms["field"])
             elif mk == "percentiles":
                 ps = list(ms.get("percents", [50]))
                 if len(ps) != 1:
@@ -967,6 +1042,14 @@ class EsRequest:
                         "percentiles: one percent per agg alias supported"
                     )
                 metrics[alias] = ("percentile", ms["field"], float(ps[0]))
+            elif mk == "percentile_ranks":
+                vs = list(ms.get("values", []))
+                if len(vs) != 1:
+                    raise ValueError(
+                        "percentile_ranks: one value per agg alias supported"
+                    )
+                metrics[alias] = ("percentile_rank", ms["field"],
+                                  float(vs[0]))
             elif mk in self._METRIC_FNS:
                 metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
             else:
@@ -1235,14 +1318,8 @@ class EsRequest:
                 snippet_col,
                 snippet_fragments_col,
             )
-            from xml_to_es_spark.pyref import tokenize
 
-            q = self.body.get("query", {})
-            (kind, spec), = q.items()
-            if kind not in ("match", "match_phrase"):
-                raise ValueError("highlight supports match/match_phrase")
-            _fld, opts = _field_text(spec)
-            terms = sorted(set(tokenize(opts["query"])))
+            terms = self._highlight_terms()
             snip = (
                 snippet_fragments_col(
                     "text", terms, fragment_size=frag_size,

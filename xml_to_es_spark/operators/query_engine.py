@@ -3567,6 +3567,10 @@ class QueryEngine:
         # per bucket at any corpus size
         "count_distinct": F.count_distinct,
         "cardinality": F.approx_count_distinct,
+        # ES value_count: non-null VALUES, not distinct
+        "count": F.count,
+        # ES missing agg as a metric: docs without the field
+        "missing": lambda c: F.sum(F.col(c).isNull().cast("long")),
     }
 
     def _doc_values(self, cols: list[str]) -> DataFrame:
@@ -3739,15 +3743,19 @@ class QueryEngine:
         raise ValueError(f"unsupported bucket kind {kind!r}")
 
     def _metric_aggs(self, metrics: dict) -> list:
-        """{alias: (fn, col) | ("stats", col) | ("percentile", col, p)}
+        """{alias: (fn, col) | ("stats"/"extended_stats", col) |
+        ("percentile", col, p) | ("percentile_rank", col, v)}
         → aliased agg Columns. ``stats`` expands to the five ES stats
-        columns (<alias>_count/min/max/avg/sum); ``percentile`` is the
-        EXACT interpolated percentile (SQL-twinnable; ES's t-digest
-        approximation is a documented deviation)."""
+        columns (<alias>_count/min/max/avg/sum); ``extended_stats``
+        adds <alias>_sum_of_squares/variance/std_deviation (POPULATION
+        variance, the ES default); ``percentile`` is the EXACT
+        interpolated percentile (SQL-twinnable; ES's t-digest
+        approximation is a documented deviation); ``percentile_rank``
+        is the percent of values ≤ v (same exact-vs-t-digest note)."""
         out = []
         for alias, m in metrics.items():
             fn, c = m[0], m[1]
-            if fn == "stats":
+            if fn in ("stats", "extended_stats"):
                 out += [
                     F.count(c).alias(f"{alias}_count"),
                     F.min(c).alias(f"{alias}_min"),
@@ -3755,10 +3763,22 @@ class QueryEngine:
                     F.avg(c).alias(f"{alias}_avg"),
                     F.sum(c).alias(f"{alias}_sum"),
                 ]
+                if fn == "extended_stats":
+                    out += [
+                        F.sum(F.col(c) * F.col(c))
+                        .alias(f"{alias}_sum_of_squares"),
+                        F.var_pop(c).alias(f"{alias}_variance"),
+                        F.stddev_pop(c).alias(f"{alias}_std_deviation"),
+                    ]
             elif fn == "percentile":
                 out.append(
                     F.percentile(F.col(c), F.lit(float(m[2]) / 100.0))
                     .alias(alias)
+                )
+            elif fn == "percentile_rank":
+                out.append(
+                    (F.avg((F.col(c) <= F.lit(m[2])).cast("double"))
+                     * F.lit(100.0)).alias(alias)
                 )
             else:
                 out.append(self._AGG_FNS[fn](c).alias(alias))
@@ -3767,12 +3787,14 @@ class QueryEngine:
     def _check_metrics(self, metrics: dict) -> None:
         for alias, m in metrics.items():
             fn = m[0]
-            if fn in ("stats", "percentile"):
+            if fn in ("stats", "extended_stats", "percentile",
+                      "percentile_rank"):
                 continue
             if fn not in self._AGG_FNS:
                 raise ValueError(
                     f"metric {alias!r}: unsupported fn {fn!r}; expected "
-                    f"stats/percentile or one of {sorted(self._AGG_FNS)}"
+                    f"stats/extended_stats/percentile/percentile_rank or "
+                    f"one of {sorted(self._AGG_FNS)}"
                 )
 
     def _bucket_agg(
