@@ -130,3 +130,20 @@ def test_cli_search_count(spark, tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["total"] == 6
+    # ES URI search: --q is a Lucene query_string over the default field
+    assert main(["search", "--index", idx, "--q", "alpha AND w3",
+                 "--size", "2"]) == 0
+    lines = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert [ln["doc_id"] for ln in lines] == [3]
+    # _validate/query: compile without running; bad bodies report invalid
+    assert main(["search", "--index", idx, "--validate", "--body",
+                 '{"query": {"query_string": {"query": "alpha AND w3"}}}'
+                 ]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["valid"] is True and "alpha" in v["explanation"]
+    assert main(["search", "--index", idx, "--validate", "--body",
+                 '{"query": {"query_string": {"query": "NOT alpha"}}}'
+                 ]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["valid"] is False and "complement" in v["explanation"]

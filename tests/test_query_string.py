@@ -294,6 +294,27 @@ def test_constant_score_inside_bool(eng):
         assert abs(r["score"] - base[r["doc_id"]]) < 1e-9
 
 
+def test_validate_query(eng):
+    from xml_to_es_spark.operators.es_query import es_validate_query
+
+    v = es_validate_query(eng, {"query": {"query_string": {
+        "query": 'alpha AND (beta OR "alpha w3") AND lang:en'}}})
+    assert v["valid"] is True and "alpha" in v["explanation"]
+    # non-bool-expressible kinds plan without executing
+    v = es_validate_query(eng, {"query": {"multi_match": {
+        "query": "alpha beta", "fields": ["text"]}}})
+    assert v["valid"] is True and "multi_match" in v["explanation"]
+    # bad bodies are INVALID, not raised (the ES _validate contract)
+    for bad in (
+        {"query": {"query_string": {"query": "NOT alpha"}}},
+        {"query": {"match": {"text": "a", "nope": 1}}},
+        {"query": {"bool": {"must_not": [{"match": {"text": "a"}}]}}},
+        {"query": {"match": {"text": "a"}}, "size": 3},
+        {},
+    ):
+        assert es_validate_query(eng, bad)["valid"] is False
+
+
 def test_constant_score_top_level_vs_in_tree(eng):
     _same(
         es_search(eng, {"query": {"constant_score": {

@@ -231,12 +231,24 @@ def cmd_search(args) -> int:
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     spark = _spark(args)
-    if args.body_file:
+    if args.q is not None:
+        # ES URI search: GET /index/_search?q=... is a query_string
+        # query over the default field
+        if args.body or args.body_file:
+            raise SystemExit("--q and --body/--body-file are exclusive")
+        body = {"query": {"query_string": {"query": args.q}},
+                "size": args.size}
+    elif args.body_file:
         with open(args.body_file) as f:
             body = json.load(f)
     else:
         body = json.loads(args.body)
     eng = QueryEngine(spark, args.index)
+    if args.validate:
+        from xml_to_es_spark.operators.es_query import es_validate_query
+
+        print(json.dumps(es_validate_query(eng, body)))
+        return 0
     run = es_count if args.count else es_search
     for row in run(eng, body).collect():
         print(json.dumps(row.asDict(), default=str))
@@ -399,8 +411,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--body", default=None, help="inline JSON body")
     d.add_argument("--body-file", default=None, help="path to a JSON body file")
+    d.add_argument("--q", default=None,
+                   help="ES URI search (?q=...): a Lucene query_string "
+                        "over the default field, instead of --body")
+    d.add_argument("--size", type=int, default=10,
+                   help="page size for --q (URI-search default 10)")
     d.add_argument("--count", action="store_true",
                    help="ES _count: print the match-set total instead of hits")
+    d.add_argument("--validate", action="store_true",
+                   help="ES _validate/query: parse+compile the body "
+                        "without running it; print valid + explanation")
     d.set_defaults(fn=cmd_search)
 
     bk = sub.add_parser("bulk", help="apply an ES _bulk NDJSON action file")

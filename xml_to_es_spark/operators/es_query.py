@@ -1367,6 +1367,47 @@ def es_search(engine: QueryEngine, body: dict) -> DataFrame:
     return EsRequest(engine, dict(body)).run()
 
 
+def es_validate_query(engine: QueryEngine, body: dict) -> dict:
+    """ES ``GET /index/_validate/query?explain``: parse and COMPILE
+    the body's query without executing it — ``{"valid": bool,
+    "explanation": str}``. A valid bool-expressible query explains as
+    its compiled tree spec (the rewritten query, what ES's explain
+    shows); other kinds plan lazily and explain by kind. Multi-term
+    kinds (fuzzy/wildcard/prefix/query_string atoms) run their
+    dictionary rewrite exactly like ES's _validate (capped, postings
+    untouched); nothing ranks, nothing collects hit rows."""
+    import json as _json
+
+    extra = set(body) - {"query"}
+    if extra:
+        return {
+            "valid": False,
+            "explanation":
+                f"_validate takes a query only; remove {sorted(extra)}",
+        }
+    if "query" not in body:
+        return {"valid": False, "explanation": "no query clause"}
+    try:
+        req = EsRequest(engine, {"query": body["query"], "size": 1})
+        # full routing = full validation: builds the lazy DataFrame
+        # (driver-side compile checks run, incl. the unbounded-scan
+        # guards) without ever executing the ranking
+        req._hits()
+        try:
+            espec, fld = req._as_bool_tree()
+            expl = _json.dumps(
+                {"bool": espec} | ({"field": fld} if fld else {}),
+                default=str,
+            )
+        except ValueError:
+            # kinds with no bool form (multi_match, fuzzy, prefix…)
+            (kind, _s), = body["query"].items()
+            expl = f"{kind} query compiled (planned, not executed)"
+        return {"valid": True, "explanation": expl}
+    except (ValueError, KeyError, TypeError) as e:
+        return {"valid": False, "explanation": str(e)}
+
+
 def es_alias_search(spark, index_dirs: list[str], body: dict) -> DataFrame:
     """ES index-pattern / alias search: the SAME body runs against
     each index and the pages merge into one global top-k by
