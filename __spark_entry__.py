@@ -519,21 +519,23 @@ NESTED_BOOL_QUERIES = [
         {"bool": {"must": [{"match": "sort"}, {"match": "merge"}]}},
     ]}),
     (2, {"must": [{"match": "sort"}],
-         "should": [{"match": {"query": "merge", "boost": 2.0}},
-                    {"match": "dup"}]}),
+         "should": [{"match": {"query": "merge", "boost": 2.0,
+                               "_name": "hot_merge"}},
+                    {"match": {"query": "dup", "_name": "has_dup"}}]}),
     (3, {"must": [{"match": "key fast"}],
-         "must_not": [{"match": "window"}],
+         "must_not": [{"match": {"query": "window",
+                                 "_name": "never_appears"}}],
          "filter": [{"range": {"n_chars": {"gte": 150}}}]}),
     (4, {"should": [{"match": "fast"}, {"match": "slow"}, {"match": "key"}],
          "minimum_should_match": 2}),
     (5, {"must": [{"bool": {"should": [{"match": "spark"}, {"match": "batch"}],
-                            "boost": 0.5}}],
+                            "boost": 0.5, "_name": "spark_or_batch"}}],
          "filter": [{"term": {"lang": "en"}}]}),
     (6, {"must": [{"dis_max": {"queries": [
             {"match": "hash join"},
             {"match": {"query": "sort merge", "boost": 1.5}},
             {"bool": {"must": [{"match": "fast"}, {"match": "key"}]}},
-         ], "tie_breaker": 0.3}}]}),
+         ], "tie_breaker": 0.3, "_name": "best_of"}}]}),
     (7, {"must": [{"boosting": {"positive": {"match": "merge sort"},
                                 "negative": {"match": "window"},
                                 "negative_boost": 0.4}}],
@@ -610,6 +612,9 @@ def _q_bool_nested(spark, sf):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+        # ES named queries (_name clauses): matched names, pinned
+        # lexicographic order, joined for the hash compare
+        F.array_join("matched_queries", ",").alias("matched"),
     )
 
 
@@ -2720,7 +2725,7 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
-def _bool_nested_sql(k: int, queries=None) -> str:
+def _bool_nested_sql(k: int, queries=None, with_names: bool = False) -> str:
     """DuckDB twin of the RICH nested bool trees: a mini-compiler
     walks the SAME query specs (default NESTED_BOOL_QUERIES), assigns
     leaf clause ids in the engine's DFS order, and emits — exactly
@@ -2742,13 +2747,16 @@ def _bool_nested_sql(k: int, queries=None) -> str:
     def compile_clause(cl, cs_scoring, leaves):
         (ck, cspec), = cl.items()
         if ck == "bool":
-            return ("node", compile_node(cspec, cs_scoring, leaves))
+            nd = compile_node(cspec, cs_scoring, leaves)
+            nd["name"] = cspec.get("_name")
+            return ("node", nd)
         if ck == "dis_max":
             # mirror of query_engine._compile_bool_clause: children in
             # the should slot (matched = any), only the score combiner
             # differs (max + tie_breaker·Σrest)
             sub = {"must": [], "should": [], "must_not": [], "filter": [],
                    "negative": [], "msm": None, "kind": "dis_max",
+                   "name": cspec.get("_name"),
                    "boost": float(cspec.get("boost", 1.0)),
                    "tb": float(cspec.get("tie_breaker", 0.0))}
             sub["should"] = [
@@ -2759,7 +2767,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
         if ck == "boosting":
             sub = {"must": [], "should": [], "must_not": [], "filter": [],
                    "negative": [], "msm": None, "kind": "boosting",
-                   "boost": 1.0,
+                   "name": cspec.get("_name"), "boost": 1.0,
                    "nb": float(cspec.get("negative_boost", 0.5))}
             sub["must"] = [compile_clause(cspec["positive"], cs_scoring, leaves)]
             sub["negative"] = [compile_clause(cspec["negative"], False, leaves)]
@@ -2769,6 +2777,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
             # scores), score = the constant boost, 0 in filter context
             sub = {"must": [], "should": [], "must_not": [], "filter": [],
                    "negative": [], "msm": None, "kind": "constant_score",
+                   "name": cspec.get("_name"),
                    "boost": float(cspec.get("boost", 1.0)),
                    "cs_scoring": cs_scoring}
             sub["filter"] = [compile_clause(cspec["filter"], False, leaves)]
@@ -2783,6 +2792,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
                 "boost": float(opts.get("boost", 1.0)),
                 "scoring": cs_scoring,
                 "phrase": None,
+                "name": opts.get("_name"),
             }
             leaves.append(leaf)
             return ("leaf", leaf)
@@ -2797,6 +2807,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
                 "scoring": cs_scoring,
                 "phrase": opts["query"],
                 "slop": int(opts.get("slop", 0)),
+                "name": opts.get("_name"),
             }
             leaves.append(leaf)
             return ("leaf", leaf)
@@ -2805,6 +2816,7 @@ def _bool_nested_sql(k: int, queries=None) -> str:
     def compile_node(spec, scoring, leaves):
         node = {"must": [], "should": [], "must_not": [], "filter": [],
                 "negative": [], "kind": "bool",
+                "name": spec.get("_name"),
                 "msm": spec.get("minimum_should_match"),
                 "boost": float(spec.get("boost", 1.0))}
         for role in ("must", "should", "must_not", "filter"):
@@ -2921,6 +2933,31 @@ def _bool_nested_sql(k: int, queries=None) -> str:
             s = f"({s} * {n['boost']})"
         return s
 
+    def names_of(n, acc):
+        """(name, matched-SQL) per named element — same DFS as the
+        engine's names_of; callers pin lexicographic name order."""
+        for role in ("must", "should", "must_not", "filter", "negative"):
+            for ch in n[role]:
+                kind, v = ch
+                nm = v.get("name") if isinstance(v, dict) else None
+                if nm:
+                    acc.append((str(nm), sql_matched(ch)))
+                if kind == "node":
+                    names_of(v, acc)
+        return acc
+
+    def sql_matched_names(tree):
+        top = []
+        if tree.get("name"):
+            top.append((str(tree["name"]), sql_matched_node(tree)))
+        pairs = sorted(top + names_of(tree, []), key=lambda x: x[0])
+        if not pairs:
+            return "''"
+        cases = ", ".join(
+            f"(CASE WHEN {m} THEN '{nm}' END)" for nm, m in pairs
+        )
+        return f"concat_ws(',', {cases})"
+
     def structs_of(n, acc):
         for role in ("must", "should", "must_not", "filter", "negative"):
             for ch in n[role]:
@@ -2984,6 +3021,15 @@ def _bool_nested_sql(k: int, queries=None) -> str:
         f"WHEN {qid} THEN {sql_score_node(tree)}"
         for qid, tree in trees.items()
     )
+    mq_col, mq_out = "", ""
+    if with_names:
+        mq_cases = " ".join(
+            f"WHEN {qid} THEN {sql_matched_names(tree)}"
+            for qid, tree in trees.items()
+        )
+        mq_col = (f",\n         CASE c.query_id {mq_cases} "
+                  "ELSE '' END AS matched")
+        mq_out = ", matched"
     return f"""
 WITH toks AS (
   SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
@@ -3009,7 +3055,7 @@ tf AS (
 ), evald AS (
   SELECT c.query_id, c.doc_id,
          CASE c.query_id {m_cases} ELSE FALSE END AS m,
-         CASE c.query_id {s_cases} ELSE 0.0 END AS score_raw
+         CASE c.query_id {s_cases} ELSE 0.0 END AS score_raw{mq_col}
   FROM cands c
   LEFT JOIN agg ON c.query_id = agg.query_id AND c.doc_id = agg.doc_id
   LEFT JOIN (SELECT *, {TOK} AS dt FROM documents) d ON c.doc_id = d.doc_id
@@ -3017,10 +3063,10 @@ tf AS (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score_raw DESC, doc_id ASC) AS rank,
-         doc_id, round(score_raw, 6) AS score
+         doc_id, round(score_raw, 6) AS score{", matched" if with_names else ""}
   FROM evald WHERE m
 )
-SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+SELECT query_id, rank, doc_id, score{mq_out} FROM ranked WHERE rank <= {k}
 """
 
 
@@ -3744,7 +3790,7 @@ FROM ({_bm25_sql(from_=BM25_K)})
 """,
         "bm25_bool_topk": _bool_sql(BM25_K),
         "bm25_bool_range_topk": _bool_range_sql(BM25_K),
-        "bm25_bool_nested_topk": _bool_nested_sql(BM25_K),
+        "bm25_bool_nested_topk": _bool_nested_sql(BM25_K, with_names=True),
         "es_dsl_parity_topk": f"""
 SELECT *, 'range' AS variant FROM ({_bool_range_sql(BM25_K)})
 UNION ALL

@@ -203,3 +203,61 @@ def test_rich_bool_aggs(eng):
     assert list(got.lang) == list(want.lang)
     assert list(got.doc_count) == list(want.doc_count)
     assert list(got.mx) == list(want.mx)
+
+
+def test_named_queries_matched_per_hit(eng):
+    """ES named queries: _name on any clause → a matched_queries
+    array per hit (lexicographic order), computed from the SAME
+    per-clause hash-agg columns — no extra pass. must_not names never
+    appear on surviving docs; named clauses work in every role incl.
+    filter context; unnamed batches keep the 4-column shape."""
+    out = _p(eng.bool_topk([(1, {
+        "must": [{"match": {"query": "alpha", "_name": "base"}}],
+        "should": [
+            {"match": {"query": "beta", "_name": "has_beta"}},
+            {"bool": {"should": [{"match": "gamma"}, {"match": "delta"}],
+                      "_name": "rare_pair"}},
+            {"constant_score": {"filter": {"term": {"lang": "en"}},
+                                "boost": 0.0, "_name": "english"}},
+        ],
+        "must_not": [{"match": {"query": "w59", "_name": "never"}}],
+    })], k=60))
+    assert "matched_queries" in out.columns
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        want = ["base"]
+        if d % 3 == 0:
+            want.append("english")
+        if d % 2 == 0:
+            want.append("has_beta")
+        if d % 5 == 0 or d % 7 == 0:
+            want.append("rare_pair")
+        assert list(r["matched_queries"]) == sorted(want), (d, r)
+        assert "never" not in list(r["matched_queries"])
+    assert 59 not in set(out["doc_id"])  # the must_not excluded doc
+    # a filter-role named clause still reports (ES filter names appear)
+    out2 = _p(eng.bool_topk([(1, {
+        "must": [{"match": "alpha"}],
+        "filter": [{"bool": {"filter": [{"term": {"lang": "de"}}],
+                    "_name": "germans"}}],
+    })], k=60))
+    assert all(list(mq) == ["germans"] for mq in out2["matched_queries"])
+    # no names anywhere → no matched_queries column (back-compat)
+    plain = eng.bool_topk([(1, {"must": [{"match": "alpha"}]})], k=5)
+    assert "matched_queries" not in plain.columns
+
+
+def test_named_queries_dsl_route(eng):
+    from xml_to_es_spark.operators.es_query import es_search
+
+    out = es_search(eng, {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "alpha",
+                                     "_name": "base"}}}],
+        "should": [{"match": {"text": {"query": "beta",
+                                       "_name": "has_beta"}}}],
+    }}, "size": 10}).toPandas()
+    assert "matched_queries" in out.columns
+    for _, r in out.iterrows():
+        want = (["base", "has_beta"] if int(r["doc_id"]) % 2 == 0
+                else ["base"])
+        assert list(r["matched_queries"]) == want

@@ -816,7 +816,7 @@ class EsRequest:
         raise ValueError(f"unsupported query kind {kind!r}")
 
     _BOOL_KEYS = {"must", "should", "must_not", "filter",
-                  "minimum_should_match", "boost"}
+                  "minimum_should_match", "boost", "_name"}
 
     def _bool_needs_rich(self, spec: dict) -> bool:
         """True when an ES bool body needs the engine's RICH
@@ -829,7 +829,8 @@ class EsRequest:
         translation, bit-identical to the direct engine call."""
         from xml_to_es_spark.pyref import tokenize
 
-        if "minimum_should_match" in spec or "boost" in spec:
+        if ("minimum_should_match" in spec or "boost" in spec
+                or "_name" in spec):
             return True
         fields: set = set()
         for role in ("must", "should", "must_not", "filter"):
@@ -853,10 +854,10 @@ class EsRequest:
                         f"structured clauses, got {ck!r}"
                     )
                 fld, opts = _field_text(
-                    cs, allowed={"operator", "boost"},
-                    extra_keys=frozenset({"boost"}),
+                    cs, allowed={"operator", "boost", "_name"},
+                    extra_keys=frozenset({"boost", "_name"}),
                 )
-                if "boost" in opts or "operator" in opts:
+                if "boost" in opts or "operator" in opts or "_name" in opts:
                     return True
                 fields.add(self._resolve_match_field(fld))
                 if role == "must" and len(tokenize(opts["query"])) > 1:
@@ -911,7 +912,7 @@ class EsRequest:
         if bad:
             raise ValueError(f"unsupported bool key(s) {sorted(bad)}")
         out: dict[str, Any] = {}
-        for key in ("minimum_should_match", "boost"):
+        for key in ("minimum_should_match", "boost", "_name"):
             if key in spec:
                 out[key] = spec[key]
         for role in ("must", "should", "must_not", "filter"):
@@ -935,7 +936,7 @@ class EsRequest:
         if ck in _STRUCTURED:
             return {ck: cs}
         if ck == "dis_max":
-            bad = set(cs) - {"queries", "tie_breaker", "boost"}
+            bad = set(cs) - {"queries", "tie_breaker", "boost", "_name"}
             if bad or not cs.get("queries"):
                 raise ValueError(
                     f"dis_max takes queries (+tie_breaker, boost), got "
@@ -944,23 +945,25 @@ class EsRequest:
             out: dict[str, Any] = {
                 "queries": [self._rich_clause(c) for c in cs["queries"]]
             }
-            for key in ("tie_breaker", "boost"):
+            for key in ("tie_breaker", "boost", "_name"):
                 if key in cs:
                     out[key] = cs[key]
             return {"dis_max": out}
         if ck == "constant_score":
-            bad = set(cs) - {"filter", "boost"}
+            bad = set(cs) - {"filter", "boost", "_name"}
             if bad or "filter" not in cs:
                 raise ValueError(
                     f"constant_score takes filter (+boost), got "
                     f"{sorted(bad) or 'no filter'}"
                 )
             out = {"filter": self._rich_clause(cs["filter"])}
-            if "boost" in cs:
-                out["boost"] = cs["boost"]
+            for key in ("boost", "_name"):
+                if key in cs:
+                    out[key] = cs[key]
             return {"constant_score": out}
         if ck == "boosting":
-            bad = set(cs) - {"positive", "negative", "negative_boost"}
+            bad = set(cs) - {"positive", "negative", "negative_boost",
+                             "_name"}
             if bad or "positive" not in cs or "negative" not in cs:
                 raise ValueError(
                     "boosting takes positive + negative (+negative_boost), "
@@ -970,18 +973,20 @@ class EsRequest:
                 "positive": self._rich_clause(cs["positive"]),
                 "negative": self._rich_clause(cs["negative"]),
             }
-            if "negative_boost" in cs:
-                out["negative_boost"] = cs["negative_boost"]
+            for key in ("negative_boost", "_name"):
+                if key in cs:
+                    out[key] = cs[key]
             return {"boosting": out}
         if ck == "match_phrase":
             fld, opts = _field_text(
-                cs, allowed={"slop", "boost"}, extra_keys=frozenset({"boost"})
+                cs, allowed={"slop", "boost", "_name"},
+                extra_keys=frozenset({"boost", "_name"}),
             )
             leaf: dict[str, Any] = {"query": opts["query"]}
             f = self._resolve_match_field(fld)
             if f is not None:
                 leaf["field"] = f
-            for key in ("slop", "boost"):
+            for key in ("slop", "boost", "_name"):
                 if key in opts:
                     leaf[key] = opts[key]
             return {"match_phrase": leaf}
@@ -991,13 +996,14 @@ class EsRequest:
                 f"kinds, got {ck!r}"
             )
         fld, opts = _field_text(
-            cs, allowed={"operator", "boost"}, extra_keys=frozenset({"boost"})
+            cs, allowed={"operator", "boost", "_name"},
+            extra_keys=frozenset({"boost", "_name"}),
         )
         leaf: dict[str, Any] = {"query": opts["query"]}
         f = self._resolve_match_field(fld)
         if f is not None:
             leaf["field"] = f
-        for key in ("operator", "boost"):
+        for key in ("operator", "boost", "_name"):
             if key in opts:
                 leaf[key] = opts[key]
         return {"match": leaf}

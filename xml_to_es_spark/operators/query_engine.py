@@ -185,11 +185,14 @@ class _BoolLeaf:
     tokens by default (the ES per-clause match), AND with
     ``operator: and``; ``boost`` multiplies its BM25 contribution."""
 
-    __slots__ = ("cid", "terms", "op_and", "boost", "scoring", "field")
+    __slots__ = ("cid", "terms", "op_and", "boost", "scoring", "field",
+                 "name")
 
-    def __init__(self, cid, terms, op_and, boost, scoring, field):
+    def __init__(self, cid, terms, op_and, boost, scoring, field,
+                 name=None):
         self.cid, self.terms, self.op_and = cid, terms, op_and
         self.boost, self.scoring, self.field = boost, scoring, field
+        self.name = name
 
 
 class _BoolPhrase:
@@ -199,11 +202,13 @@ class _BoolPhrase:
     kernel over the FULL match set and folded into the same
     per-clause aggregation as term leaves."""
 
-    __slots__ = ("cid", "text", "slop", "boost", "scoring", "field")
+    __slots__ = ("cid", "text", "slop", "boost", "scoring", "field",
+                 "name")
 
-    def __init__(self, cid, text, slop, boost, scoring, field):
+    def __init__(self, cid, text, slop, boost, scoring, field, name=None):
         self.cid, self.text, self.slop = cid, text, slop
         self.boost, self.scoring, self.field = boost, scoring, field
+        self.name = name
 
 
 class _BoolStruct:
@@ -233,7 +238,7 @@ class _BoolNode:
 
     __slots__ = ("must", "should", "must_not", "filter", "msm", "boost",
                  "kind", "tie_breaker", "negative", "negative_boost",
-                 "scoring")
+                 "scoring", "name")
 
     def __init__(self):
         self.must, self.should, self.must_not, self.filter = [], [], [], []
@@ -241,6 +246,7 @@ class _BoolNode:
         self.kind, self.tie_breaker = "bool", 0.0
         self.negative, self.negative_boost = [], 0.5
         self.scoring = True
+        self.name = None
 
     def need_should(self) -> int:
         """Required matched-should count (ES default: 1 when no
@@ -260,7 +266,8 @@ def _is_rich_bool(clauses: dict) -> bool:
     bools / match options. Legacy flat specs (role → token string,
     filter → string or list of simple single-key clauses) keep the
     original one-agg path bit-for-bit."""
-    if "minimum_should_match" in clauses or "boost" in clauses:
+    if ("minimum_should_match" in clauses or "boost" in clauses
+            or "_name" in clauses):
         return True
     for role in ("must", "should", "must_not"):
         if isinstance(clauses.get(role), (list, tuple, dict)):
@@ -1004,6 +1011,8 @@ class QueryEngine:
         if search_after:
             hits = self._rank_anchored_after(hits, w, search_after)
         cols = ["query_id", "rank", "doc_id", "score"]
+        if "matched_queries" in hits.columns:
+            cols.append("matched_queries")
         if track_total_hits:
             hits = hits.withColumn(
                 "total",
@@ -1325,12 +1334,13 @@ class QueryEngine:
         aggregation columns). ``scoring`` propagates the ES filter
         context: everything under filter/must_not scores 0."""
         bad = set(spec) - {"must", "should", "must_not", "filter",
-                           "minimum_should_match", "boost"}
+                           "minimum_should_match", "boost", "_name"}
         if bad:
             raise ValueError(f"unknown bool key(s) {sorted(bad)}")
         node = _BoolNode()
         node.boost = float(spec.get("boost", 1.0))
         node.msm = spec.get("minimum_should_match")
+        node.name = spec.get("_name")
         for role in ("must", "should", "must_not", "filter"):
             v = spec.get(role)
             if v is None:
@@ -1375,11 +1385,12 @@ class QueryEngine:
             )
         if kind == "match":
             opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
-            bad = set(opts) - {"query", "field", "boost", "operator"}
+            bad = set(opts) - {"query", "field", "boost", "operator",
+                               "_name"}
             if bad or "query" not in opts:
                 raise ValueError(
-                    f"match clause supports query/field/boost/operator, "
-                    f"got {sorted(bad) or 'no query'}"
+                    f"match clause supports query/field/boost/operator/"
+                    f"_name, got {sorted(bad) or 'no query'}"
                 )
             fld = self._resolve_field(opts.get("field", default_field))
             toks = sorted(set(tokenize(opts["query"])))
@@ -1392,16 +1403,17 @@ class QueryEngine:
                 boost=float(opts.get("boost", 1.0)),
                 scoring=scoring,
                 field=fld,
+                name=opts.get("_name"),
             )
             leaves.append(leaf)
             return leaf
         if kind == "match_phrase":
             opts = dict(spec) if isinstance(spec, dict) else {"query": spec}
-            bad = set(opts) - {"query", "field", "boost", "slop"}
+            bad = set(opts) - {"query", "field", "boost", "slop", "_name"}
             if bad or "query" not in opts:
                 raise ValueError(
-                    f"match_phrase clause supports query/field/boost/slop, "
-                    f"got {sorted(bad) or 'no query'}"
+                    f"match_phrase clause supports query/field/boost/slop/"
+                    f"_name, got {sorted(bad) or 'no query'}"
                 )
             fld = self._resolve_field(opts.get("field", default_field))
             if not tokenize(opts["query"]):
@@ -1413,6 +1425,7 @@ class QueryEngine:
                 boost=float(opts.get("boost", 1.0)),
                 scoring=scoring,
                 field=fld,
+                name=opts.get("_name"),
             )
             leaves.append(leaf)
             return leaf
@@ -1422,7 +1435,7 @@ class QueryEngine:
             structs.append(s)
             return s
         if kind == "dis_max":
-            bad = set(spec) - {"queries", "tie_breaker", "boost"}
+            bad = set(spec) - {"queries", "tie_breaker", "boost", "_name"}
             if bad or not spec.get("queries"):
                 raise ValueError(
                     f"dis_max takes queries (+tie_breaker, boost), got "
@@ -1430,6 +1443,7 @@ class QueryEngine:
                 )
             node = _BoolNode()
             node.kind = "dis_max"
+            node.name = spec.get("_name")
             node.boost = float(spec.get("boost", 1.0))
             node.tie_breaker = float(spec.get("tie_breaker", 0.0))
             if not 0.0 <= node.tie_breaker <= 1.0:
@@ -1444,7 +1458,7 @@ class QueryEngine:
             ]
             return node
         if kind == "constant_score":
-            bad = set(spec) - {"filter", "boost"}
+            bad = set(spec) - {"filter", "boost", "_name"}
             if bad or "filter" not in spec:
                 raise ValueError(
                     f"constant_score takes filter (+boost), got "
@@ -1452,6 +1466,7 @@ class QueryEngine:
                 )
             node = _BoolNode()
             node.kind = "constant_score"
+            node.name = spec.get("_name")
             node.boost = float(spec.get("boost", 1.0))
             node.scoring = scoring
             # the wrapped clause is ES filter context: never scores,
@@ -1461,7 +1476,8 @@ class QueryEngine:
             )]
             return node
         if kind == "boosting":
-            bad = set(spec) - {"positive", "negative", "negative_boost"}
+            bad = set(spec) - {"positive", "negative", "negative_boost",
+                               "_name"}
             if bad or "positive" not in spec or "negative" not in spec:
                 raise ValueError(
                     "boosting takes positive + negative (+negative_boost), "
@@ -1469,6 +1485,7 @@ class QueryEngine:
                 )
             node = _BoolNode()
             node.kind = "boosting"
+            node.name = spec.get("_name")
             node.negative_boost = float(spec.get("negative_boost", 0.5))
             if not 0.0 <= node.negative_boost <= 1.0:
                 raise ValueError("negative_boost must be in [0, 1]")
@@ -1506,8 +1523,8 @@ class QueryEngine:
 
     def _bool_tree_cols(
         self, node: _BoolNode
-    ) -> tuple[F.Column, F.Column]:
-        """(matched, score) Column expressions for one query's tree
+    ) -> tuple[F.Column, F.Column, list]:
+        """(matched, score, names) Column expressions for one query's tree
         over the per-clause aggregation columns ``_c<cid>`` (distinct
         matched-term count) and ``_s<cid>`` (boosted contribution sum)
         plus the joined doc-value columns for structured predicates.
@@ -1585,7 +1602,24 @@ class QueryEngine:
                 s = s * F.lit(n.boost)
             return s
 
-        return matched_node(node), score_node(node)
+        def names_of(n: _BoolNode) -> list:
+            """(name, matched Column) per named element, ES named
+            queries — DFS order; callers pin lexicographic order."""
+            out: list = []
+
+            def visit(el):
+                nm = getattr(el, "name", None)
+                if nm:
+                    out.append((str(nm), matched(el)))
+                if isinstance(el, _BoolNode):
+                    for c in (el.must + el.should + el.must_not
+                              + el.filter + el.negative):
+                        visit(c)
+
+            visit(n)
+            return out
+
+        return matched_node(node), score_node(node), names_of(node)
 
     def _phrase_leaf_rows(self, phrase_leaves, qid_of) -> list:
         """match_phrase clauses inside bool trees → unified clause-row
@@ -1810,16 +1844,35 @@ class QueryEngine:
             return None
         if dvf is not None:
             cands = cands.join(dvf, "doc_id", "left")
-        m_case, s_case = None, None
+        m_case, s_case, mq_case = None, None, None
+        any_names = False
         for qid, tree in trees.items():
-            m, s = self._bool_tree_cols(tree)
+            m, s, names = self._bool_tree_cols(tree)
             q = F.col("query_id") == qid
             m_case = F.when(q, m) if m_case is None else m_case.when(q, m)
             s_case = F.when(q, s) if s_case is None else s_case.when(q, s)
-        return (
-            cands.filter(m_case.otherwise(F.lit(False)))
-            .select("query_id", "doc_id", s_case.otherwise(F.lit(0.0)).alias("score"))
-        )
+            # ES named queries: the names of matched _name clauses,
+            # pinned lexicographic order (per-clause matched columns
+            # come free from the same hash-agg — no extra pass)
+            if names:
+                any_names = True
+                mq = F.array(*[
+                    F.when(mc, F.lit(nm))
+                    for nm, mc in sorted(names, key=lambda x: x[0])
+                ])
+                mq = F.filter(mq, lambda x: x.isNotNull())
+            else:
+                mq = F.array().cast("array<string>")
+            mq_case = (F.when(q, mq) if mq_case is None
+                       else mq_case.when(q, mq))
+        cols = ["query_id", "doc_id",
+                s_case.otherwise(F.lit(0.0)).alias("score")]
+        if any_names:
+            cols.append(
+                mq_case.otherwise(F.array().cast("array<string>"))
+                .alias("matched_queries")
+            )
+        return cands.filter(m_case.otherwise(F.lit(False))).select(*cols)
 
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 
