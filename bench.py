@@ -271,7 +271,7 @@ def main():
         "search_aggs_nested_topk", "bm25_phrase_cursor_topk",
         "es_top_hits_topk", "bm25_rescore_topk",
         "es_function_score_topk", "es_mlt_topk", "significant_terms",
-        "es_query_string_topk",
+        "es_query_string_topk", "es_phrase_suggest",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -383,6 +383,15 @@ def main():
     timed(
         "es_query_string_topk",
         lambda: feng.bool_topk(entry._qs_specs(), k=10, docs=dv).collect(),
+    )
+    # 28c. phrase suggester: one capped dictionary job + one bounded
+    # df probe + ONE batched positional bigram count; Viterbi is
+    # driver-side and corpus-independent
+    timed(
+        "es_phrase_suggest",
+        lambda: feng.suggest_phrases(
+            "hash joln fst", max_errors=2.0, size=5
+        ).collect(),
     )
     # 28. significant_terms: the honest full-postings membership scan
     # + match-id join + JLH for the 6-query batch

@@ -159,3 +159,147 @@ def test_analyze_matches_engine_tokenizer():
 
     for s in ["Mixed CASE 123 foo-bar", "", "  ", "a1b2"]:
         assert [t["token"] for t in es_analyze({"text": s})] == tokenize(s)
+
+
+# -- phrase suggester ---------------------------------------------------------
+
+PCFG = IndexConfig(n_groups=2, block_size=32, store_positions=True)
+
+
+def _pcorpus(n=60):
+    rows = []
+    for i in range(n):
+        parts = []
+        if i % 2 == 0:
+            parts.append("hash join fast")
+        if i % 3 == 0:
+            parts.append("sort merge slow")
+        if i % 5 == 0:
+            parts.append("hash sort")
+        parts.append(f"w{i}")
+        rows.append((i, " ".join(parts)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("psuggest")
+    pdf = _pcorpus()
+    path = str(root / "idx")
+    IndexBuilder(spark, PCFG).build(spark.createDataFrame(pdf), path)
+    return pdf, path
+
+
+def _phrase_twin(pdf, text, size=5, max_edits=1, candidate_size=5,
+                 max_errors=1.0, confidence=1.0, discount=0.4):
+    """Independent python twin of the bigram StupidBackoff phrase
+    suggester: same candidate generator (closest-first cap, token
+    itself included), same doc-frequency statistics, full enumeration
+    instead of Viterbi."""
+    import itertools
+    import math
+
+    toks = text.split()
+    uni = _vocab_df(pdf)
+    from collections import Counter
+
+    bi = Counter()
+    for t in pdf.text:
+        ws = t.split()
+        bi.update({(a, b) for a, b in zip(ws, ws[1:])})
+    n = float(len(pdf))
+
+    def uni_p(w):
+        d = uni.get(w, 0)
+        return d / n if d > 0 else 1.0 / (2.0 * n)
+
+    def cond_p(a, b):
+        bc, da = bi.get((a, b), 0), uni.get(a, 0)
+        return bc / da if bc > 0 and da > 0 else discount * uni_p(b)
+
+    def score(ws):
+        s = math.log(uni_p(ws[0]))
+        for a, b in zip(ws, ws[1:]):
+            s += math.log(cond_p(a, b))
+        return s
+
+    n_err = (int(max_errors) if max_errors > 1
+             else max(1, int(math.floor(max_errors * len(toks)))))
+    cands = {}
+    for t in toks:
+        cs = sorted(
+            ((_lev(v, t), v) for v in uni if _lev(v, t) <= max_edits)
+        )[:candidate_size]
+        cands[t] = sorted({v for _d, v in cs} | {t})
+    gate = (score(toks) + math.log(confidence) if confidence > 0
+            else -math.inf)
+    outs = []
+    for combo in itertools.product(*[cands[t] for t in toks]):
+        errs = sum(1 for c, t in zip(combo, toks) if c != t)
+        if errs > n_err:
+            continue
+        sug = " ".join(combo)
+        if sug == " ".join(toks):
+            continue
+        sc = score(list(combo))
+        if sc <= gate:
+            continue
+        outs.append((sug, sc))
+    outs.sort(key=lambda x: (-x[1], x[0]))
+    return outs[:size]
+
+
+def test_phrase_suggester_matches_twin(spark, pidx):
+    import numpy as np
+
+    pdf, path = pidx
+    e = QueryEngine(spark, path)
+    for text, kw in [
+        ("hash joln", {}),                       # 1-edit bigram fix
+        ("hsh join", {}),                        # fix the first token
+        ("sort merge slow", {"max_errors": 2.0}),
+        ("hash sort", {"confidence": 0.0, "max_errors": 2.0}),
+    ]:
+        got = e.suggest_phrases(text, **kw).toPandas()
+        want = _phrase_twin(pdf, text, **kw)
+        assert list(got["suggestion"]) == [s for s, _ in want], (text, got)
+        np.testing.assert_allclose(
+            got["score"], [s for _, s in want], rtol=1e-9
+        )
+    # the obvious correction ranks first
+    top = e.suggest_phrases("hash joln").toPandas()
+    assert top["suggestion"].iloc[0] == "hash join"
+
+
+def test_phrase_suggester_gates_and_validation(spark, pidx):
+    _pdf, path = pidx
+    e = QueryEngine(spark, path)
+    # max_errors=0.5 (fraction): one of two tokens may change, so the
+    # two-token fix is out of reach
+    got = e.suggest_phrases("hsh joln", max_errors=0.5).toPandas()
+    assert "hash join" not in list(got["suggestion"])
+    got2 = e.suggest_phrases("hsh joln", max_errors=2.0).toPandas()
+    assert got2["suggestion"].iloc[0] == "hash join"
+    # confidence=1: suggestions must beat the input's own LM score
+    ok = e.suggest_phrases("hash join", confidence=1.0).toPandas()
+    assert "hash join" not in list(ok["suggestion"])
+    with pytest.raises(ValueError, match="max_edits"):
+        e.suggest_phrases("a b", max_edits=3)
+    with pytest.raises(ValueError, match="10 tokens"):
+        e.suggest_phrases("a " * 11)
+
+
+def test_phrase_suggester_dsl(spark, pidx):
+    _pdf, path = pidx
+    e = QueryEngine(spark, path)
+    got = es_suggest(e, {"suggest": {"dym": {
+        "text": "hash joln",
+        "phrase": {"field": "text", "size": 3, "max_errors": 2.0},
+    }}}).toPandas()
+    assert got["suggestion"].iloc[0] == "hash join"
+    with pytest.raises(ValueError, match="ONE of term / phrase"):
+        es_suggest(e, {"suggest": {"d": {
+            "text": "x", "term": {}, "phrase": {}}}})
+    with pytest.raises(ValueError, match="unsupported phrase"):
+        es_suggest(e, {"suggest": {"d": {
+            "text": "x", "phrase": {"gram_size": 3}}}})

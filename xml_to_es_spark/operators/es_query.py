@@ -1202,16 +1202,22 @@ class EsRequest:
         )
 
     def _suggest(self) -> DataFrame:
-        """ES term suggester ("did you mean") body::
+        """ES suggesters::
 
             {"suggest": {"<name>": {"text": "...", "term":
                 {"field": f, "suggest_mode": m, "max_edits": e,
                  "size": n}}}}
+            {"suggest": {"<name>": {"text": "...", "phrase":
+                {"field": f, "size": n, "max_errors": E,
+                 "confidence": C, "max_edits": e,
+                 "candidate_size": c}}}}
 
         Suggest-only bodies (no query beside it — ES allows mixing;
-        this surface keeps requests single-purpose). Routed to
-        :meth:`QueryEngine.suggest_terms` (one in-plan-capped
-        dictionary job)."""
+        this surface keeps requests single-purpose). ``term`` routes
+        to :meth:`QueryEngine.suggest_terms` (one in-plan-capped
+        dictionary job); ``phrase`` to
+        :meth:`QueryEngine.suggest_phrases` (the bigram StupidBackoff
+        did-you-mean — needs ``store_positions=True``)."""
         if set(self.body) != {"suggest"}:
             raise ValueError(
                 "a suggest body must contain suggest only "
@@ -1221,10 +1227,30 @@ class EsRequest:
         if not (isinstance(sug, dict) and len(sug) == 1):
             raise ValueError("suggest takes exactly one named suggester")
         (_name, spec), = sug.items()
-        bad = set(spec) - {"text", "term"}
-        if bad or "text" not in spec or "term" not in spec:
+        bad = set(spec) - {"text", "term", "phrase"}
+        if bad or "text" not in spec or not ({"term", "phrase"} & set(spec)):
             raise ValueError(
-                f"suggester needs text + term, got {sorted(bad) or sorted(spec)}"
+                f"suggester needs text + term/phrase, got "
+                f"{sorted(bad) or sorted(spec)}"
+            )
+        if "phrase" in spec:
+            if "term" in spec:
+                raise ValueError("pick ONE of term / phrase per suggester")
+            ph = dict(spec["phrase"])
+            bad = set(ph) - {"field", "size", "max_errors", "confidence",
+                             "max_edits", "candidate_size"}
+            if bad:
+                raise ValueError(
+                    f"unsupported phrase-suggester option(s) {sorted(bad)}"
+                )
+            return self.eng.suggest_phrases(
+                spec["text"],
+                field=self._resolve_match_field(ph.get("field", "text")),
+                size=int(ph.get("size", 5)),
+                max_edits=int(ph.get("max_edits", 1)),
+                candidate_size=int(ph.get("candidate_size", 5)),
+                max_errors=float(ph.get("max_errors", 1.0)),
+                confidence=float(ph.get("confidence", 1.0)),
             )
         t = dict(spec["term"])
         bad = set(t) - {"field", "suggest_mode", "max_edits", "size"}

@@ -2332,6 +2332,185 @@ class QueryEngine:
             )
         )
 
+    def suggest_phrases(
+        self,
+        text: str,
+        field: str | None = None,
+        size: int = 5,
+        max_edits: int = 1,
+        candidate_size: int = 5,
+        max_errors: float = 1.0,
+        confidence: float = 1.0,
+        discount: float = 0.4,
+    ) -> DataFrame:
+        """ES PHRASE SUGGESTER ("did you mean" for whole inputs): each
+        input token generates dictionary candidates (levenshtein ≤
+        ``max_edits``, the closest ``candidate_size`` — the term
+        suggester's candidate generator, including the token itself
+        when indexed), candidate phrases score under a BIGRAM
+        StupidBackoff language model (the ES default smoothing)::
+
+            P(w1)        = df(w1) / N
+            P(wi|wi-1)   = bigram_df(wi-1, wi) / df(wi-1)   if > 0
+                           else discount · df(wi) / N
+            score(p)     = Σ log P                (higher = better)
+
+        Bigram statistics come from the positional sidecar — doc
+        frequencies, not occurrence counts (a documented deviation
+        from ES's shard n-gram counts; ratios behave identically).
+        Absent unigrams smooth to ``1/(2N)`` so the INPUT phrase
+        always has a finite score for the ``confidence`` gate.
+
+        ``max_errors``: ≤ 1.0 → fraction of tokens that may change
+        (ES semantics), > 1 → absolute count. ``confidence``: a
+        suggestion must score above ``log(input) + ln(confidence)``
+        (confidence 0 disables the gate). Identity suggestions are
+        never returned.
+
+        Scale shape — the corpus never reaches the driver: ONE capped
+        dictionary expansion (≤ tokens·candidate_size rows), one
+        bounded df probe, and ONE batched positional count for the
+        ≤ (n−1)·c² candidate bigrams (the oracle-verified bool_count
+        machinery, all bigrams in one job). Ranking is an exact
+        k-best Viterbi over (position, candidate, errors) on the
+        driver — O(n·c²·errors·k), independent of corpus size.
+        Needs ``store_positions=True``. Returns
+        (text, rank, suggestion, score) with the log-probability
+        score."""
+        import math
+
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2 (the ES bound)")
+        toks = tokenize(text)
+        if not toks:
+            raise ValueError("empty phrase-suggest text")
+        if len(toks) > 10:
+            raise ValueError(
+                "phrase suggester supports up to 10 tokens (the driver-"
+                "side Viterbi is bounded by design)"
+            )
+        fld = self._resolve_field(field)
+        n_errors = (
+            int(max_errors) if max_errors > 1
+            else max(1, int(math.floor(max_errors * len(toks))))
+        )
+        # 1. candidates: one capped dictionary job (closest-first cap)
+        vmap = self.fuzzy_variants(
+            sorted(set(toks)), max_edits, field=field,
+            max_expansions=candidate_size,
+        )
+        strip = (len(fld) + 1) if fld else 0
+        cands = {
+            t: sorted({v[strip:] for v in vs} | {t})
+            for t, vs in vmap.items()
+        }
+        # 2. unigram df: bounded probe over the live dictionaries
+        uni_terms = sorted({c for cs in cands.values() for c in cs})
+        meta = self._term_meta([self._term_of(c, fld) for c in uni_terms])
+        df_of = {
+            c: int(meta.get(self._term_of(c, fld), {}).get("df", 0))
+            for c in uni_terms
+        }
+        n = float(self.n_docs)
+
+        def uni_p(w: str) -> float:
+            d = df_of.get(w, 0)
+            return (d / n) if d > 0 else 1.0 / (2.0 * n)
+
+        # 3. bigram df: ONE batched positional count over every
+        # candidate-adjacent pair (plus the input's own bigrams, for
+        # the confidence gate)
+        pair_list: list[tuple[str, str]] = []
+        seen = set()
+        for i in range(1, len(toks)):
+            prevs = cands.get(toks[i - 1], [toks[i - 1]])
+            nexts = cands.get(toks[i], [toks[i]])
+            for a in prevs + [toks[i - 1]]:
+                for b in nexts + [toks[i]]:
+                    if (a, b) not in seen:
+                        seen.add((a, b))
+                        pair_list.append((a, b))
+        bi_df: dict[tuple[str, str], int] = {}
+        live = [
+            (pid, p) for pid, p in enumerate(pair_list)
+            if df_of.get(p[0], 0) > 0 and df_of.get(p[1], 0) > 0
+        ]
+        if live:
+            counts = self.bool_count(
+                [
+                    (pid, {"must": [{"match_phrase": {
+                        "query": f"{a} {b}"}}]})
+                    for pid, (a, b) in live
+                ],
+                field=field,
+            ).collect()
+            by_pid = {int(r["query_id"]): int(r["total"]) for r in counts}
+            for pid, p in live:
+                bi_df[p] = by_pid.get(pid, 0)
+
+        def cond_p(prev: str, w: str) -> float:
+            bc = bi_df.get((prev, w), 0)
+            dprev = df_of.get(prev, 0)
+            if bc > 0 and dprev > 0:
+                return bc / dprev
+            return discount * uni_p(w)
+
+        def phrase_score(ws: list[str]) -> float:
+            s = math.log(uni_p(ws[0]))
+            for i in range(1, len(ws)):
+                s += math.log(cond_p(ws[i - 1], ws[i]))
+            return s
+
+        # 4. exact k-best Viterbi over (position, candidate, errors)
+        beam = max(size * 4, 10)
+        # state: (cand, errors) → list of (score, path) kept to beam
+        states: dict[tuple[str, int], list] = {}
+        for c in cands.get(toks[0], [toks[0]]):
+            e = 0 if c == toks[0] else 1
+            if e <= n_errors:
+                states.setdefault((c, e), []).append(
+                    (math.log(uni_p(c)), (c,))
+                )
+        for i in range(1, len(toks)):
+            nxt: dict[tuple[str, int], list] = {}
+            for c in cands.get(toks[i], [toks[i]]):
+                de = 0 if c == toks[i] else 1
+                for (prev, e), paths in states.items():
+                    ne = e + de
+                    if ne > n_errors:
+                        continue
+                    step = math.log(cond_p(prev, c))
+                    bucket = nxt.setdefault((c, ne), [])
+                    for sc, path in paths:
+                        bucket.append((sc + step, path + (c,)))
+            # beam truncation pinned like the final rank: score desc,
+            # then suggestion asc (ties never depend on dict order)
+            states = {
+                k: sorted(v, key=lambda x: (-x[0], x[1]))[:beam]
+                for k, v in nxt.items()
+            }
+        final = [p for paths in states.values() for p in paths]
+        input_score = phrase_score(toks)
+        gate = (
+            input_score + math.log(confidence) if confidence > 0
+            else -math.inf
+        )
+        out_rows = []
+        seen_s: set[str] = set()
+        for sc, path in sorted(final, key=lambda x: (-x[0], x[1])):
+            sug = " ".join(path)
+            if sug == " ".join(toks) or sug in seen_s or sc <= gate:
+                continue
+            seen_s.add(sug)
+            out_rows.append((text, len(out_rows) + 1, sug, float(sc)))
+            if len(out_rows) >= size:
+                break
+        return self.spark.createDataFrame(
+            out_rows,
+            schema="text string, rank long, suggestion string, "
+                   "score double",
+        )
+
     def prefix_variants(
         self,
         prefixes: list[str],
