@@ -179,3 +179,70 @@ def test_bucket_validation(eng):
     with pytest.raises(ValueError, match="unsupported fn"):
         e.search_aggs([(1, "alpha")], group_by="lang",
                       metrics={"m": ("median", "n_chars")})
+
+
+def test_rare_terms_multi_terms_auto_date_histogram(eng, spark):
+    """Round-5 bucket kinds: rare_terms (anti-top-N, doc_count ≤
+    max_doc_count filter on the agg), multi_terms (ES tuple-keyed
+    bucket ≡ the composite group-by), auto_date_histogram (per-query
+    adaptive calendar interval from one bounded min/max probe)."""
+    import pandas as pd
+
+    e, pdf = eng
+    # rare_terms over a synthetic skewed column via docs=
+    from pyspark.sql import functions as F
+
+    dv = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(N),
+        "tag": ["common" if i % 2 == 0 else f"rare{i % 5}"
+                for i in range(N)],
+        "warc_ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta([3 * i for i in range(N)], unit="D"),
+        "n_chars": [100 + 5 * i for i in range(N)],
+    }))
+    out = e.search_aggs(
+        [(1, "alpha")], group_by={"rare_terms": {
+            "field": "tag", "max_doc_count": 8}}, docs=dv,
+    ).toPandas()
+    from collections import Counter
+
+    counts = Counter(["common" if i % 2 == 0 else f"rare{i % 5}"
+                      for i in range(N)])
+    want = {t for t, c in counts.items() if c <= 8}
+    assert set(out["tag"]) == want
+    assert (out["doc_count"] <= 8).all()
+    # multi_terms through the DSL ≡ engine composite group-by
+    from xml_to_es_spark.operators.es_query import es_search
+
+    d = es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"mt": {"multi_terms": {"terms": [
+                          {"field": "lang"}, {"field": "n_chars"}]}}}}
+                  ).toPandas()
+    twin = e.search_aggs([(0, "alpha")],
+                         group_by=["lang", "n_chars"]).toPandas()
+    assert len(d) == len(twin) == N  # every (lang, n_chars) cell unique
+    # auto_date_histogram: 60 docs spanning ~177 days, target 10
+    # buckets → month is the finest fitting calendar interval
+    out2 = e.search_aggs(
+        [(1, "alpha")], group_by={"auto_date_histogram": {
+            "field": "warc_ts", "buckets": 10}}, docs=dv,
+    ).toPandas()
+    assert set(out2["interval"]) == {"month"}
+    assert len(out2) <= 10 and out2["doc_count"].sum() == N
+    # widening the target picks a finer interval
+    out3 = e.search_aggs(
+        [(1, "alpha")], group_by={"auto_date_histogram": {
+            "field": "warc_ts", "buckets": 200}}, docs=dv,
+    ).toPandas()
+    assert set(out3["interval"]) == {"day"}
+    assert len(out3) == N  # 3-day spacing: one bucket per doc
+    # DSL routes + validation
+    d2 = es_search(e, {"query": {"match": {"text": "alpha"}},
+                       "aggs": {"r": {"rare_terms": {
+                           "field": "lang", "max_doc_count": 5}}}}
+                   ).toPandas()
+    assert len(d2) == 0  # every lang has 20 docs > 5
+    with pytest.raises(ValueError, match="multi_terms"):
+        es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"m": {"multi_terms": {
+                          "terms": [{"field": "lang"}]}}}})

@@ -69,6 +69,11 @@ raise, nothing is silently ignored)::
                       "range": {"field": f, "ranges": [
                                 {"key": k, "from": a, "to": b}, ...]} |
                       "filters": {"filters": {name: structured-clause}} |
+                      "rare_terms": {"field": f, "max_doc_count": N} |
+                      "multi_terms": {"terms": [{"field": a},
+                                                {"field": b}]} |
+                      "auto_date_histogram": {"field": f,
+                                              "buckets": N} |
                       "composite": {"sources": [...], "size": N,
                                     "after": {name: value}},
                       "aggs": {alias: {"avg"/"sum"/"min"/"max"/
@@ -1017,7 +1022,8 @@ class EsRequest:
                    "cardinality": "cardinality",
                    "value_count": "count", "missing": "missing"}
     _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
-                     "filters")
+                     "filters", "rare_terms", "auto_date_histogram",
+                     "multi_terms")
 
     def _parse_bucket(self, spec: dict) -> tuple[dict, int | None, dict]:
         """One ES bucket-agg spec → (engine bucket spec, size, sub-aggs
@@ -1033,6 +1039,19 @@ class EsRequest:
         size = b.pop("size", None)
         if bkind == "histogram":
             b["interval"] = float(b["interval"])
+        if bkind == "multi_terms":
+            # ES multi_terms: ONE bucket keyed by a field tuple — the
+            # engine's composite group-by list, identical rows
+            terms = b.pop("terms", None)
+            if b or not isinstance(terms, list) or len(terms) != 2:
+                raise ValueError(
+                    "multi_terms takes terms: [{field: a}, {field: b}] "
+                    "(two sources, +size)"
+                )
+            return (
+                [{"terms": {"field": t["field"]}} for t in terms],
+                size, sub,
+            )
         return {bkind: b}, size, sub
 
     def _parse_metrics(self, sub: dict) -> dict:
@@ -1162,6 +1181,11 @@ class EsRequest:
                     k_hits=int(th.get("size", 3)), size=size, field=fld,
                 )
             if inner and next(iter(inner)) in self._BUCKET_KINDS:
+                if isinstance(gb1, list):
+                    raise ValueError(
+                        "multi_terms cannot take a sub-bucket (its key "
+                        "tuple already spans two fields)"
+                    )
                 gb2, size2, sub2 = self._parse_bucket(spec2)
                 if size2 is not None:
                     raise ValueError(

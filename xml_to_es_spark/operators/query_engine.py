@@ -4060,7 +4060,87 @@ class QueryEngine:
         specs = group_by if isinstance(group_by, list) else [group_by]
         if not 1 <= len(specs) <= 2:
             raise ValueError("group_by supports one bucket or one nesting level")
-        norm = [self._bucket_col(self._norm_bucket(s)) for s in specs]
+        specs = [self._norm_bucket(s) for s in specs]
+        # rare_terms: a terms bucket kept only when doc_count ≤
+        # max_doc_count (the ES anti-top-N) — the filter applies AFTER
+        # the agg, so it rewrites to terms here and filters below
+        rare: list[tuple[str, int]] = []
+        auto_dh: list[tuple[int, str, int]] = []  # (idx, field, target)
+        for i, sp in enumerate(specs):
+            (kind, b), = sp.items()
+            if kind == "rare_terms":
+                bad = set(b) - {"field", "max_doc_count"}
+                if bad:
+                    raise ValueError(
+                        f"rare_terms takes field/max_doc_count, got "
+                        f"{sorted(bad)}"
+                    )
+                rare.append((b["field"], int(b.get("max_doc_count", 1))))
+                specs[i] = {"terms": {"field": b["field"]}}
+            elif kind == "auto_date_histogram":
+                bad = set(b) - {"field", "buckets"}
+                if bad:
+                    raise ValueError(
+                        f"auto_date_histogram takes field/buckets, got "
+                        f"{sorted(bad)}"
+                    )
+                auto_dh.append((i, b["field"], int(b.get("buckets", 10))))
+        if auto_dh:
+            # ES adaptive interval: ONE bounded min/max agg per query
+            # over the match set (rows = queries), then the coarsest
+            # calendar interval whose bucket count fits the target —
+            # chosen PER QUERY, applied as one CASE expression so the
+            # bucket agg stays a single pass
+            if len(auto_dh) > 1 or len(specs) > 1:
+                raise ValueError(
+                    "auto_date_histogram is a single top-level bucket"
+                )
+            i, fld_c, target = auto_dh[0]
+            mcols = list(dict.fromkeys(
+                [fld_c] + sorted({m[1] for m in metrics.values()})
+            ))
+            src0 = (docs.select("doc_id", *mcols) if docs is not None
+                    else self._doc_values(mcols))
+            spans = (
+                hits.join(src0.select("doc_id", fld_c), "doc_id")
+                .groupBy("query_id")
+                .agg(F.min(fld_c).alias("lo"), F.max(fld_c).alias("hi"))
+                .collect()
+            )
+            approx_s = {"year": 31557600, "quarter": 7889400,
+                        "month": 2629800, "week": 604800, "day": 86400,
+                        "hour": 3600, "minute": 60, "second": 1}
+            chosen: dict[int, str] = {}
+            for r in spans:
+                span = (r["hi"] - r["lo"]).total_seconds() if r["hi"] else 0
+                iv = "year"
+                for cand in reversed(self._DATE_INTERVALS):  # fine→coarse
+                    if span / approx_s[cand] + 1 <= target:
+                        iv = cand
+                        break
+                chosen[int(r["query_id"])] = iv
+            bucket = None
+            for qid, iv in chosen.items():
+                e = F.date_trunc(iv, F.col(fld_c))
+                q = F.col("query_id") == qid
+                bucket = F.when(q, e) if bucket is None else bucket.when(q, e)
+            ivmap = None
+            for qid, iv in chosen.items():
+                q = F.col("query_id") == qid
+                ivmap = (F.when(q, F.lit(iv)) if ivmap is None
+                         else ivmap.when(q, F.lit(iv)))
+            if bucket is None:
+                bucket = F.lit(None).cast("timestamp")
+                ivmap = F.lit(None).cast("string")
+            out = hits.join(src0, "doc_id").withColumn(
+                f"{fld_c}_bucket", bucket
+            ).withColumn("interval", ivmap)
+            aggs = ([F.count("*").alias("doc_count")]
+                    + self._metric_aggs(metrics))
+            return out.groupBy(
+                "query_id", f"{fld_c}_bucket", "interval"
+            ).agg(*aggs)
+        norm = [self._bucket_col(s) for s in specs]
         names = [n for n, _m, _e, _c in norm]
         if len(set(names)) != len(names):
             raise ValueError(f"bucket names collide: {names}")
@@ -4078,6 +4158,14 @@ class QueryEngine:
             )
         aggs = [F.count("*").alias("doc_count")] + self._metric_aggs(metrics)
         out = out.groupBy("query_id", *names).agg(*aggs)
+        if rare:
+            if len(specs) > 1:
+                raise ValueError(
+                    "rare_terms is a single top-level bucket"
+                )
+            # ES rare_terms: the anti-top-N — keep buckets at or
+            # below max_doc_count (an in-plan filter on the agg)
+            out = out.filter(F.col("doc_count") <= rare[0][1])
         if size is not None:
             from pyspark.sql import Window as W
 
