@@ -464,3 +464,48 @@ def test_function_score_and_composite_plans(spark, tmp_path):
     # cursor is a filter (no extra shuffle beyond match-dedup, bucket
     # agg, and the page window)
     assert cplan.count("Exchange hashpartitioning") <= 3
+
+
+def test_named_queries_and_constant_score_add_no_passes(spark, tmp_path):
+    """Round-5 tree extensions keep the one-scan shape: _name clauses
+    (matched_queries) and in-tree constant_score are pure JVM
+    expressions over the SAME per-clause hash-agg — identical Python
+    kernel counts and no extra exchange vs the unnamed tree."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"alpha beta w{i}" for i in range(20)],
+            "lang": [["en", "de"][i % 2] for i in range(20)],
+        })
+    )
+    idx = str(tmp_path / "named_idx")
+    IndexBuilder(
+        spark, IndexConfig(n_groups=1, stored_fields=("lang",))
+    ).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+
+    plain = explain_str(eng.bool_topk([(1, {
+        "must": [{"match": "alpha"}],
+        "should": [{"match": "beta"}],
+    })], k=5))
+    named = explain_str(eng.bool_topk([(1, {
+        "must": [{"match": {"query": "alpha", "_name": "base"}}],
+        "should": [{"match": {"query": "beta", "_name": "b"}},
+                   {"constant_score": {
+                       "filter": {"term": {"lang": "en"}},
+                       "boost": 0.5, "_name": "en"}}],
+    })], k=5))
+    assert named.count("MapInPandas") == plain.count("MapInPandas")
+    assert named.count("FlatMapGroupsInPandas") == plain.count(
+        "FlatMapGroupsInPandas"
+    )
+    assert "BatchEvalPython" not in named
+    # the structured constant_score side joins doc values but must not
+    # add a Python pass; exchange count stays the bool budget
+    assert named.count("Exchange hashpartitioning") <= plain.count(
+        "Exchange hashpartitioning"
+    ) + 2  # dv-join + candidate-union shuffles, nothing per clause
