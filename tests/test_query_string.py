@@ -294,6 +294,27 @@ def test_constant_score_inside_bool(eng):
         assert abs(r["score"] - base[r["doc_id"]]) < 1e-9
 
 
+def test_docvalue_fields_retrieval(eng):
+    """ES docvalue_fields: stored columns returned per hit via the
+    pushed-id fetch pattern; unknown columns raise; combines with
+    any query kind."""
+    out = es_search(eng, {
+        "query": {"query_string": {"query": "alpha AND beta"}},
+        "size": 6, "docvalue_fields": ["lang", "n_chars"],
+    }).toPandas()
+    assert {"lang", "n_chars"} <= set(out.columns) and len(out) == 6
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        assert r["lang"] == ["en", "de"][d % 2]
+        assert int(r["n_chars"]) == 100 + 3 * d
+    with pytest.raises(ValueError, match="not stored"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "size": 2, "docvalue_fields": ["nope"]})
+    with pytest.raises(ValueError, match="non-empty list"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "size": 2, "docvalue_fields": "lang"})
+
+
 def test_validate_query(eng):
     from xml_to_es_spark.operators.es_query import es_validate_query
 

@@ -237,7 +237,7 @@ class EsRequest:
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
-            "suggest", "rescore",
+            "suggest", "rescore", "docvalue_fields",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -1344,6 +1344,31 @@ class EsRequest:
         if "aggs" in self.body and "size" not in self.body:
             return self._aggs()
         hits = self._hits()
+        if self.body.get("docvalue_fields"):
+            # ES docvalue_fields retrieval: stored doc-value columns
+            # per hit — the page ids (≤ queries×k by construction) are
+            # collected and pushed as a literal filter into the docs
+            # scan, exactly the fetch pattern; one broadcast join
+            dcols = self.body["docvalue_fields"]
+            if not (isinstance(dcols, list) and dcols
+                    and all(isinstance(c, str) for c in dcols)):
+                raise ValueError(
+                    "docvalue_fields takes a non-empty list of stored "
+                    "column names"
+                )
+            from pyspark.sql import functions as F
+
+            ids = [int(r["doc_id"]) for r in hits.collect()]
+            # a column already on the page (doc_id, or the sort
+            # field on the sort path) must not be joined in twice
+            add = [c for c in sorted(set(dcols))
+                   if c != "doc_id" and c not in hits.columns]
+            dv = self.eng._doc_values(
+                sorted(set(dcols))
+            ).filter(F.col("doc_id").isin(ids))
+            hits = hits.join(
+                F.broadcast(dv.select("doc_id", *add)), "doc_id", "left"
+            ).select(*hits.columns, *add)
         if self.body.get("highlight") is not None:
             hl = self.body["highlight"]
             hopts: dict = {}
