@@ -740,3 +740,76 @@ def test_es_alias_search(spark, tmp_path_factory):
     assert set(only_b["index"]) == {"idx_b"}
     with pytest.raises(ValueError, match="query\\+size only"):
         es_alias_search(spark, dirs, {**body, "from": 5})
+
+
+def test_post_filter(eng):
+    """ES post_filter: the page is top-k of query ∧ filter, scored by
+    the query alone — identical docs and scores to the same docs'
+    positions in a bool query with the filter folded in; and the aggs
+    path ignores post_filter entirely (the ES faceting contract)."""
+    body = {"query": {"match": {"text": "alpha beta"}},
+            "post_filter": {"term": {"lang": "en"}}, "size": 8}
+    out = es_search(eng, body).toPandas()
+    ref = es_search(eng, {
+        "query": {"bool": {"must": [{"match": {"text": "alpha beta"}}],
+                           "filter": [{"term": {"lang": "en"}}]}},
+        "size": 8}).toPandas()
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    np.testing.assert_allclose(out["score"], ref["score"], rtol=0, atol=0)
+    assert all(d % 2 == 0 for d in out["doc_id"])  # lang == en
+    # unfiltered query scores are preserved on the surviving docs
+    base = {int(r["doc_id"]): r["score"] for _, r in es_search(
+        eng, {"query": {"match": {"text": "alpha beta"}}, "size": 40}
+    ).toPandas().iterrows()}
+    for _, r in out.iterrows():
+        assert abs(r["score"] - base[int(r["doc_id"])]) < 1e-12
+    # bool post_filter body with must_not; range clause
+    out2 = es_search(eng, {
+        "query": {"match": {"text": "alpha"}},
+        "post_filter": {"bool": {
+            "filter": [{"range": {"n_chars": {"gte": 130}}}],
+            "must_not": [{"term": {"lang": "de"}}]}},
+        "size": 8}).toPandas()
+    assert len(out2) == 8
+    for _, r in out2.iterrows():
+        d = int(r["doc_id"])
+        assert 100 + 3 * d >= 130 and d % 2 == 0
+    # aggs ignore post_filter: same buckets with and without
+    a1 = es_search(eng, {"query": {"match": {"text": "alpha"}},
+                         "aggs": {"l": {"terms": {"field": "lang"}}}})
+    a2 = es_search(eng, {"query": {"match": {"text": "alpha"}},
+                         "post_filter": {"term": {"lang": "en"}},
+                         "aggs": {"l": {"terms": {"field": "lang"}}}})
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # scoring clauses inside post_filter raise
+    with pytest.raises(ValueError, match="filter context"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "post_filter": {"bool": {
+                            "must": [{"match": {"text": "beta"}}]}},
+                        "size": 3})
+    with pytest.raises(ValueError, match="not supported"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "post_filter": {"term": {"lang": "en"}},
+                        "sort": [{"n_chars": {"order": "asc"}}], "size": 3})
+
+
+def test_min_score(eng):
+    """ES min_score: hits below the cutoff are excluded; the cutoff
+    truncates the page (scores are rank-monotone, so exclusions are a
+    ranking suffix); rejected beside sort / track_total_hits."""
+    full = es_search(eng, {"query": {"match": {"text": "alpha beta"}},
+                           "size": 40}).toPandas()
+    cut = float(full["score"].iloc[min(9, len(full) - 1)])
+    out = es_search(eng, {"query": {"match": {"text": "alpha beta"}},
+                          "size": 40, "min_score": cut}).toPandas()
+    exp = full[full["score"] >= cut]
+    assert list(out["doc_id"]) == list(exp["doc_id"])
+    # deep page truncation: from_ past the cutoff returns only rows
+    # above it
+    out2 = es_search(eng, {"query": {"match": {"text": "alpha beta"}},
+                           "size": 40, "from": 5, "min_score": cut}).toPandas()
+    assert list(out2["doc_id"]) == list(exp["doc_id"])[5:]
+    with pytest.raises(ValueError, match="min_score beside"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "min_score": 0.1,
+                        "sort": [{"n_chars": {"order": "asc"}}], "size": 3})

@@ -303,3 +303,68 @@ def test_phrase_suggester_dsl(spark, pidx):
     with pytest.raises(ValueError, match="unsupported phrase"):
         es_suggest(e, {"suggest": {"d": {
             "text": "x", "phrase": {"gram_size": 3}}}})
+
+
+def test_completion_suggester(spark, idx):
+    """ES completion suggester: df-ranked prefix completion over the
+    dictionary, capped per prefix, twin = brute-force vocab ranking."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine as QE
+
+    pdf, path = idx
+    eng = QE(spark, path)
+    vocab = _vocab_df(pdf)
+
+    def twin(prefix, size=5):
+        cands = [(t, df) for t, df in vocab.items() if t.startswith(prefix)]
+        cands.sort(key=lambda c: (-c[1], c[0]))
+        return cands[:size]
+
+    got = eng.suggest_completions(["s", "sp", "zz"], size=4).toPandas()
+    for p in ("s", "sp"):
+        g = got[got.prefix == p].sort_values("rank")
+        assert list(zip(g.option, g.score.astype(int))) == twin(p, 4)
+    assert (got.prefix == "zz").sum() == 0
+    # DSL route
+    body = {"suggest": {"ac": {"prefix": "sp",
+                               "completion": {"field": "text", "size": 3}}}}
+    g = es_suggest(eng, body).toPandas().sort_values("rank")
+    assert list(zip(g.option, g.score.astype(int))) == twin("sp", 3)
+    with pytest.raises(ValueError, match="completion"):
+        es_suggest(eng, {"suggest": {"ac": {
+            "completion": {"field": "text"}}}})
+    with pytest.raises(ValueError, match="single non-empty"):
+        eng.suggest_completions(["two words"])
+
+
+def test_termvectors(spark, idx):
+    """ES _termvectors: tf + positions recomputed from the stored
+    _source; df from the dictionary when term_statistics is on."""
+    from xml_to_es_spark.operators.es_query import es_termvectors
+    from xml_to_es_spark.operators.index_build import IndexBuilder as IB
+    from xml_to_es_spark.operators.query_engine import QueryEngine as QE
+
+    pdf, _path = idx
+    root = str(_path) + "_tvsrc"
+    IB(spark, IndexConfig(n_groups=2, store_source=True)).build(
+        spark.createDataFrame(pdf), root
+    )
+    eng = QE(spark, root)
+    doc = pdf[pdf.doc_id == 0].text.iloc[0]
+    toks = doc.split()
+    out = es_termvectors(eng, 0, {"term_statistics": True}).toPandas()
+    vocab = _vocab_df(pdf)
+    assert sorted(out.term) == sorted(set(toks))
+    for _, r in out.iterrows():
+        assert r["term_freq"] == toks.count(r["term"])
+        assert list(r["positions"]) == [
+            i for i, t in enumerate(toks) if t == r["term"]
+        ]
+        assert r["doc_freq"] == vocab[r["term"]]
+        assert r["field"] == "text"
+    # without stats: no doc_freq column
+    lean = es_termvectors(eng, 0)
+    assert "doc_freq" not in lean.columns
+    with pytest.raises(ValueError, match="not found"):
+        es_termvectors(eng, 10_000)
+    with pytest.raises(ValueError, match="unsupported"):
+        es_termvectors(eng, 0, {"offsets": True})

@@ -89,7 +89,11 @@ raise, nothing is silently ignored)::
                               }}},
       "collapse": {"field": f},               # one best hit per value
       "track_total_hits": true,               # hits page + ES total
-      "highlight": {...}                      # any value → snippet col
+      "highlight": {...},                     # any value → snippet col
+      "post_filter": {structured-clause} | {"bool": {"filter"/"must_not"
+                      : [...]}},  # hits-only filter (aggs ignore it —
+                                  # the ES faceted-search contract)
+      "min_score": x                          # score cutoff on the page
     }
 
 Semantics and limits:
@@ -237,7 +241,8 @@ class EsRequest:
         bad = set(body) - {
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
-            "suggest", "rescore", "docvalue_fields",
+            "suggest", "rescore", "docvalue_fields", "post_filter",
+            "min_score",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -477,6 +482,44 @@ class EsRequest:
             raise ValueError("query must have exactly one top-level clause")
         (kind, spec), = q.items()
         eng, k, from_ = self.eng, self.k, self.from_
+
+        if self.body.get("post_filter") is not None:
+            # ES post_filter: the hit page is top-k of query ∧ filter
+            # (scored by the query alone — filter context adds 0),
+            # while aggs run on the UNFILTERED query match set (the
+            # faceted-search contract; the aggs path never reads
+            # post_filter by design). Implemented by wrapping the
+            # query as a scoring sub-bool and attaching the filter
+            # clauses beside it — one bool_topk call, no second scan.
+            combos = {"sort", "collapse", "search_after",
+                      "track_total_hits"} & set(self.body)
+            if combos:
+                raise ValueError(
+                    f"post_filter beside {sorted(combos)} is not supported"
+                )
+            pf = self.body["post_filter"]
+            if not (isinstance(pf, dict) and len(pf) == 1):
+                raise ValueError("post_filter takes exactly one clause")
+            (pk, ps), = pf.items()
+            pfspec = (self._rich_bool_body(ps) if pk == "bool"
+                      else self._as_bool_tree(pf)[0])
+            bad_roles = set(pfspec) - {"filter", "must_not"}
+            if bad_roles:
+                raise ValueError(
+                    f"post_filter is filter context — {sorted(bad_roles)} "
+                    "clauses are not allowed (they would change scores)"
+                )
+            if kind == "bool":
+                # force the rich tree: a sub-bool clause body must be
+                # the nested-tree form, not the legacy flat dict
+                espec, fld = self._rich_bool_body(spec), None
+            else:
+                espec, fld = self._as_bool_tree()
+            merged: dict = {"must": [{"bool": espec}]}
+            for role in ("filter", "must_not"):
+                if pfspec.get(role):
+                    merged[role] = list(pfspec[role])
+            return eng.bool_topk([(0, merged)], k=k, field=fld, from_=from_)
 
         if self.body.get("collapse") is not None:
             col = self.body["collapse"]
@@ -1235,13 +1278,17 @@ class EsRequest:
                 {"field": f, "size": n, "max_errors": E,
                  "confidence": C, "max_edits": e,
                  "candidate_size": c}}}}
+            {"suggest": {"<name>": {"prefix": "...", "completion":
+                {"field": f, "size": n}}}}
 
         Suggest-only bodies (no query beside it — ES allows mixing;
         this surface keeps requests single-purpose). ``term`` routes
         to :meth:`QueryEngine.suggest_terms` (one in-plan-capped
         dictionary job); ``phrase`` to
         :meth:`QueryEngine.suggest_phrases` (the bigram StupidBackoff
-        did-you-mean — needs ``store_positions=True``)."""
+        did-you-mean — needs ``store_positions=True``); ``completion``
+        to :meth:`QueryEngine.suggest_completions` (df-ranked prefix
+        completion over the dictionary)."""
         if set(self.body) != {"suggest"}:
             raise ValueError(
                 "a suggest body must contain suggest only "
@@ -1251,6 +1298,29 @@ class EsRequest:
         if not (isinstance(sug, dict) and len(sug) == 1):
             raise ValueError("suggest takes exactly one named suggester")
         (_name, spec), = sug.items()
+        if "completion" in spec:
+            # ES completion suggester: {"prefix": p, "completion":
+            # {"field": f, "size": N}} — df-ranked prefix completion
+            # over the terms dictionary (suggest_completions)
+            bad = set(spec) - {"prefix", "completion"}
+            if bad or "prefix" not in spec:
+                raise ValueError(
+                    "completion suggesters take prefix + completion, got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            c = dict(spec["completion"])
+            bad = set(c) - {"field", "size", "skip_duplicates"}
+            if bad:
+                raise ValueError(
+                    f"unsupported completion option(s) {sorted(bad)}"
+                )
+            # the dictionary holds distinct terms, so duplicates never
+            # occur; accept skip_duplicates=True as the no-op it is
+            return self.eng.suggest_completions(
+                [spec["prefix"]],
+                field=self._resolve_match_field(c.get("field", "text")),
+                size=int(c.get("size", 5)),
+            )
         bad = set(spec) - {"text", "term", "phrase"}
         if bad or "text" not in spec or not ({"term", "phrase"} & set(spec)):
             raise ValueError(
@@ -1344,6 +1414,22 @@ class EsRequest:
         if "aggs" in self.body and "size" not in self.body:
             return self._aggs()
         hits = self._hits()
+        if self.body.get("min_score") is not None:
+            # ES min_score: docs scoring below the cutoff are excluded.
+            # Scores are rank-monotone, so the excluded docs form a
+            # SUFFIX of the ranking — filtering the returned page is
+            # exactly the window of the filtered ranking at any
+            # from_/cursor depth (the page truncates at the cutoff).
+            bad = {"sort", "track_total_hits"} & set(self.body)
+            if bad:
+                raise ValueError(
+                    f"min_score beside {sorted(bad)} is not supported — "
+                    "sort pages carry no score and totals would not "
+                    "reflect the cutoff"
+                )
+            hits = hits.filter(
+                F.col("score") >= float(self.body["min_score"])
+            )
         if self.body.get("docvalue_fields"):
             # ES docvalue_fields retrieval: stored doc-value columns
             # per hit — the page ids (≤ queries×k by construction) are
@@ -1356,8 +1442,6 @@ class EsRequest:
                     "docvalue_fields takes a non-empty list of stored "
                     "column names"
                 )
-            from pyspark.sql import functions as F
-
             ids = [int(r["doc_id"]) for r in hits.collect()]
             # a column already on the page (doc_id, or the sort
             # field on the sort path) must not be joined in twice
@@ -1393,8 +1477,6 @@ class EsRequest:
             docs = self.eng.fetch(ids)
             if "text" not in docs.columns:
                 raise ValueError("highlight needs store_source=True")
-            from pyspark.sql import functions as F
-
             from xml_to_es_spark.functions.analysis import (
                 snippet_col,
                 snippet_fragments_col,
@@ -1977,6 +2059,76 @@ def es_analyze(body: dict) -> list[dict]:
         }
         for i, m in enumerate(re.finditer(TOKEN_PATTERN, text.lower()))
     ]
+
+
+def es_termvectors(
+    engine: QueryEngine, doc_id: int, body: dict | None = None
+) -> DataFrame:
+    """ES ``GET /index/_termvectors/<id>``: one doc's term vectors —
+    ``(doc_id, field, term, term_freq, positions)`` per distinct term
+    of each requested field, plus ``doc_freq`` when
+    ``term_statistics`` is requested.
+
+    Body: ``{"fields": [...], "term_statistics": bool}`` — fields
+    default to every indexed field. Vectors are recomputed from the
+    stored ``_source`` with the index's pinned analysis chain (the ES
+    realtime=true behaviour; needs ``IndexConfig(store_source=True)``
+    like more_like_this by id). Offsets and ttf are not tracked —
+    a documented deviation (positions and df are).
+
+    Scale shape: one pushed-id-filter read of ONE doc row + (with
+    term_statistics) one term-pruned dictionary job over that doc's
+    distinct terms — never a corpus scan."""
+    from collections import Counter
+
+    from xml_to_es_spark.pyref import tokenize
+
+    body = dict(body or {})
+    bad = set(body) - {"fields", "term_statistics"}
+    if bad:
+        raise ValueError(f"unsupported _termvectors key(s) {sorted(bad)}")
+    fields = body.get("fields", list(engine.fields))
+    if not (isinstance(fields, list) and fields
+            and all(isinstance(f, str) for f in fields)):
+        raise ValueError("fields takes a non-empty list of field names")
+    for f in fields:
+        engine._resolve_field(f if engine.fielded else None)
+    rows = engine.fetch([int(doc_id)]).collect()
+    if not rows:
+        raise ValueError(f"doc {doc_id} not found")
+    (doc,) = rows
+    missing = [f for f in fields if f not in doc.asDict()]
+    if missing:
+        raise ValueError(
+            f"field(s) {missing} are not in the stored _source — build "
+            "with IndexConfig(store_source=True)"
+        )
+    want_stats = bool(body.get("term_statistics", False))
+    out = []
+    for f in fields:
+        toks = tokenize(doc[f] or "")
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        tf = Counter(toks)
+        for t in sorted(tf):
+            out.append((int(doc_id), f, t, int(tf[t]), pos[t]))
+    schema = ("doc_id long, field string, term string, term_freq long, "
+              "positions array<long>")
+    if not want_stats:
+        return engine.spark.createDataFrame(out, schema=schema)
+    keys = {
+        (f, t): engine._term_of(t, f if engine.fielded else None)
+        for _d, f, t, _c, _p in out
+    }
+    meta = engine._term_meta(sorted(set(keys.values())))
+    out = [
+        r + (int(meta.get(keys[(r[1], r[2])], {}).get("df", 0)),)
+        for r in out
+    ]
+    return engine.spark.createDataFrame(
+        out, schema=schema + ", doc_freq long"
+    )
 
 
 def es_suggest(engine: QueryEngine, body: dict) -> DataFrame:

@@ -2511,6 +2511,64 @@ class QueryEngine:
                    "score double",
         )
 
+    def suggest_completions(
+        self,
+        prefixes: list[str],
+        field: str | None = None,
+        size: int = 5,
+    ) -> DataFrame:
+        """ES completion suggester, emulated over the terms DICTIONARY
+        (reference context: the completion fields its ES cluster would
+        serve from an FST): each prefix → the top-``size`` indexed
+        terms starting with it, ranked by document frequency desc
+        (popularity) then term asc, as ``(prefix, rank, option,
+        score=df)``.
+
+        Scale shape: the per-dir dictionary scans are prefix-filtered
+        (term-sorted parquet files → min/max row-group pruning), df is
+        summed across delta dirs in one hash-agg, and the per-prefix
+        cap is a rank window applied IN-PLAN — the driver never sees
+        more than prefixes×size rows at any vocabulary size. Raw
+        dictionary df (not tombstone-corrected): the suggester ranks
+        candidate strings, it does not score docs — a documented
+        deviation bounded by the index's deleted-doc count."""
+        from pyspark.sql import Window as W
+
+        if not prefixes:
+            raise ValueError("suggest_completions needs at least one prefix")
+        if any((not p) or (" " in p) for p in prefixes):
+            raise ValueError("completion prefixes are single non-empty terms")
+        scans = [
+            self.spark.read.parquet(f"{p}/terms").select("term", "df")
+            for _, p in self.dirs
+        ]
+        vocab = scans[0]
+        for sc in scans[1:]:
+            vocab = vocab.unionByName(sc)
+        if field is not None:
+            fp = f"{field}:"
+            vocab = vocab.filter(F.col("term").startswith(fp)).withColumn(
+                "bare", F.expr(f"substring(term, {len(fp) + 1})")
+            )
+        else:
+            vocab = vocab.withColumn("bare", F.col("term"))
+        vocab = vocab.groupBy("bare").agg(F.sum("df").alias("df"))
+        pairs = vocab.select(
+            "bare", "df",
+            F.explode(F.array(*[F.lit(p) for p in prefixes])).alias("qp"),
+        ).filter(F.col("bare").startswith(F.col("qp")))
+        w = W.partitionBy("qp").orderBy(F.desc("df"), F.asc("bare"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(size))
+            .select(
+                F.col("qp").alias("prefix"),
+                F.col("rank").cast("long"),
+                F.col("bare").alias("option"),
+                F.col("df").cast("double").alias("score"),
+            )
+        )
+
     def prefix_variants(
         self,
         prefixes: list[str],
