@@ -25,11 +25,13 @@ def eng(spark, tmp_path_factory):
             ],
             "lang": [["en", "de", "fr"][i % 3] for i in range(N)],
             "n_chars": [100 + 5 * i for i in range(N)],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)
+                   for i in range(N)],
         }
     )
     idx = str(tmp_path_factory.mktemp("aggs2") / "idx")
     IndexBuilder(
-        spark, IndexConfig(n_groups=2, stored_fields=("lang", "n_chars"))
+        spark, IndexConfig(n_groups=2, stored_fields=("lang", "n_chars", "ts"))
     ).build(spark.createDataFrame(pdf), idx)
     return QueryEngine(spark, idx), pdf
 
@@ -246,3 +248,92 @@ def test_rare_terms_multi_terms_auto_date_histogram(eng, spark):
         es_search(e, {"query": {"match": {"text": "alpha"}},
                       "aggs": {"m": {"multi_terms": {
                           "terms": [{"field": "lang"}]}}}})
+
+
+def test_date_range_buckets(eng):
+    """ES date_range: range semantics (from inclusive, to exclusive,
+    multi-membership) with date-literal bounds over a timestamp doc
+    value."""
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")],
+        group_by={"date_range": {"field": "ts", "ranges": [
+            {"key": "jan", "from": "2024-01-01", "to": "2024-02-01"},
+            {"key": "late", "from": "2024-01-20"},
+        ]}},
+    ).toPandas()
+    jan = sum(1 for t in pdf.ts if t < pd.Timestamp("2024-02-01"))
+    late = sum(1 for t in pdf.ts if t >= pd.Timestamp("2024-01-20"))
+    got = dict(zip(out.ts_range, out.doc_count))
+    assert got == {"jan": jan, "late": late}
+    # DSL
+    d = es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"r": {"date_range": {"field": "ts", "ranges": [
+                          {"key": "jan", "from": "2024-01-01",
+                           "to": "2024-02-01"}]}}}}).toPandas()
+    assert dict(zip(d.ts_range, d.doc_count)) == {"jan": jan}
+
+
+def test_adjacency_matrix(eng):
+    """ES adjacency_matrix: one bucket per matching named filter plus
+    one per matching ordered pair a&b — generated in-plan from the
+    matched-names array."""
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")],
+        group_by={"adjacency_matrix": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "cheap": {"range": {"n_chars": {"lt": 250}}},
+        }}},
+    ).toPandas()
+    en = sum(1 for i in range(N) if i % 3 == 0)
+    cheap = sum(1 for c in pdf.n_chars if c < 250)
+    both = sum(1 for i in range(N) if i % 3 == 0 and 100 + 5 * i < 250)
+    got = dict(zip(out.adjacency_bucket, out.doc_count))
+    assert got == {"en": en, "cheap": cheap, "cheap&en": both}
+    # DSL route + name validation
+    d = es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"m": {"adjacency_matrix": {"filters": {
+                          "en": {"term": {"lang": "en"}},
+                          "cheap": {"range": {"n_chars": {"lt": 250}}},
+                      }}}}}).toPandas()
+    assert dict(zip(d.adjacency_bucket, d.doc_count)) == got
+    with pytest.raises(ValueError, match="cannot contain"):
+        e.search_aggs([(1, "alpha")], group_by={"adjacency_matrix": {
+            "filters": {"a&b": {"term": {"lang": "en"}}}}}).collect()
+
+
+def test_global_and_sampler_aggs(eng):
+    """ES global (bucket agg over every live doc, query ignored by
+    semantics) and sampler (agg over the top-shard_size scored docs)."""
+    e, pdf = eng
+    g = e.global_aggs({"terms": {"field": "lang"}},
+                      metrics={"mx": ("max", "n_chars")}).toPandas()
+    assert g.doc_count.sum() == N
+    for lang in ("en", "de", "fr"):
+        want = [c for i, c in enumerate(pdf.n_chars)
+                if ["en", "de", "fr"][i % 3] == lang]
+        row = g[g.lang == lang]
+        assert int(row.doc_count.iloc[0]) == len(want)
+        assert int(row.mx.iloc[0]) == max(want)
+    # DSL: global ignores the query (the ES contract)
+    d1 = es_search(e, {"query": {"match": {"text": "beta"}},
+                       "aggs": {"all": {"global": {}, "aggs": {
+                           "l": {"terms": {"field": "lang"}}}}}}).toPandas()
+    assert d1.doc_count.sum() == N
+    # sampler: only the best shard_size docs feed the agg
+    s = e.sampler_aggs([(0, {"must": "beta"})],
+                       {"terms": {"field": "lang"}},
+                       shard_size=7).toPandas()
+    assert s.doc_count.sum() == 7
+    d2 = es_search(e, {"query": {"match": {"text": "beta"}},
+                       "aggs": {"smp": {"sampler": {"shard_size": 7},
+                                        "aggs": {"l": {"terms": {
+                                            "field": "lang"}}}}}}).toPandas()
+    assert d2.doc_count.sum() == 7
+    assert sorted(map(tuple, s.itertuples(index=False))) == sorted(
+        map(tuple, d2.itertuples(index=False)))
+    with pytest.raises(ValueError, match="needs a query"):
+        es_search(e, {"aggs": {"smp": {"sampler": {},
+                                       "aggs": {"l": {"terms": {
+                                           "field": "lang"}}}}}})

@@ -1066,7 +1066,7 @@ class EsRequest:
                    "value_count": "count", "missing": "missing"}
     _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                      "filters", "rare_terms", "auto_date_histogram",
-                     "multi_terms")
+                     "multi_terms", "date_range", "adjacency_matrix")
 
     def _parse_bucket(self, spec: dict) -> tuple[dict, int | None, dict]:
         """One ES bucket-agg spec → (engine bucket spec, size, sub-aggs
@@ -1177,6 +1177,39 @@ class EsRequest:
         (_name, spec), = aggs.items()
         if "composite" in spec:
             return self._composite(spec)
+        if "global" in spec or "sampler" in spec:
+            # ES context-switching wrappers around ONE inner bucket agg:
+            # global runs it over every live doc (ignoring the query —
+            # the ES semantics, not a dropped key); sampler over the
+            # top-shard_size best-scoring docs of the query
+            wrap = "global" if "global" in spec else "sampler"
+            w = dict(spec)
+            body_w = dict(w.pop(wrap) or {})
+            inner = w.pop("aggs", None)
+            if w or not (isinstance(inner, dict) and len(inner) == 1):
+                raise ValueError(
+                    f"{wrap} takes exactly one inner agg under 'aggs'"
+                )
+            (_n2, ispec), = inner.items()
+            gb, size, sub = self._parse_bucket(ispec)
+            metrics = self._parse_metrics(sub)
+            if wrap == "global":
+                if body_w:
+                    raise ValueError('global takes an empty body ({})')
+                return self.eng.global_aggs(gb, metrics=metrics, size=size)
+            bad = set(body_w) - {"shard_size"}
+            if bad:
+                raise ValueError(
+                    f"unsupported sampler option(s) {sorted(bad)}"
+                )
+            if "query" not in self.body:
+                raise ValueError("sampler needs a query to sample from")
+            espec, fld = self._as_bool_tree()
+            return self.eng.sampler_aggs(
+                [(0, espec)], gb, metrics=metrics,
+                shard_size=int(body_w.get("shard_size", 100)),
+                field=fld, size=size,
+            )
         if "significant_terms" in spec:
             st = dict(spec)
             sub = st.pop("aggs", {})

@@ -1056,6 +1056,49 @@ class QueryEngine:
             hits.select("query_id", "doc_id"), group_by, metrics, docs, size
         )
 
+    def global_aggs(
+        self,
+        group_by,
+        metrics: dict | None = None,
+        docs: DataFrame | None = None,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES ``global`` aggregation: the bucket agg runs over EVERY
+        live doc, ignoring any query — exactly one column-pruned scan
+        of the docs tables (the postings are never touched), then the
+        shared bucket-agg tail. Corpus-bound by definition; the output
+        stays bucket-sized."""
+        metrics = metrics or {}
+        self._check_metrics(metrics)
+        hits = self._doc_values(["doc_id"]).select(
+            F.lit(0).cast("long").alias("query_id"), "doc_id"
+        )
+        return self._bucket_agg(hits, group_by, metrics, docs, size)
+
+    def sampler_aggs(
+        self,
+        queries: list[tuple[int, dict]],
+        group_by,
+        metrics: dict | None = None,
+        shard_size: int = 100,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES ``sampler`` aggregation: the bucket agg runs over the
+        top-``shard_size`` BEST-SCORING docs per query instead of the
+        full match set (the ES way to bound agg cost on huge match
+        sets — here one top-k page via the ordinary bool machinery,
+        then the shared bucket-agg tail over ≤ queries×shard_size
+        rows). ES samples per shard; a single logical sample is the
+        single-index equivalent — documented deviation."""
+        metrics = metrics or {}
+        self._check_metrics(metrics)
+        page = self.bool_topk(queries, k=int(shard_size), field=field)
+        return self._bucket_agg(
+            page.select("query_id", "doc_id"), group_by, metrics, docs, size
+        )
+
     def _bool_match_set(
         self,
         queries: list[tuple[int, dict]],
@@ -4030,6 +4073,57 @@ class QueryEngine:
                 elems.append(F.when(pred, F.lit(str(name))))
             arr = F.filter(F.array(*elems), lambda x: x.isNotNull())
             return "filter_bucket", "multi", arr, sorted(cols)
+        if kind == "date_range":
+            # ES date_range: the range semantics (from inclusive, to
+            # exclusive, a doc in every matching range) over a date/
+            # timestamp doc value with date-literal bounds
+            gcol = b["field"]
+            elems = []
+            for r in b["ranges"]:
+                bad = set(r) - {"key", "from", "to"}
+                if bad or not ({"from", "to"} & set(r)):
+                    raise ValueError(
+                        f"date_range bucket needs from/to, got {r!r}"
+                    )
+                cond = None
+                if "from" in r:
+                    cond = (F.col(gcol)
+                            >= F.to_timestamp(F.lit(str(r["from"]))))
+                if "to" in r:
+                    p = F.col(gcol) < F.to_timestamp(F.lit(str(r["to"])))
+                    cond = p if cond is None else (cond & p)
+                key = r.get(
+                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+                elems.append(F.when(cond, F.lit(str(key))))
+            arr = F.filter(F.array(*elems), lambda x: x.isNotNull())
+            return f"{gcol}_range", "multi", arr, [gcol]
+        if kind == "adjacency_matrix":
+            # ES adjacency_matrix: named structured predicates; one
+            # bucket per matching filter PLUS one per matching ordered
+            # pair "a&b" — the intersection keys are generated in-plan
+            # from the matched-names array (names sorted, the ES key
+            # order), so overlap costs rows, never extra scans
+            elems, cols = [], set()
+            for name in sorted(b["filters"]):
+                cl = b["filters"][name]
+                if "&" in str(name):
+                    raise ValueError(
+                        "adjacency_matrix filter names cannot contain '&'"
+                    )
+                pred = self._structured_pred(cl)
+                cols.add(self._clause_col(cl))
+                elems.append(F.when(pred, F.lit(str(name))))
+            m = F.filter(F.array(*elems), lambda x: x.isNotNull())
+            pairs = F.flatten(F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + F.lit(2), F.size(m)),
+                    lambda y: F.concat(x, F.lit("&"), y),
+                ),
+            ))
+            return ("adjacency_bucket", "multi", F.concat(m, pairs),
+                    sorted(cols))
         raise ValueError(f"unsupported bucket kind {kind!r}")
 
     def _metric_aggs(self, metrics: dict) -> list:
