@@ -508,6 +508,58 @@ def _q_es_dsl_bool_range(spark, sf):
     return out
 
 
+def _q_es_dsl_postf(spark, sf):
+    """ES post_filter routing: the SAME four match sets as
+    _q_es_dsl_bool_range, but with one structured clause moved from
+    the query's filter context into the body's ``post_filter`` (query
+    4 uses the bool-form post_filter) — hits = top-k of query ∧
+    filter, scored by the query alone, so the DuckDB twin is the
+    bool+filter twin unchanged (translation identity, like the
+    `range` variant it rides beside)."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    bodies = {
+        1: {"query": {"bool": {
+                "must": [{"match": {"text": "hash"}},
+                         {"match": {"text": "join"}}]}},
+            "post_filter": {"range": {"n_chars": {"gte": 150, "lt": 450}}},
+            "size": BM25_K},
+        2: {"query": {"bool": {
+                "must": {"match": {"text": "sort"}},
+                "filter": [{"term": {"lang": "en"}}]}},
+            "post_filter": {"range": {"n_chars": {"gte": 100}}},
+            "size": BM25_K},
+        3: {"query": {"bool": {
+                "filter": [{"terms": {"lang": ["de", "fr"]}}]}},
+            "post_filter": {"range": {"n_chars": {"lt": 300}}},
+            "size": BM25_K},
+        4: {"query": {"bool": {
+                "should": [{"match": {"text": "merge"}},
+                           {"match": {"text": "dup"}}],
+                "must_not": {"match": {"text": "window"}}}},
+            "post_filter": {"bool": {
+                "filter": [{"term": {"source": "src7"}}]}},
+            "size": BM25_K},
+    }
+    parts = [
+        es_search(eng, b).select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+        for qid, b in bodies.items()
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 # RICH (nested-tree) ES bool bodies — the shapes real ES users nest:
 # should-of-musts, per-clause boost beside a plain clause, a
 # multi-token OR match clause + exclusion + range filter, bool-level
@@ -881,6 +933,15 @@ AGG_FILTERS = {
     "big": {"range": {"n_chars": {"gte": 400}}},
     "src5": {"term": {"source": "src5"}},
 }
+# date_range bounds over the synthesized warc_ts (2024-01-01 + ≤37d);
+# "wk1" and "rest" overlap nothing, "jan" overlaps both — the ES
+# multi-membership checked on calendar bounds
+DATE_RANGES = [
+    {"key": "wk1", "to": "2024-01-08"},
+    {"key": "jan", "from": "2024-01-03", "to": "2024-02-01"},
+    {"key": "rest", "from": "2024-01-08"},
+]
+SAMPLER_N = 25  # sampler shard_size: agg over the top-25 scored docs
 
 
 def _q_search_aggs_nested(spark, sf):
@@ -1000,11 +1061,35 @@ def _q_search_aggs_range_filters(spark, sf):
         after[int(r2.query_id)] = (r2.lg, int(r2.cb))
     p2 = eng.composite_aggs(cqueries, COMP_SOURCES, size=CSIZE,
                             metrics=mets, after=after)
+    # round-5 late additions ride the same entry: date_range bounds
+    # over the synthesized warc_ts, adjacency_matrix singles+pairs
+    # over AGG_FILTERS, the global agg (every live doc, query ignored
+    # by ES semantics) and the sampler agg (top-SAMPLER_N scored docs)
+    dr = eng.search_aggs(
+        BM25_QUERIES,
+        group_by={"date_range": {"field": "warc_ts",
+                                 "ranges": DATE_RANGES}},
+        metrics=mets,
+    )
+    adj = eng.search_aggs(
+        BM25_QUERIES,
+        group_by={"adjacency_matrix": {"filters": AGG_FILTERS}},
+        metrics=mets,
+    )
+    g = eng.global_aggs({"terms": {"field": "lang"}}, metrics=mets)
+    smp = eng.sampler_aggs(
+        cqueries, {"terms": {"field": "lang"}}, metrics=mets,
+        shard_size=SAMPLER_N,
+    )
     return (
         shape(r, "range", "n_chars_range")
         .unionByName(shape(f, "filters", "filter_bucket"))
         .unionByName(cshape(p1, "comp1"))
         .unionByName(cshape(p2, "comp2"))
+        .unionByName(shape(dr, "daterange", "warc_ts_range"))
+        .unionByName(shape(adj, "adjacency", "adjacency_bucket"))
+        .unionByName(shape(g, "global", "lang"))
+        .unionByName(shape(smp, "sampler", "lang"))
     )
 
 
@@ -1461,6 +1546,7 @@ def _q_es_dsl_parity(spark, sf):
     (incl. dis_max/boosting), the wildcard/regexp multi-term
     constant-score kinds, and function_score doc-value re-weighting."""
     a = _q_es_dsl_bool_range(spark, sf).withColumn("variant", F.lit("range"))
+    a2 = _q_es_dsl_postf(spark, sf).withColumn("variant", F.lit("postf"))
     b = _q_es_dsl_bool_nested(spark, sf).withColumn("variant", F.lit("nested"))
     c = _q_es_wildcard(spark, sf).withColumn("variant", F.lit("wildcard"))
     d = _q_es_function_score(spark, sf).withColumn(
@@ -1468,7 +1554,7 @@ def _q_es_dsl_parity(spark, sf):
     )
     e = _q_es_mlt(spark, sf).withColumn("variant", F.lit("mlt"))
     f = _q_es_query_string(spark, sf).withColumn("variant", F.lit("qs"))
-    return (a.unionByName(b).unionByName(c).unionByName(d)
+    return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f))
 
 
@@ -2423,8 +2509,42 @@ def _search_aggs_range_filters_sql() -> str:
             f" d.n_chars\n  FROM hits h JOIN documents d USING (doc_id)"
             f" WHERE {_struct_pred_sql([cl])}"
         )
+    for r in DATE_RANGES:
+        conds = []
+        if "from" in r:
+            conds.append(f"d.warc_ts >= TIMESTAMP '{r['from']}'")
+        if "to" in r:
+            conds.append(f"d.warc_ts < TIMESTAMP '{r['to']}'")
+        parts.append(
+            f"  SELECT 'daterange' AS part, h.query_id,"
+            f" '{r['key']}' AS bucket, d.n_chars\n"
+            f"  FROM hits h JOIN dv d USING (doc_id)"
+            f" WHERE {' AND '.join(conds)}"
+        )
+    names = sorted(AGG_FILTERS)
+    adj_keys = [(n, _struct_pred_sql([AGG_FILTERS[n]])) for n in names]
+    adj_keys += [
+        (f"{a}&{b}",
+         f"({_struct_pred_sql([AGG_FILTERS[a]])}) AND "
+         f"({_struct_pred_sql([AGG_FILTERS[b]])})")
+        for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    for key, pred in adj_keys:
+        parts.append(
+            f"  SELECT 'adjacency' AS part, h.query_id,"
+            f" '{key}' AS bucket, d.n_chars\n"
+            f"  FROM hits h JOIN documents d USING (doc_id)"
+            f" WHERE {pred}"
+        )
     union = "\n  UNION ALL\n".join(parts)
     return _agg_hits_cte() + f""",
+dv AS (
+  SELECT doc_id, n_chars,
+         make_timestamp(((1704067200 + (doc_id % 37) * 86400
+                          + (doc_id * 7919) % 86400))::BIGINT * 1000000)
+           AS warc_ts
+  FROM documents
+),
 memb AS (
 {union}
 ),
@@ -2448,12 +2568,49 @@ cranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY lg ASC, cb DESC) AS rn
   FROM comp
+),
+tok_all AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), stf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM tok_all WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), sstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl
+  FROM documents
+), sdf AS (
+  SELECT term, count(*)::DOUBLE AS df FROM stf GROUP BY term
+), sscored AS (
+  SELECT q.query_id, stf.doc_id,
+         sum(ln(1.0 + (sstats.n - sdf.df + 0.5)/(sdf.df + 0.5))
+             * stf.tf * 2.2
+             / (stf.tf + 1.2*(1.0 - 0.75 + 0.75*stf.dl/sstats.avgdl))
+         ) AS score_raw
+  FROM stf JOIN sdf USING (term) JOIN q USING (term) CROSS JOIN sstats
+  GROUP BY q.query_id, stf.doc_id
+), spage AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_raw DESC, doc_id ASC) AS srn
+    FROM sscored
+  ) WHERE srn <= {SAMPLER_N}
 )
 SELECT part, query_id, bucket, doc_count, mx, p50 FROM rf
 UNION ALL
 SELECT CASE WHEN rn <= {CSIZE} THEN 'comp1' ELSE 'comp2' END AS part,
        query_id, lg || '|' || cb::VARCHAR AS bucket, doc_count, mx, p50
 FROM cranked WHERE rn <= {2 * CSIZE}
+UNION ALL
+SELECT 'global' AS part, 0::BIGINT AS query_id, lang AS bucket,
+       count(*)::BIGINT AS doc_count, max(n_chars)::BIGINT AS mx,
+       round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'sampler' AS part, s.query_id, d.lang AS bucket,
+       count(*)::BIGINT AS doc_count, max(d.n_chars)::BIGINT AS mx,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.5), 6) AS p50
+FROM spage s JOIN documents d USING (doc_id) GROUP BY 1, 2, 3
 """
 
 
@@ -3793,6 +3950,8 @@ FROM ({_bm25_sql(from_=BM25_K)})
         "bm25_bool_nested_topk": _bool_nested_sql(BM25_K, with_names=True),
         "es_dsl_parity_topk": f"""
 SELECT *, 'range' AS variant FROM ({_bool_range_sql(BM25_K)})
+UNION ALL
+SELECT *, 'postf' AS variant FROM ({_bool_range_sql(BM25_K)})
 UNION ALL
 SELECT *, 'nested' AS variant FROM ({_bool_nested_sql(BM25_K)})
 UNION ALL
