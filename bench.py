@@ -272,6 +272,7 @@ def main():
         "es_top_hits_topk", "bm25_rescore_topk",
         "es_function_score_topk", "es_mlt_topk", "significant_terms",
         "es_query_string_topk", "es_phrase_suggest",
+        "search_aggs_adjacency", "es_completion_suggest",
     ]
     # 20. rich nested bool trees (should-of-musts, per-clause boost,
     # bool-level minimum_should_match, structured filters): one
@@ -391,6 +392,27 @@ def main():
         "es_phrase_suggest",
         lambda: feng.suggest_phrases(
             "hash joln fst", max_errors=2.0, size=5
+        ).collect(),
+    )
+    # 28d. adjacency_matrix agg: singles + pairwise intersection keys
+    # generated IN-PLAN from the matched-names array (flatten/
+    # transform over the exploded membership — overlap costs rows,
+    # never a second scan) for the 6-query batch
+    timed(
+        "search_aggs_adjacency",
+        lambda: eng.search_aggs(
+            entry.BM25_QUERIES,
+            group_by={"adjacency_matrix": {"filters": entry.AGG_FILTERS}},
+            docs=dv,
+        ).collect(),
+    )
+    # 28e. completion suggester: df-ranked prefix completion — the
+    # per-prefix top-N window applied in-plan over the prefix-filtered
+    # dictionary scan (row-group pruned on the term-sorted files)
+    timed(
+        "es_completion_suggest",
+        lambda: feng.suggest_completions(
+            ["a", "s", "th"], field="text", size=10
         ).collect(),
     )
     # 28. significant_terms: the honest full-postings membership scan

@@ -147,3 +147,26 @@ def test_cli_search_count(spark, tmp_path, capsys):
                  ]) == 0
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert v["valid"] is False and "complement" in v["explanation"]
+
+
+def test_cli_termvectors(spark, tmp_path, capsys):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"doc_id": range(4), "text": [f"red red blue w{i}" for i in range(4)]}
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(docs).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["--cores", "8", "build", "--input-format", "docs",
+         "--input", src, "--output", idx, "--groups", "1",
+         "--store-source"]
+    ) == 0
+    capsys.readouterr()
+    assert main(["termvectors", "--index", idx, "--id", "2",
+                 "--term-statistics"]) == 0
+    rows = {r["term"]: r for r in (
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines())}
+    assert rows["red"]["term_freq"] == 2 and rows["red"]["positions"] == [0, 1]
+    assert rows["red"]["doc_freq"] == 4 and rows["w2"]["doc_freq"] == 1

@@ -813,3 +813,43 @@ def test_min_score(eng):
         es_search(eng, {"query": {"match": {"text": "alpha"}},
                         "min_score": 0.1,
                         "sort": [{"n_chars": {"order": "asc"}}], "size": 3})
+
+
+def test_terms_set(spark, eng, tmp_path):
+    """ES terms_set: a doc matches when it holds at least
+    minimum_should_match_field(doc) of the supplied terms — threshold
+    from the doc's own stored value, matched count and BM25 score on
+    one agg row."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    texts = ["red green blue", "red green", "red", "yellow red green blue",
+             "green blue", "pink"]
+    req = [1, 2, 3, 2, 2, 1]
+    pdf = pd.DataFrame({"doc_id": range(6), "text": texts, "req": req})
+    idx = str(tmp_path / "tsx")
+    IndexBuilder(spark, IndexConfig(n_groups=1, stored_fields=("req",))
+                 ).build(spark.createDataFrame(pdf), idx)
+    e = QueryEngine(spark, idx)
+    terms = ["red", "green", "blue"]
+    out = e.terms_set_topk(
+        [(0, {"terms": terms, "minimum_should_match_field": "req"})], k=10
+    ).toPandas()
+    matched = {i: len(set(terms) & set(t.split())) for i, t in enumerate(texts)}
+    want = {i for i in range(6) if matched[i] >= max(req[i], 1) and matched[i]}
+    assert set(out.doc_id) == want
+    # DSL route returns the same page
+    d = es_search(e, {"query": {"terms_set": {"text": {
+        "terms": terms, "minimum_should_match_field": "req"}}},
+        "size": 10}).toPandas()
+    assert list(d.doc_id) == list(out.doc_id)
+    np.testing.assert_allclose(d.score, out.score, rtol=0, atol=0)
+    # corpus-absent terms count for nothing; threshold floors at 1
+    out2 = e.terms_set_topk(
+        [(0, {"terms": ["zzz", "pink"], "minimum_should_match_field": "req"})],
+        k=10).toPandas()
+    assert set(out2.doc_id) == {5}
+    with pytest.raises(ValueError, match="terms_set"):
+        es_search(e, {"query": {"terms_set": {"text": {
+            "terms": terms, "minimum_should_match_script": "x"}}}, "size": 2})

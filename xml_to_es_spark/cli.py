@@ -316,6 +316,23 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_termvectors(args) -> int:
+    """ES GET /index/_termvectors/<id>: one doc's term vectors."""
+    from xml_to_es_spark.operators.es_query import es_termvectors
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    spark = _spark(args)
+    body: dict = {}
+    if args.fields:
+        body["fields"] = args.fields.split(",")
+    if args.term_statistics:
+        body["term_statistics"] = True
+    eng = QueryEngine(spark, args.index)
+    for row in es_termvectors(eng, args.id, body).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xml_to_es_spark")
     p.add_argument("--cores", default="32")
@@ -457,6 +474,15 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="ES _analyze token stream")
     an.add_argument("--text", required=True)
     an.set_defaults(fn=cmd_analyze)
+
+    tv = sub.add_parser("termvectors",
+                        help="ES _termvectors/<id> (tf/positions/df)")
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--id", type=int, required=True)
+    tv.add_argument("--fields", default=None,
+                    help="comma-separated field names (default: all)")
+    tv.add_argument("--term-statistics", action="store_true")
+    tv.set_defaults(fn=cmd_termvectors)
 
     args = p.parse_args(argv)
     return args.fn(args)

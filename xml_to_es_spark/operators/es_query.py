@@ -42,6 +42,8 @@ raise, nothing is silently ignored)::
         "regexp":             {field: {"value": "w[0-9]+", ...}},  # anchored
         "constant_score":     {"filter": {<any clause here>}, "boost": b},
         "fuzzy":              {field: {"value": v, "fuzziness": N}},
+        "terms_set":          {field: {"terms": [...],
+                               "minimum_should_match_field": col}},
         "simple_query_string": {"query": "+req -excl optional"},
         "query_string":       {"query": 'title:a AND (b OR "c d"~2)^2 '
                                'lang:en n_chars:[100 TO *] fuzz~1 wild*',
@@ -855,6 +857,22 @@ class EsRequest:
                 [(0, str(opts["value"]))], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
                 fuzziness=int(opts.get("fuzziness", 1)),
+            )
+        if kind == "terms_set":
+            # ES terms_set: per-doc minimum_should_match from a stored
+            # doc-value column (engine terms_set_topk — the bool agg
+            # core + one column-pruned doc-values join)
+            (fld, v), = spec.items()
+            opts = dict(v) if isinstance(v, dict) else {}
+            bad = set(opts) - {"terms", "minimum_should_match_field"}
+            if bad:
+                raise ValueError(
+                    f"terms_set supports terms/minimum_should_match_field "
+                    f"(scripted thresholds are not), got {sorted(bad)}"
+                )
+            return eng.terms_set_topk(
+                [(0, opts)], k=k, from_=from_,
+                field=self._resolve_match_field(fld),
             )
         if kind == "match_all":
             raise ValueError(

@@ -1025,6 +1025,84 @@ class QueryEngine:
             .select(*cols)
         )
 
+    def terms_set_topk(
+        self,
+        queries: list[tuple[int, dict]],
+        k: int = 10,
+        field: str | None = None,
+        docs: DataFrame | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``terms_set`` query: a doc matches when it contains at
+        least ``minimum_should_match_field``(doc) of the supplied
+        terms — the per-doc threshold is a STORED DOC VALUE, not a
+        literal. Each query is ``(query_id, {"terms": [...],
+        "minimum_should_match_field": column})``; scores are the
+        ordinary BM25 sum of the matched terms (the ES bool-should
+        scoring).
+
+        Scale shape: the SAME one-scan/one-hash-agg core as
+        :meth:`bool_topk` (every term a should clause — the matched
+        count rides the same agg row as the score), then ONE
+        column-pruned doc-values join compares the count against the
+        doc's own threshold. Thresholds clamp to ≥1 — a zero/negative
+        threshold would be ES match_all (an unbounded corpus scan;
+        Lucene's CoveringQuery floors the same way). Docs whose
+        threshold exceeds the matched count never match (ES);
+        corpus-absent terms contribute nothing to the count (ES)."""
+        from pyspark.sql import Window as W
+
+        fld = self._resolve_field(field)
+        avg = self._avgdl_of(fld)
+        rows: list[tuple[int, str]] = []
+        msm_of: dict[int, str] = {}
+        for qid, spec in queries:
+            bad = set(spec) - {"terms", "minimum_should_match_field"}
+            if bad or not ({"terms", "minimum_should_match_field"}
+                           <= set(spec)):
+                raise ValueError(
+                    f"query {qid}: terms_set takes terms + "
+                    f"minimum_should_match_field, got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            terms = sorted({str(t).lower() for t in spec["terms"]})
+            if not terms:
+                raise ValueError(f"query {qid}: terms_set needs terms")
+            msm_of[int(qid)] = str(spec["minimum_should_match_field"])
+            for t in terms:
+                rows.append((int(qid), self._term_of(t, fld)))
+        meta = self._term_meta(sorted({t for _, t in rows}))
+        present = [
+            (qid, t, _idf(self.n_docs, meta[t]["df"]), avg, "should")
+            for qid, t in rows
+            if t in meta and meta[t]["df"] > 0
+        ]
+        if not present:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        agg = self._bool_agg(present, meta)
+        cols = sorted(set(msm_of.values()))
+        dv = (docs.select("doc_id", *cols) if docs is not None
+              else self._doc_values(cols))
+        case = None
+        for qid, c in sorted(msm_of.items()):
+            case = (F.when(F.col("query_id") == qid, F.col(c))
+                    if case is None
+                    else case.when(F.col("query_id") == qid, F.col(c)))
+        hits = (
+            agg.join(dv, "doc_id")
+            .filter(
+                F.col("should_m")
+                >= F.greatest(case.cast("long"), F.lit(1))
+            )
+            .select("query_id", "doc_id", "score")
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def bool_aggs(
         self,
         queries: list[tuple[int, dict]],
@@ -1070,7 +1148,8 @@ class QueryEngine:
         stays bucket-sized."""
         metrics = metrics or {}
         self._check_metrics(metrics)
-        hits = self._doc_values(["doc_id"]).select(
+        src = docs if docs is not None else self._doc_values(["doc_id"])
+        hits = src.select(
             F.lit(0).cast("long").alias("query_id"), "doc_id"
         )
         return self._bucket_agg(hits, group_by, metrics, docs, size)
@@ -1094,7 +1173,8 @@ class QueryEngine:
         single-index equivalent — documented deviation."""
         metrics = metrics or {}
         self._check_metrics(metrics)
-        page = self.bool_topk(queries, k=int(shard_size), field=field)
+        page = self.bool_topk(queries, k=int(shard_size), field=field,
+                              docs=docs)
         return self._bucket_agg(
             page.select("query_id", "doc_id"), group_by, metrics, docs, size
         )
