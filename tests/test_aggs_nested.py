@@ -337,3 +337,50 @@ def test_global_and_sampler_aggs(eng):
         es_search(e, {"aggs": {"smp": {"sampler": {},
                                        "aggs": {"l": {"terms": {
                                            "field": "lang"}}}}}})
+
+
+def test_weighted_avg_metric(eng):
+    """ES weighted_avg: Σ(value·weight)/Σ(weight) per bucket, rows
+    missing either side skipped (the ES default)."""
+    e, pdf = eng
+    out = e.search_aggs(
+        [(1, "alpha")], group_by="lang",
+        metrics={"wa": ("weighted_avg", "n_chars", "n_chars")},
+    ).toPandas().set_index("lang")
+    for lg in ("en", "de", "fr"):
+        vals = [x for i, x in enumerate(pdf.n_chars)
+                if ["en", "de", "fr"][i % 3] == lg]
+        want = sum(v * v for v in vals) / sum(vals)
+        assert abs(out.loc[lg, "wa"] - want) < 1e-9
+    d = es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"byl": {"terms": {"field": "lang"},
+                               "aggs": {"wa": {"weighted_avg": {
+                                   "value": {"field": "n_chars"},
+                                   "weight": {"field": "n_chars"}}}}}}}
+                  ).toPandas().set_index("lang")
+    for lg in ("en", "de", "fr"):
+        assert abs(d.loc[lg, "wa"] - out.loc[lg, "wa"]) < 1e-12
+    with pytest.raises(ValueError, match="value"):
+        es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"a": {"terms": {"field": "lang"},
+                               "aggs": {"wa": {"weighted_avg": {
+                                   "value": {"field": "n_chars"}}}}}}})
+
+
+def test_adjacency_matrix_plan_pure_jvm(eng):
+    """The adjacency pairwise-key generation stays in JVM expressions:
+    no Python runner stages, and the plan carries the standard two
+    aggregate exchanges (match-set dedup + bucket agg), not one per
+    filter pair."""
+    e, _pdf = eng
+    df = e.search_aggs(
+        [(1, "alpha")],
+        group_by={"adjacency_matrix": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "cheap": {"range": {"n_chars": {"lt": 250}}},
+        }}},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the one mapInPandas is the postings decode kernel itself
+    assert plan.count("MapInPandas") <= 1

@@ -83,7 +83,9 @@ raise, nothing is silently ignored)::
                                        "missing"/"stats"/
                                        "extended_stats"/"percentiles"/
                                        "percentile_ranks":
-                                       {"field": f}}
+                                       {"field": f},
+                               "weighted_avg": {"value": {"field": v},
+                                                "weight": {"field": w}}}
                                # OR one nested BUCKET agg (one level:
                                # e.g. date_histogram → terms) whose own
                                # "aggs" are the metrics; rows come back
@@ -1136,6 +1138,14 @@ class EsRequest:
                     )
                 metrics[alias] = ("percentile_rank", ms["field"],
                                   float(vs[0]))
+            elif mk == "weighted_avg":
+                bad = set(ms) - {"value", "weight"}
+                if bad or not ({"value", "weight"} <= set(ms)):
+                    raise ValueError(
+                        "weighted_avg takes value + weight field specs"
+                    )
+                metrics[alias] = ("weighted_avg", ms["value"]["field"],
+                                  ms["weight"]["field"])
             elif mk in self._METRIC_FNS:
                 metrics[alias] = (self._METRIC_FNS[mk], ms["field"])
             else:

@@ -4215,7 +4215,10 @@ class QueryEngine:
         variance, the ES default); ``percentile`` is the EXACT
         interpolated percentile (SQL-twinnable; ES's t-digest
         approximation is a documented deviation); ``percentile_rank``
-        is the percent of values ≤ v (same exact-vs-t-digest note)."""
+        is the percent of values ≤ v (same exact-vs-t-digest note);
+        ``("weighted_avg", value_col, weight_col)`` is ES weighted_avg
+        (Σ value·weight / Σ weight, rows missing either side
+        skipped)."""
         out = []
         for alias, m in metrics.items():
             fn, c = m[0], m[1]
@@ -4244,21 +4247,41 @@ class QueryEngine:
                     (F.avg((F.col(c) <= F.lit(m[2])).cast("double"))
                      * F.lit(100.0)).alias(alias)
                 )
+            elif fn == "weighted_avg":
+                # ES weighted_avg: Σ(value·weight)/Σ(weight) over rows
+                # where BOTH are present (the ES missing-skip default)
+                w = m[2]
+                both = F.col(c).isNotNull() & F.col(w).isNotNull()
+                out.append(
+                    (F.sum(F.when(both, F.col(c) * F.col(w)))
+                     / F.sum(F.when(both, F.col(w)))).alias(alias)
+                )
             else:
                 out.append(self._AGG_FNS[fn](c).alias(alias))
         return out
+
+    @staticmethod
+    def _metric_cols(metrics: dict) -> list[str]:
+        """Every doc-value column a metrics dict reads — the value
+        column (m[1]) plus weighted_avg's weight column (m[2])."""
+        cols: set[str] = set()
+        for m in metrics.values():
+            cols.add(m[1])
+            if m[0] == "weighted_avg":
+                cols.add(m[2])
+        return sorted(cols)
 
     def _check_metrics(self, metrics: dict) -> None:
         for alias, m in metrics.items():
             fn = m[0]
             if fn in ("stats", "extended_stats", "percentile",
-                      "percentile_rank"):
+                      "percentile_rank", "weighted_avg"):
                 continue
             if fn not in self._AGG_FNS:
                 raise ValueError(
                     f"metric {alias!r}: unsupported fn {fn!r}; expected "
-                    f"stats/extended_stats/percentile/percentile_rank or "
-                    f"one of {sorted(self._AGG_FNS)}"
+                    f"stats/extended_stats/percentile/percentile_rank/"
+                    f"weighted_avg or one of {sorted(self._AGG_FNS)}"
                 )
 
     def _bucket_agg(
@@ -4329,7 +4352,7 @@ class QueryEngine:
                 )
             i, fld_c, target = auto_dh[0]
             mcols = list(dict.fromkeys(
-                [fld_c] + sorted({m[1] for m in metrics.values()})
+                [fld_c] + self._metric_cols(metrics)
             ))
             src0 = (docs.select("doc_id", *mcols) if docs is not None
                     else self._doc_values(mcols))
@@ -4378,7 +4401,7 @@ class QueryEngine:
             raise ValueError(f"bucket names collide: {names}")
         cols = list(dict.fromkeys(
             [c for _n, _m, _e, cc in norm for c in cc]
-            + sorted({m[1] for m in metrics.values()})
+            + self._metric_cols(metrics)
         ))
         src = docs.select("doc_id", *cols) if docs is not None else (
             self._doc_values(cols)
@@ -4505,7 +4528,7 @@ class QueryEngine:
                 [], schema="query_id long, doc_id long, score double"
             )
         cols = list(dict.fromkeys(
-            cols + sorted({m[1] for m in metrics.values()})
+            cols + self._metric_cols(metrics)
         ))
         src = docs.select("doc_id", *cols) if docs is not None else (
             self._doc_values(cols)
