@@ -738,8 +738,27 @@ def test_es_alias_search(spark, tmp_path_factory):
         spark, dirs, {"query": {"match": {"text": "bb"}}, "size": 5}
     ).toPandas()
     assert set(only_b["index"]) == {"idx_b"}
-    with pytest.raises(ValueError, match="query\\+size only"):
+    with pytest.raises(ValueError, match="indices_boost only"):
         es_alias_search(spark, dirs, {**body, "from": 5})
+    # indices_boost: per-index score multiplier BEFORE the merge
+    boosted = es_alias_search(
+        spark, dirs, {**body, "indices_boost": [{"idx_b": 3.0}]}
+    ).toPandas().sort_values("rank")
+    b3 = b.copy()
+    b3["score"] = b3["score"] * 3.0
+    manual3 = (
+        pd.concat([a, b3])
+        .sort_values(["score", "index", "doc_id"],
+                     ascending=[False, True, True])
+        .head(6)
+    )
+    assert list(boosted["doc_id"]) == list(manual3["doc_id"])
+    assert list(boosted["index"]) == list(manual3["index"])
+    np.testing.assert_allclose(boosted["score"], manual3["score"],
+                               rtol=0, atol=0)
+    with pytest.raises(ValueError, match="unknown index"):
+        es_alias_search(spark, dirs,
+                        {**body, "indices_boost": {"nope": 2.0}})
 
 
 def test_post_filter(eng):

@@ -1646,7 +1646,12 @@ def es_alias_search(spark, index_dirs: list[str], body: dict) -> DataFrame:
     unioning per-index k-pages and re-ranking is EXACT — per-index
     result sizes bound the merge input at |indexes|·k rows, nothing
     scans twice. Hits carry an ``index`` column (the ES _index
-    field). Body limits: hits-only first page (size; no
+    field). ``indices_boost`` (``[{index_name: b}, ...]`` or the
+    legacy ``{index_name: b}`` object) multiplies each index's scores
+    BEFORE the merge — the ES cross-index weighting; unknown index
+    names raise (ES silently ignores unmatched patterns; this surface
+    names concrete indexes, so a typo is an error, not a no-op). Body
+    limits: hits-only first page (size; no
     from/search_after/sort/aggs/collapse/highlight — cross-index
     variants of those need per-index state this deliberately avoids).
     """
@@ -1657,21 +1662,43 @@ def es_alias_search(spark, index_dirs: list[str], body: dict) -> DataFrame:
 
     if not index_dirs:
         raise ValueError("alias search needs at least one index")
-    bad = set(body) - {"query", "size"}
+    bad = set(body) - {"query", "size", "indices_boost"}
     if bad:
         raise ValueError(
-            f"alias search supports query+size only, got {sorted(bad)}"
+            f"alias search supports query+size+indices_boost only, "
+            f"got {sorted(bad)}"
         )
     k = int(body.get("size", 10))
     names = [Path(d.rstrip("/")).name for d in index_dirs]
     if len(set(names)) != len(names):
         names = [str(d) for d in index_dirs]
+    ib = body.get("indices_boost") or {}
+    if isinstance(ib, list):
+        merged: dict = {}
+        for ent in ib:
+            if not (isinstance(ent, dict) and len(ent) == 1):
+                raise ValueError(
+                    "indices_boost entries are single {index: boost} dicts"
+                )
+            merged.update(ent)
+        ib = merged
+    unknown = set(ib) - set(names)
+    if unknown:
+        raise ValueError(
+            f"indices_boost names unknown index(es) {sorted(unknown)}; "
+            f"this alias covers {names}"
+        )
+    sub = {kk: v for kk, v in body.items() if kk != "indices_boost"}
     parts = []
     for name, d in zip(names, index_dirs):
         eng = QueryEngine(spark, d)
+        page = es_search(eng, dict(sub))
+        boost = float(ib.get(name, 1.0))
+        score = (SF.col("score") * SF.lit(boost)) if boost != 1.0 \
+            else SF.col("score")
         parts.append(
-            es_search(eng, dict(body)).select(
-                "query_id", "doc_id", "score",
+            page.select(
+                "query_id", "doc_id", score.alias("score"),
                 SF.lit(name).alias("index"),
             )
         )
