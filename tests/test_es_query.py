@@ -872,3 +872,51 @@ def test_terms_set(spark, eng, tmp_path):
     with pytest.raises(ValueError, match="terms_set"):
         es_search(e, {"query": {"terms_set": {"text": {
             "terms": terms, "minimum_should_match_script": "x"}}}, "size": 2})
+
+
+def test_pinned_and_match_none(eng):
+    """ES pinned query: given ids rank first in the given order above
+    every organic hit (organic excludes them); match_none returns an
+    empty page."""
+    from xml_to_es_spark.operators.es_query import (_PINNED_SCORE,
+                                                     _PINNED_STEP)
+
+    base = es_search(eng, {"query": {"match": {"text": "alpha beta"}},
+                           "size": 10}).toPandas()
+    organic_ids = list(base.doc_id)
+    pins = [int(organic_ids[3]), 39]  # one organic hit + one outside
+    out = es_search(eng, {"query": {"pinned": {
+        "ids": pins,
+        "organic": {"match": {"text": "alpha beta"}}}},
+        "size": 6}).toPandas()
+    assert list(out.doc_id[:2]) == pins
+    assert out.score.iloc[0] == _PINNED_SCORE
+    assert out.score.iloc[1] == _PINNED_SCORE - _PINNED_STEP
+    # organic tail: the base ranking minus pinned ids
+    want_tail = [d for d in organic_ids if d not in pins][:4]
+    assert list(out.doc_id[2:]) == want_tail
+    # a dead/unknown pinned id is skipped, not invented
+    out2 = es_search(eng, {"query": {"pinned": {
+        "ids": [9999, pins[0]],
+        "organic": {"match": {"text": "alpha beta"}}}},
+        "size": 3}).toPandas()
+    assert list(out2.doc_id[:1]) == [pins[0]]
+    with pytest.raises(ValueError, match="unique"):
+        es_search(eng, {"query": {"pinned": {
+            "ids": [1, 1], "organic": {"match": {"text": "alpha"}}}},
+            "size": 3})
+    none = es_search(eng, {"query": {"match_none": {}}, "size": 5})
+    assert none.count() == 0 and "score" in none.columns
+
+
+def test_field_caps(eng):
+    from xml_to_es_spark.operators.es_query import es_field_caps
+
+    caps = es_field_caps(eng)["fields"]
+    assert caps["text"] == {"type": "text", "searchable": True,
+                            "aggregatable": False}
+    assert caps["n_chars"]["type"] == "long"
+    assert caps["lang"] == {"type": "keyword", "searchable": False,
+                            "aggregatable": True}
+    assert caps["doc_id"]["searchable"] is True
+    assert "text_md5" not in caps

@@ -44,6 +44,9 @@ raise, nothing is silently ignored)::
         "fuzzy":              {field: {"value": v, "fuzziness": N}},
         "terms_set":          {field: {"terms": [...],
                                "minimum_should_match_field": col}},
+        "pinned":             {"ids": [...], "organic": {<bool-
+                               expressible clause>}},  # ids rank first
+        "match_none":         {},
         "simple_query_string": {"query": "+req -excl optional"},
         "query_string":       {"query": 'title:a AND (b OR "c d"~2)^2 '
                                'lang:en n_chars:[100 TO *] fuzz~1 wild*',
@@ -136,6 +139,14 @@ from xml_to_es_spark.operators.query_engine import QueryEngine
 _MATCH_KEYS = {"query", "operator", "fuzziness", "minimum_should_match",
                "max_expansions", "slop"}
 _STRUCTURED = ("term", "terms", "range", "exists")
+
+# the ES pinned-query score constant (Lucene's pinned weight): pinned
+# docs score _PINNED_SCORE - position·_PINNED_STEP, above any BM25
+# score. The step must exceed the float64 ulp at 1.7e38 (~1e22) or
+# every pin would tie — ES works in float32 where unit steps resolve;
+# the ordering contract is identical
+_PINNED_SCORE = 1.7014124e38
+_PINNED_STEP = 1e30
 
 
 def _field_text(
@@ -876,6 +887,63 @@ class EsRequest:
                 [(0, opts)], k=k, from_=from_,
                 field=self._resolve_match_field(fld),
             )
+        if kind == "pinned":
+            # ES pinned query: the given ids rank above every organic
+            # hit, in the given order (ES assigns them descending
+            # slices of its 1.7014124e38 pinned constant — reproduced
+            # so the score column still sorts the page); organic hits
+            # exclude the pinned ids (ES dedup). Pinned docs must be
+            # LIVE (one pushed-id fetch); the organic leg is any
+            # bool-expressible query.
+            bad = set(spec) - {"ids", "organic"}
+            if bad or not ({"ids", "organic"} <= set(spec)):
+                raise ValueError(
+                    f"pinned takes ids + organic, got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            ids = [int(i) for i in spec["ids"]]
+            if not ids or len(set(ids)) != len(ids):
+                raise ValueError("pinned ids must be non-empty and unique")
+            (okind, ospec), = spec["organic"].items()
+            if okind == "bool":
+                oespec, fld = self._rich_bool_body(ospec), None
+            else:
+                oespec, fld = self._as_bool_tree(spec["organic"])
+            merged = {"must": [{"bool": oespec}],
+                      "must_not": [{"terms": {"doc_id": ids}}]}
+            organic = eng.bool_topk([(0, merged)], k=k, field=fld).select(
+                "query_id", "doc_id", "score"
+            )
+            live = {
+                int(r["doc_id"])
+                for r in eng.fetch(ids).select("doc_id").collect()
+            }
+            pin_rows = [
+                (0, d, _PINNED_SCORE - pos * _PINNED_STEP)
+                for pos, d in enumerate(ids) if d in live
+            ]
+            pins = eng.spark.createDataFrame(
+                pin_rows, schema="query_id long, doc_id long, score double"
+            )
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                pins.unionByName(organic)
+                .withColumn("rank", F.row_number().over(w))
+                .filter((F.col("rank") > from_) & (F.col("rank") <= from_ + k))
+                .select("query_id", F.col("rank").cast("int"), "doc_id",
+                        "score")
+            )
+        if kind == "match_none":
+            # ES match_none: no document matches, ever
+            if spec not in ({}, None):
+                raise ValueError("match_none takes an empty body")
+            from xml_to_es_spark.operators.query_engine import TOPK_SCHEMA
+
+            return eng.spark.createDataFrame([], schema=TOPK_SCHEMA)
         if kind == "match_all":
             raise ValueError(
                 "bare match_all is an unbounded corpus scan; add a filter "
@@ -2147,6 +2215,40 @@ def es_analyze(body: dict) -> list[dict]:
         }
         for i, m in enumerate(re.finditer(TOKEN_PATTERN, text.lower()))
     ]
+
+
+def es_field_caps(engine: QueryEngine) -> dict:
+    """ES ``GET /index/_field_caps``: per-field capabilities — the
+    analyzed fields (searchable text) plus every stored doc-value
+    column with its type mapped to the ES family (long/double/keyword/
+    date) and aggregatable=True (doc values back every agg here).
+    Schema-only: reads the docs table SCHEMA and the stored mapping,
+    runs zero jobs."""
+    from xml_to_es_spark.operators.index_build import live_docs
+
+    caps: dict[str, dict] = {}
+    for f in engine.fields:
+        caps[f] = {"type": "text", "searchable": True,
+                   "aggregatable": False}
+    type_of = {
+        "bigint": "long", "int": "integer", "smallint": "short",
+        "double": "double", "float": "float", "string": "keyword",
+        "boolean": "boolean", "timestamp": "date", "date": "date",
+    }
+    lv = live_docs(engine.spark, engine.dir)
+    for fld in lv.schema.fields:
+        # text_md5/ord/doc_len* are engine bookkeeping (change hash,
+        # delta ordinal, BM25 norms) — not user fields, like ES norms
+        if (fld.name in ("text_md5", "ord") or fld.name in caps
+                or fld.name.startswith("doc_len")):
+            continue
+        caps[fld.name] = {
+            "type": type_of.get(fld.dataType.simpleString(),
+                                fld.dataType.simpleString()),
+            "searchable": fld.name == "doc_id",  # the ids query
+            "aggregatable": True,
+        }
+    return {"fields": caps}
 
 
 def es_termvectors(
