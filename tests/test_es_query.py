@@ -920,3 +920,54 @@ def test_field_caps(eng):
                             "aggregatable": True}
     assert caps["doc_id"]["searchable"] is True
     assert "text_md5" not in caps
+
+
+def test_rank_feature(eng):
+    """ES rank_feature: matched = positive feature doc value; score =
+    boost · fn(value) (saturation/log/sigmoid), usable standalone and
+    as a bool should clause beside BM25 scoring."""
+    # standalone: every doc has positive n_chars; saturation ranks by
+    # n_chars desc (x/(x+p) is monotone)
+    out = es_search(eng, {"query": {"rank_feature": {
+        "field": "n_chars", "saturation": {"pivot": 150.0}}},
+        "size": 3}).toPandas()
+    assert list(out.doc_id) == [39, 38, 37]
+    for _, r in out.iterrows():
+        x = 100 + 3 * int(r.doc_id)
+        assert abs(r.score - x / (x + 150.0)) < 1e-12
+    # log and sigmoid value checks + boost
+    lg = es_search(eng, {"query": {"rank_feature": {
+        "field": "n_chars", "log": {"scaling_factor": 2.0},
+        "boost": 3.0}}, "size": 1}).toPandas()
+    import math
+    assert abs(lg.score.iloc[0] - 3.0 * math.log(2.0 + 217)) < 1e-12
+    sg = es_search(eng, {"query": {"rank_feature": {
+        "field": "n_chars", "sigmoid": {"pivot": 150.0, "exponent": 2.0}}},
+        "size": 1}).toPandas()
+    assert abs(sg.score.iloc[0]
+               - 217.0**2 / (217.0**2 + 150.0**2)) < 1e-12
+    # inside a bool: BM25 + feature (the relevance+popularity shape)
+    base = {int(r.doc_id): r.score for _, r in es_search(
+        eng, {"query": {"match": {"text": "beta"}}, "size": 40}
+    ).toPandas().iterrows()}
+    combo = es_search(eng, {"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}],
+        "should": [{"rank_feature": {"field": "n_chars",
+                                     "saturation": {"pivot": 150.0}}}],
+    }}, "size": 40}).toPandas()
+    assert set(combo.doc_id) == set(base)  # should never widens a must set
+    for _, r in combo.iterrows():
+        x = 100 + 3 * int(r.doc_id)
+        assert abs(r.score - (base[int(r.doc_id)] + x / (x + 150.0))) < 1e-9
+    # filter context scores 0; validation
+    fc = es_search(eng, {"query": {"bool": {
+        "filter": [{"rank_feature": {"field": "n_chars",
+                                     "saturation": {"pivot": 150.0}}}],
+    }}, "size": 3}).toPandas()
+    assert (fc.score == 0.0).all() and list(fc.doc_id) == [0, 1, 2]
+    with pytest.raises(ValueError, match="rank_feature"):
+        es_search(eng, {"query": {"rank_feature": {"field": "n_chars"}},
+                        "size": 2})
+    with pytest.raises(ValueError, match="exactly"):
+        es_search(eng, {"query": {"rank_feature": {
+            "field": "n_chars", "saturation": {}}}, "size": 2})

@@ -937,6 +937,16 @@ class EsRequest:
                 .select("query_id", F.col("rank").cast("int"), "doc_id",
                         "score")
             )
+        if kind == "rank_feature":
+            # ES standalone rank_feature: matches exactly the docs
+            # holding a positive feature value — bounded like a
+            # structured query; score = the feature function. Routed
+            # as a one-clause rich bool tree (the in-tree clause the
+            # bool/should composition uses)
+            return eng.bool_topk(
+                [(0, {"must": [{"rank_feature": dict(spec)}]})],
+                k=k, from_=from_,
+            )
         if kind == "match_none":
             # ES match_none: no document matches, ever
             if spec not in ({}, None):
@@ -978,7 +988,7 @@ class EsRequest:
                     )
                 (ck, cs), = cl.items()
                 if ck in ("bool", "match_phrase", "dis_max", "boosting",
-                          "constant_score"):
+                          "constant_score", "rank_feature"):
                     return True
                 if ck in _STRUCTURED:
                     if role != "filter":
@@ -1071,6 +1081,10 @@ class EsRequest:
             return {"bool": self._rich_bool_body(cs)}
         if ck in _STRUCTURED:
             return {ck: cs}
+        if ck == "rank_feature":
+            # ES body nests the field: {"rank_feature": {"field": f,
+            # "saturation": {...}}} — the engine spec is the same dict
+            return {ck: dict(cs)}
         if ck == "dis_max":
             bad = set(cs) - {"queries", "tie_breaker", "boost", "_name"}
             if bad or not cs.get("queries"):

@@ -221,6 +221,27 @@ class _BoolStruct:
         self.clause = clause
 
 
+class _BoolRankFeature(_BoolStruct):
+    """ES ``rank_feature`` clause: matched = the feature doc value is
+    present and POSITIVE (``.clause`` is exactly that range predicate,
+    so the structured machinery — candidate generation, pushed scans,
+    match CASE — handles it unchanged); score = boost · fn(value),
+    computed as a pure JVM expression over the SAME joined doc-values
+    projection. ``fn``: saturation x/(x+pivot), log
+    ln(scaling_factor + x), sigmoid x^e/(x^e + pivot^e) — the ES
+    function set; the pivot/scaling parameters are REQUIRED (ES
+    defaults saturation's pivot to a per-shard approximate geometric
+    mean — a cluster-state default this engine does not guess;
+    documented deviation)."""
+
+    __slots__ = ("column", "fn", "params", "boost", "scoring", "name")
+
+    def __init__(self, column, fn, params, boost, scoring, name=None):
+        super().__init__({"range": {column: {"gt": 0}}})
+        self.column, self.fn, self.params = column, fn, params
+        self.boost, self.scoring, self.name = boost, scoring, name
+
+
 class _BoolNode:
     """An ES ``bool`` node: role lists of children (leaves or nested
     bools), optional ``minimum_should_match`` and ``boost``.
@@ -279,6 +300,8 @@ def _is_rich_bool(clauses: dict) -> bool:
         for cl in fv:
             if isinstance(cl, dict) and (
                 "bool" in cl or "match_phrase" in cl
+                or "dis_max" in cl or "boosting" in cl
+                or "constant_score" in cl or "rank_feature" in cl
                 or isinstance(cl.get("match"), dict)
             ):
                 return True
@@ -1557,6 +1580,38 @@ class QueryEngine:
             s = _BoolStruct(cl)
             structs.append(s)
             return s
+        if kind == "rank_feature":
+            bad = set(spec) - {"field", "boost", "saturation", "log",
+                               "sigmoid", "_name"}
+            fns = sorted({"saturation", "log", "sigmoid"} & set(spec))
+            if bad or "field" not in spec or len(fns) != 1:
+                raise ValueError(
+                    "rank_feature takes field + exactly one of saturation/"
+                    "log/sigmoid (+boost) — parameters are required (ES's "
+                    f"auto-pivot is cluster state), got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            fn = fns[0]
+            fspec = dict(spec[fn] or {})
+            want = {"saturation": {"pivot"},
+                    "log": {"scaling_factor"},
+                    "sigmoid": {"pivot", "exponent"}}[fn]
+            if set(fspec) != want:
+                raise ValueError(
+                    f"rank_feature {fn} takes exactly {sorted(want)}, got "
+                    f"{sorted(fspec)}"
+                )
+            rf = _BoolRankFeature(
+                column=str(spec["field"]), fn=fn,
+                params={k2: float(v) for k2, v in fspec.items()},
+                boost=float(spec.get("boost", 1.0)), scoring=scoring,
+                name=spec.get("_name"),
+            )
+            if rf.params.get("pivot", 1.0) <= 0 or (
+                    rf.params.get("scaling_factor", 1.0) <= 0):
+                raise ValueError("rank_feature parameters must be positive")
+            structs.append(rf)
+            return rf
         if kind == "dis_max":
             bad = set(spec) - {"queries", "tie_breaker", "boost", "_name"}
             if bad or not spec.get("queries"):
@@ -1671,6 +1726,19 @@ class QueryEngine:
                 return score_node(ch)
             if isinstance(ch, (_BoolLeaf, _BoolPhrase)) and ch.scoring:
                 return F.coalesce(F.col(f"_s{ch.cid}"), F.lit(0.0))
+            if isinstance(ch, _BoolRankFeature) and ch.scoring:
+                x = F.col(ch.column).cast("double")
+                if ch.fn == "saturation":
+                    v = x / (x + F.lit(ch.params["pivot"]))
+                elif ch.fn == "log":
+                    v = F.log(F.lit(ch.params["scaling_factor"]) + x)
+                else:  # sigmoid
+                    e = ch.params["exponent"]
+                    v = F.pow(x, F.lit(e)) / (
+                        F.pow(x, F.lit(e))
+                        + F.lit(float(ch.params["pivot"]) ** e)
+                    )
+                return F.coalesce(v * F.lit(ch.boost), F.lit(0.0))
             return F.lit(0.0)
 
         def matched_node(n: _BoolNode) -> F.Column:
