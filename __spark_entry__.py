@@ -1540,6 +1540,94 @@ def _q_multi_match_both(spark, sf):
     return a.unionByName(b)
 
 
+# rank_feature: the relevance+popularity shape — BM25 must clause +
+# a saturation feature should clause over the n_chars doc value
+RANKF_QUERIES = [(1, "hash"), (2, "sort"), (3, "merge")]
+RANKF_PIVOT, RANKF_BOOST = 400.0, 2.0
+
+
+def _q_es_rank_feature(spark, sf):
+    """ES rank_feature inside bool should (the in-tree doc-value
+    scoring clause): score = BM25(must match) + boost·x/(x+pivot);
+    oracle recomputes the identical formula over the documents
+    table."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, text in RANKF_QUERIES:
+        body = {"query": {"bool": {
+            "must": [{"match": {"text": text}}],
+            "should": [{"rank_feature": {
+                "field": "n_chars",
+                "saturation": {"pivot": RANKF_PIVOT},
+                "boost": RANKF_BOOST}}],
+        }}, "size": BM25_K}
+        parts.append(
+            es_search(eng, body).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _rank_feature_sql(k: int) -> str:
+    """Twin of the rank_feature bool: the standard BM25 CTE chain for
+    the single-token must clauses, + boost·x/(x+pivot) over the
+    documents doc value, ranked (score desc, doc_id asc)."""
+    import re
+
+    qvals = []
+    for qid, text in RANKF_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), feat AS (
+  SELECT s.query_id, s.doc_id,
+         s.score_raw + {RANKF_BOOST} * (d.n_chars::DOUBLE
+             / (d.n_chars::DOUBLE + {RANKF_PIVOT})) AS s
+  FROM scored s JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank,
+         doc_id, round(s, 6) AS score
+  FROM feat
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_es_dsl_parity(spark, sf):
     """The ES-DSL translation-identity suites in one frame, tagged by
     `variant`: bool+structured-range bodies, rich nested trees
@@ -1554,8 +1642,9 @@ def _q_es_dsl_parity(spark, sf):
     )
     e = _q_es_mlt(spark, sf).withColumn("variant", F.lit("mlt"))
     f = _q_es_query_string(spark, sf).withColumn("variant", F.lit("qs"))
+    g = _q_es_rank_feature(spark, sf).withColumn("variant", F.lit("rankf"))
     return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f))
+            .unionByName(e).unionByName(f).unionByName(g))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -3962,6 +4051,8 @@ UNION ALL
 SELECT *, 'mlt' AS variant FROM ({_mlt_sql(BM25_K)})
 UNION ALL
 SELECT *, 'qs' AS variant FROM ({_bool_nested_sql(BM25_K, queries=_qs_specs())})
+UNION ALL
+SELECT *, 'rankf' AS variant FROM ({_rank_feature_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),
