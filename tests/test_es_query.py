@@ -376,7 +376,21 @@ def test_dsl_highlight_fragments(spark, tmp_path_factory):
     assert isinstance(one["snippet"].iat[0], str)
     with pytest.raises(ValueError, match="unsupported highlight"):
         es_search(e, {"query": {"match": {"text": "needle"}},
-                      "highlight": {"pre_tags": ["<em>"]}})
+                      "highlight": {"boundary_chars": ".,"}})
+    # pre_tags/post_tags: ES term marking, opt-in (default unmarked)
+    marked = es_search(e, {"query": {"match": {"text": "needle"}},
+                           "size": 2, "highlight": {
+                               "fragment_size": 30,
+                               "pre_tags": ["<em>"]}}).toPandas()
+    assert all("<em>needle</em>" in s for s in marked["snippet"])
+    marked2 = es_search(e, {"query": {"match": {"text": "needle"}},
+                            "size": 2, "highlight": {
+                                "fragment_size": 40,
+                                "number_of_fragments": 2,
+                                "pre_tags": "[[", "post_tags": "]]"}}
+                        ).toPandas()
+    for frags in marked2["snippet"]:
+        assert all("[[needle]]" in f for f in frags)
     # round-5: highlight works on bool / query_string / dis_max bodies
     # (terms gathered from the SCORING clauses of the compiled tree)
     bq = {"query": {"bool": {

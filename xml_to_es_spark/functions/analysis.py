@@ -58,6 +58,30 @@ def snippet_col(text: Column | str, terms: list[str], width: int = 80) -> Column
     return F.substring(c, start, F.lit(width))
 
 
+def mark_terms_col(
+    snippet: Column,
+    terms: list[str],
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> Column:
+    """ES highlight term marking: wrap every whole-word,
+    case-insensitive occurrence of a query term inside an
+    already-built snippet with ``pre``/``post`` tags (the ES
+    ``pre_tags``/``post_tags``, default ``<em>``). One JVM
+    regexp_replace; tokens are ``[a-z0-9]+`` by the pinned analyzer,
+    so the alternation needs no quoting."""
+    import re as _re
+
+    toks = sorted({t.lower() for t in terms if t})
+    if not toks or any(_re.fullmatch(r"[a-z0-9]+", t) is None
+                       for t in toks):
+        raise ValueError(
+            "mark_terms_col takes analyzer tokens ([a-z0-9]+)"
+        )
+    pattern = r"(?i)\b(" + "|".join(toks) + r")\b"
+    return F.regexp_replace(snippet, pattern, f"{pre}$1{post}")
+
+
 def sql_snippet(col: str, terms: list[str], width: int = 80) -> str:
     """DuckDB twin of :func:`snippet_col` (1-based instr/substring,
     same earliest-match and fallback rules)."""

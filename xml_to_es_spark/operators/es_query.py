@@ -1608,7 +1608,8 @@ class EsRequest:
                         )
                     (_fname, fopts), = hl["fields"].items()
                     body = dict(fopts or {})
-                bad = set(body) - {"fragment_size", "number_of_fragments"}
+                bad = set(body) - {"fragment_size", "number_of_fragments",
+                                   "pre_tags", "post_tags"}
                 if bad:
                     raise ValueError(
                         f"unsupported highlight option(s) {sorted(bad)}"
@@ -1616,11 +1617,30 @@ class EsRequest:
                 hopts = body
             frag_size = int(hopts.get("fragment_size", 80))
             n_frags = int(hopts.get("number_of_fragments", 1))
+            tags = None
+            if "pre_tags" in hopts or "post_tags" in hopts:
+                # ES term marking, opt-in: the default (no tags keys)
+                # keeps the historical unmarked windows — a documented
+                # deviation from ES's always-<em> default
+                def one(v, dflt):
+                    if v is None:
+                        return dflt
+                    if isinstance(v, list):
+                        if len(v) != 1:
+                            raise ValueError(
+                                "one pre_tags/post_tags entry supported"
+                            )
+                        return str(v[0])
+                    return str(v)
+
+                tags = (one(hopts.get("pre_tags"), "<em>"),
+                        one(hopts.get("post_tags"), "</em>"))
             ids = [int(r["doc_id"]) for r in hits.collect()]
             docs = self.eng.fetch(ids)
             if "text" not in docs.columns:
                 raise ValueError("highlight needs store_source=True")
             from xml_to_es_spark.functions.analysis import (
+                mark_terms_col,
                 snippet_col,
                 snippet_fragments_col,
             )
@@ -1634,6 +1654,15 @@ class EsRequest:
                 if n_frags > 1
                 else snippet_col("text", terms, frag_size)
             )
+            if tags is not None:
+                pre, post = tags
+                snip = (
+                    F.transform(
+                        snip, lambda x: mark_terms_col(x, terms, pre, post)
+                    )
+                    if n_frags > 1
+                    else mark_terms_col(snip, terms, pre, post)
+                )
             return hits.join(
                 F.broadcast(docs.select("doc_id", snip.alias("snippet"))),
                 "doc_id",
