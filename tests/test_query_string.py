@@ -345,3 +345,24 @@ def test_constant_score_top_level_vs_in_tree(eng):
             "filter": {"term": {"lang": "de"}}, "boost": 1.5}}]}},
             "size": 40}),
     )
+
+
+def test_source_filtering(eng):
+    """ES _source: a column list is the pushed-id retrieval synonym of
+    docvalue_fields (the docs table IS the source store here);
+    booleans are the ES defaults (no-ops); list beside
+    docvalue_fields rejects."""
+    out = es_search(eng, {
+        "query": {"match": {"text": "alpha"}},
+        "size": 4, "_source": ["lang"],
+    }).toPandas()
+    assert "lang" in out.columns and len(out) == 4
+    ok = es_search(eng, {"query": {"match": {"text": "alpha"}},
+                         "size": 2, "_source": False}).toPandas()
+    assert "lang" not in ok.columns
+    with pytest.raises(ValueError, match="pick one"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}}, "size": 2,
+                        "_source": ["lang"], "docvalue_fields": ["lang"]})
+    with pytest.raises(ValueError, match="column list"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}}, "size": 2,
+                        "_source": "lang"})

@@ -257,7 +257,7 @@ class EsRequest:
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
             "suggest", "rescore", "docvalue_fields", "post_filter",
-            "min_score",
+            "min_score", "_source",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -1573,6 +1573,24 @@ class EsRequest:
             hits = hits.filter(
                 F.col("score") >= float(self.body["min_score"])
             )
+        if self.body.get("_source") is not None:
+            # ES _source filtering: in this engine the docs table IS
+            # the source store, so a _source column list is the same
+            # pushed-id fetch as docvalue_fields (documented synonym);
+            # _source: false drops nothing extra (hits carry no source
+            # columns by default) and true is the ES default no-op
+            src = self.body["_source"]
+            if isinstance(src, list):
+                if self.body.get("docvalue_fields"):
+                    raise ValueError(
+                        "_source list beside docvalue_fields — pick one "
+                        "retrieval list"
+                    )
+                self.body = {**self.body, "docvalue_fields": src}
+            elif not isinstance(src, bool):
+                raise ValueError(
+                    "_source takes true/false or a column list"
+                )
         if self.body.get("docvalue_fields"):
             # ES docvalue_fields retrieval: stored doc-value columns
             # per hit — the page ids (≤ queries×k by construction) are
