@@ -147,7 +147,7 @@ def test_dsl_rejects_unknown(eng):
     # regexp (round 5) and more_like_this (late round 5) became
     # supported kinds — use a genuinely unsupported one
     with pytest.raises(ValueError, match="unsupported query kind"):
-        es_search(eng, {"query": {"span_near": {"clauses": []}}})
+        es_search(eng, {"query": {"percolate": {"document": {}}}})
     with pytest.raises(ValueError, match="match_all"):
         es_search(eng, {"query": {"match_all": {}}})
     with pytest.raises(ValueError, match="unsupported match option"):
@@ -985,3 +985,44 @@ def test_rank_feature(eng):
     with pytest.raises(ValueError, match="exactly"):
         es_search(eng, {"query": {"rank_feature": {
             "field": "n_chars", "saturation": {}}}, "size": 2})
+
+
+def test_span_queries(eng):
+    """ES span subset: span_term, ordered slop-0 span_near (phrase),
+    and span_first (occurrence must end at position <= end, filtered
+    inside the positional kernel)."""
+    # span_term == single-token phrase
+    st = es_search(eng, {"query": {"span_term": {"text": "w3"}},
+                         "size": 5}).toPandas()
+    assert list(st.doc_id) == [3]
+    # span_near ordered/slop0 == phrase
+    sn = es_search(eng, {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "alpha"}},
+                    {"span_term": {"text": "w3"}}],
+        "in_order": True, "slop": 0}}, "size": 5}).toPandas()
+    assert list(sn.doc_id) == [3]
+    # span_first: "alpha" is position 0 in every doc (end pos 1);
+    # "w3" is position 1 in doc 3 (end pos 2)
+    sf1 = es_search(eng, {"query": {"span_first": {
+        "match": {"span_term": {"text": "w3"}}, "end": 1}},
+        "size": 5}).toPandas()
+    assert len(sf1) == 0
+    sf2 = es_search(eng, {"query": {"span_first": {
+        "match": {"span_term": {"text": "w3"}}, "end": 2}},
+        "size": 5}).toPandas()
+    assert list(sf2.doc_id) == [3]
+    sfa = es_search(eng, {"query": {"span_first": {
+        "match": {"span_term": {"text": "alpha"}}, "end": 1}},
+        "size": 40}).toPandas()
+    assert len(sfa) == 40  # alpha leads every doc
+    # span_first over a span_near phrase: "alpha w3" spans [0,2)
+    sfp = es_search(eng, {"query": {"span_first": {
+        "match": {"span_near": {
+            "clauses": [{"span_term": {"text": "alpha"}},
+                        {"span_term": {"text": "w3"}}],
+            "in_order": True}}, "end": 2}}, "size": 5}).toPandas()
+    assert list(sfp.doc_id) == [3]
+    with pytest.raises(ValueError, match="span_near supports"):
+        es_search(eng, {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "alpha"}}],
+            "in_order": False}}, "size": 2})

@@ -46,6 +46,11 @@ raise, nothing is silently ignored)::
                                "minimum_should_match_field": col}},
         "pinned":             {"ids": [...], "organic": {<bool-
                                expressible clause>}},  # ids rank first
+        "span_term":          {field: v},
+        "span_near":          {"clauses": [span_terms...],
+                               "in_order": true, "slop": 0},
+        "span_first":         {"match": {span_term|span_near},
+                               "end": N},  # occurrence ends ≤ N
         "match_none":         {},
         "simple_query_string": {"query": "+req -excl optional"},
         "query_string":       {"query": 'title:a AND (b OR "c d"~2)^2 '
@@ -946,6 +951,62 @@ class EsRequest:
             return eng.bool_topk(
                 [(0, {"must": [{"rank_feature": dict(spec)}]})],
                 k=k, from_=from_,
+            )
+        if kind in ("span_first", "span_near", "span_term"):
+            # ES span family, the positional subset the phrase kernel
+            # expresses exactly: span_term (one term), span_near with
+            # in_order=true + slop=0 (consecutive terms ≙ phrase), and
+            # span_first wrapping either (occurrence must END at
+            # position ≤ end — applied INSIDE the kernel on the packed
+            # start-aligned keys, no extra pass). Unordered/sloppy
+            # span_near raises — match_phrase slop is the supported
+            # proximity form.
+            def span_text(sk, ss) -> tuple[str, str]:
+                if sk == "span_term":
+                    (f, v), = ss.items()
+                    v = v["value"] if isinstance(v, dict) else v
+                    return f, str(v)
+                if sk == "span_near":
+                    bad = set(ss) - {"clauses", "in_order", "slop"}
+                    if (bad or not ss.get("clauses")
+                            or not ss.get("in_order", False)
+                            or int(ss.get("slop", 0)) != 0):
+                        raise ValueError(
+                            "span_near supports in_order=true, slop=0 "
+                            "span_term clauses (use match_phrase slop "
+                            "for proximity)"
+                        )
+                    flds, toks = set(), []
+                    for c in ss["clauses"]:
+                        (ck2, cs2), = c.items()
+                        if ck2 != "span_term":
+                            raise ValueError(
+                                "span_near clauses must be span_term"
+                            )
+                        f, t = span_text(ck2, cs2)
+                        flds.add(f)
+                        toks.append(t)
+                    if len(flds) != 1:
+                        raise ValueError("span_near clauses mix fields")
+                    return flds.pop(), " ".join(toks)
+                raise ValueError(f"unsupported span kind {sk!r}")
+
+            first = None
+            if kind == "span_first":
+                bad = set(spec) - {"match", "end"}
+                if bad or not ({"match", "end"} <= set(spec)):
+                    raise ValueError(
+                        f"span_first takes match + end, got "
+                        f"{sorted(bad) or sorted(spec)}"
+                    )
+                first = int(spec["end"])
+                (mk, ms), = spec["match"].items()
+                fld2, text = span_text(mk, ms)
+            else:
+                fld2, text = span_text(kind, spec)
+            return eng.phrase_topk(
+                [(0, text)], k=k, from_=from_,
+                field=self._resolve_match_field(fld2), first=first,
             )
         if kind == "match_none":
             # ES match_none: no document matches, ever

@@ -2076,6 +2076,7 @@ class QueryEngine:
         from_: int = 0,
         slop: int = 0,
         search_after: dict[int, tuple[float, int]] | None = None,
+        first: int | None = None,
     ) -> DataFrame:
         """ES ``match_phrase`` over the compressed POSITIONAL postings
         (index built with ``IndexConfig(store_positions=True)``): a hit
@@ -2116,8 +2117,10 @@ class QueryEngine:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
+        if first is not None and slop:
+            raise ValueError("first (span_first) beside slop is not supported")
         run = self._phrase_group_kernel(
-            k_local, seqs, slop=slop, after=search_after
+            k_local, seqs, slop=slop, after=search_after, first=first
         )
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
@@ -2136,6 +2139,7 @@ class QueryEngine:
         slop: int | dict[int, int] = 0,
         variants: dict[int, list[str]] | None = None,
         after: dict[int, tuple[float, int]] | None = None,
+        first: int | None = None,
     ):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
@@ -2292,6 +2296,18 @@ class QueryEngine:
                         hit &= (nxt & vmask) <= (anchors & vmask) + sl
                         ok &= hit
                     survivors = anchors[ok]
+                    if survivors.size == 0:
+                        return None
+                if first is not None:
+                    # ES span_first: the span must END at position ≤
+                    # end. A survivor key's value part is start+m
+                    # (every slot shifts to the same start-aligned
+                    # offset; +1 packing), i.e. exactly the exclusive
+                    # end position of the occurrence.
+                    vmask0 = np.int64((1 << 33) - 1)
+                    survivors = survivors[
+                        (survivors & vmask0) <= np.int64(first)
+                    ]
                     if survivors.size == 0:
                         return None
                 sdocs = cand[np.unique(survivors >> np.int64(33))]
