@@ -1026,3 +1026,19 @@ def test_span_queries(eng):
         es_search(eng, {"query": {"span_near": {
             "clauses": [{"span_term": {"text": "alpha"}}],
             "in_order": False}}, "size": 2})
+
+
+def test_track_scores_validation(eng):
+    """track_scores is never silently ignored: valid only beside sort
+    and only as true (sort pages always carry the score column)."""
+    ok = es_search(eng, {"query": {"match": {"text": "alpha"}},
+                         "sort": [{"n_chars": {"order": "asc"}}],
+                         "track_scores": True, "size": 3}).toPandas()
+    assert "score" in ok.columns and len(ok) == 3
+    with pytest.raises(ValueError, match="beside sort"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "track_scores": True, "size": 3})
+    with pytest.raises(ValueError, match="track_scores=false"):
+        es_search(eng, {"query": {"match": {"text": "alpha"}},
+                        "sort": [{"n_chars": {"order": "asc"}}],
+                        "track_scores": False, "size": 3})

@@ -269,6 +269,20 @@ class EsRequest:
         self.body = body
         self.k = int(body.get("size", 10))
         self.from_ = int(body.get("from", 0))
+        if "track_scores" in body:
+            # nothing silently ignored: the sort path ALWAYS carries
+            # the BM25 score column (track_scores=true), so the key is
+            # only meaningful beside sort and only as true
+            if "sort" not in body:
+                raise ValueError(
+                    "track_scores only applies beside sort (relevance "
+                    "pages always carry scores)"
+                )
+            if not body["track_scores"]:
+                raise ValueError(
+                    "track_scores=false is not supported — sort pages "
+                    "always carry the score column; omit the key"
+                )
 
     def _as_bool_tree(self, q: dict | None = None) -> tuple[dict, str | None]:
         """Translate a query clause (default: the body's) to a rich
