@@ -254,12 +254,16 @@ def _codec_index(spark, sf):
                 + (F.col("doc_id") % 37) * 86400
                 + (F.col("doc_id") * 7919) % 86400
             ).alias("warc_ts"),
+            # req: the terms_set per-doc minimum_should_match threshold
+            # (deterministic 1..3 from doc_id; no external data)
+            (F.col("doc_id") % 3 + 1).cast("long").alias("req"),
         )
         IndexBuilder(
             spark,
             IndexConfig(
                 n_groups=2, salt_threshold=200, n_salts=4, store_positions=True,
-                stored_fields=("lang", "source", "n_chars", "warc_ts"),
+                stored_fields=("lang", "source", "n_chars", "warc_ts",
+                               "req"),
             ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
@@ -1628,6 +1632,171 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
+# terms_set: per-doc minimum_should_match from the stored `req`
+# doc value (1..3 by doc_id); span_first: the occurrence must END at
+# position ≤ end, single-term spans (positions off the sidecar)
+TSET_QUERIES = [
+    (1, ["hash", "join", "sort"]),
+    (2, ["merge", "dup", "window", "fast"]),
+    (3, ["slow", "key"]),
+]
+SPANF_QUERIES = [(1, "hash", 4), (2, "sort", 6), (3, "merge", 10)]
+
+
+def _q_es_terms_set(spark, sf):
+    """ES terms_set via the DSL: matched-term count vs the doc's own
+    stored threshold — one bool-agg scan + one doc-values join; the
+    oracle recomputes count-distinct-matched ≥ (doc_id % 3 + 1)."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, terms in TSET_QUERIES:
+        body = {"query": {"terms_set": {"text": {
+            "terms": terms, "minimum_should_match_field": "req"}}},
+            "size": BM25_K}
+        parts.append(
+            es_search(eng, body).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _q_es_span_first(spark, sf):
+    """ES span_first via the DSL: single-term spans whose first
+    occurrence ends at position ≤ end (the kernel's packed-key mask);
+    oracle = the single-term BM25 twin filtered by the 1-based
+    list_position of the term in the token array."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, term, end in SPANF_QUERIES:
+        body = {"query": {"span_first": {
+            "match": {"span_term": {"text": term}}, "end": end}},
+            "size": BM25_K}
+        parts.append(
+            es_search(eng, body).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _terms_set_sql(k: int) -> str:
+    """Twin of terms_set: the BM25 CTE chain over every supplied term
+    (should semantics — score = Σ matched contribs), n_matched =
+    count-distinct matched terms, kept where n_matched ≥ the doc's
+    derived threshold (doc_id % 3 + 1, the stored `req` column)."""
+    qvals = []
+    for qid, terms in TSET_QUERIES:
+        for t in sorted(set(terms)):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOK}) AS dl, unnest({TOK}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({TOK}))::DOUBLE AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), kept AS (
+  SELECT * FROM scored WHERE n_matched >= (doc_id % 3) + 1
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _span_first_sql(k: int) -> str:
+    """Twin of span_first: per-query single-term BM25 filtered by the
+    1-based first-occurrence position (list_position ≤ end ⇔ the
+    occurrence's exclusive end position ≤ end)."""
+    qvals, conds = [], []
+    for qid, term, end in SPANF_QUERIES:
+        qvals.append(f"({qid}, '{term}')")
+        conds.append(
+            f"(q.query_id = {qid} AND "
+            f"list_position(d.tl, '{term}') <= {end})"
+        )
+    values = ", ".join(qvals)
+    where = " OR ".join(conds)
+    return f"""
+WITH dtok AS (
+  SELECT doc_id, {TOK} AS tl FROM documents
+), toks AS (
+  SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM dtok
+), q(query_id, term) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(tl))::DOUBLE AS avgdl FROM dtok
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl))
+         ) AS score_raw
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+), kept AS (
+  SELECT s.query_id, s.doc_id, s.score_raw
+  FROM scored s JOIN q USING (query_id) JOIN dtok d USING (doc_id)
+  WHERE {where}
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM (SELECT DISTINCT * FROM kept)
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_es_dsl_parity(spark, sf):
     """The ES-DSL translation-identity suites in one frame, tagged by
     `variant`: bool+structured-range bodies, rich nested trees
@@ -1643,8 +1812,11 @@ def _q_es_dsl_parity(spark, sf):
     e = _q_es_mlt(spark, sf).withColumn("variant", F.lit("mlt"))
     f = _q_es_query_string(spark, sf).withColumn("variant", F.lit("qs"))
     g = _q_es_rank_feature(spark, sf).withColumn("variant", F.lit("rankf"))
+    h = _q_es_terms_set(spark, sf).withColumn("variant", F.lit("tset"))
+    i = _q_es_span_first(spark, sf).withColumn("variant", F.lit("spanf"))
     return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f).unionByName(g))
+            .unionByName(e).unionByName(f).unionByName(g)
+            .unionByName(h).unionByName(i))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -4053,6 +4225,10 @@ UNION ALL
 SELECT *, 'qs' AS variant FROM ({_bool_nested_sql(BM25_K, queries=_qs_specs())})
 UNION ALL
 SELECT *, 'rankf' AS variant FROM ({_rank_feature_sql(BM25_K)})
+UNION ALL
+SELECT *, 'tset' AS variant FROM ({_terms_set_sql(BM25_K)})
+UNION ALL
+SELECT *, 'spanf' AS variant FROM ({_span_first_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),
