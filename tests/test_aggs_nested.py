@@ -384,3 +384,17 @@ def test_adjacency_matrix_plan_pure_jvm(eng):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the one mapInPandas is the postings decode kernel itself
     assert plan.count("MapInPandas") <= 1
+
+
+def test_rare_terms_rejects_size(eng):
+    """Round-6 ADVICE fix: ES rare_terms has no size parameter (its
+    buckets are the anti-top-N) — passing one must raise instead of
+    silently keeping the most-common rare buckets."""
+    import pytest
+
+    e, _pdf = eng
+    with pytest.raises(ValueError, match="rare_terms does not take size"):
+        es_search(e, {"query": {"match": {"text": "alpha"}},
+                      "aggs": {"r": {"rare_terms": {
+                          "field": "lang", "max_doc_count": 2,
+                          "size": 3}}}})

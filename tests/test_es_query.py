@@ -1042,3 +1042,22 @@ def test_track_scores_validation(eng):
         es_search(eng, {"query": {"match": {"text": "alpha"}},
                         "sort": [{"n_chars": {"order": "asc"}}],
                         "track_scores": False, "size": 3})
+
+
+def test_pinned_deep_page(eng):
+    """Round-6 ADVICE fix: `from` past the live-pin count must still
+    return a full page (the organic leg is fetched from+k deep)."""
+    base = es_search(eng, {"query": {"match": {"text": "alpha beta"}},
+                           "size": 20}).toPandas()
+    organic_ids = list(base.doc_id)
+    pins = [int(organic_ids[5]), int(organic_ids[9])]
+    body = {"query": {"pinned": {
+        "ids": pins, "organic": {"match": {"text": "alpha beta"}}}}}
+    out = es_search(eng, {**body, "from": 4, "size": 5}).toPandas()
+    # the merged ranking is pins then organic-minus-pins; page 4..9
+    want_full = pins + [d for d in organic_ids if d not in pins]
+    assert list(out.doc_id) == want_full[4:9]
+    assert list(out["rank"]) == [5, 6, 7, 8, 9]
+    # from=0 unchanged
+    out0 = es_search(eng, {**body, "size": 4}).toPandas()
+    assert list(out0.doc_id) == want_full[:4]

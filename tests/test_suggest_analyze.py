@@ -223,7 +223,8 @@ def _phrase_twin(pdf, text, size=5, max_edits=1, candidate_size=5,
             s += math.log(cond_p(a, b))
         return s
 
-    n_err = (int(max_errors) if max_errors > 1
+    # ES/Lucene rule: fraction only on [0..1); >= 1 is absolute
+    n_err = (int(max_errors) if max_errors >= 1
              else max(1, int(math.floor(max_errors * len(toks)))))
     cands = {}
     for t in toks:
@@ -368,3 +369,30 @@ def test_termvectors(spark, idx):
         es_termvectors(eng, 10_000)
     with pytest.raises(ValueError, match="unsupported"):
         es_termvectors(eng, 0, {"offsets": True})
+
+
+def test_phrase_suggester_max_errors_boundary(spark, pidx):
+    """Round-6 ADVICE fix: max_errors=1.0 (the ES default) is an
+    ABSOLUTE one-error budget (Lucene treats fraction only on
+    [0..1)), so the default cannot fix two tokens at once."""
+    _pdf, path = pidx
+    e = QueryEngine(spark, path)
+    got = e.suggest_phrases("hsh joln").toPandas()  # default 1.0
+    assert "hash join" not in list(got["suggestion"])
+    # a true fraction still scales with length: 0.99 on two tokens → 1
+    frac = e.suggest_phrases("hsh joln", max_errors=0.99).toPandas()
+    assert "hash join" not in list(frac["suggestion"])
+
+
+def test_mark_terms_literal_tags(spark):
+    """Round-6 ADVICE fix: pre/post tags containing Java-regex
+    replacement metacharacters ($, \\) pass through literally."""
+    from pyspark.sql import functions as F
+
+    from xml_to_es_spark.functions.analysis import mark_terms_col
+
+    df = spark.createDataFrame([("pay cash now",)], "text string")
+    out = df.select(
+        mark_terms_col(F.col("text"), ["cash"], "$1$", "\\$").alias("s")
+    ).collect()[0]["s"]
+    assert out == "pay $1$cash\\$ now"

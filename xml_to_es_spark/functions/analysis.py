@@ -79,7 +79,11 @@ def mark_terms_col(
             "mark_terms_col takes analyzer tokens ([a-z0-9]+)"
         )
     pattern = r"(?i)\b(" + "|".join(toks) + r")\b"
-    return F.regexp_replace(snippet, pattern, f"{pre}$1{post}")
+    # Java regex replacement treats $ and \ specially — escape both so
+    # arbitrary ES pre_tags/post_tags pass through literally.
+    esc = {"pre": _re.sub(r"([\\$])", r"\\\1", pre),
+           "post": _re.sub(r"([\\$])", r"\\\1", post)}
+    return F.regexp_replace(snippet, pattern, f"{esc['pre']}$1{esc['post']}")
 
 
 def sql_snippet(col: str, terms: list[str], width: int = 80) -> str:

@@ -408,6 +408,17 @@ class EsRequest:
                     )
                 # constant_score / structured: filter context, no terms
 
+    def _localize_page(self, hits: DataFrame) -> tuple[list, DataFrame]:
+        """Collect the hit page ONCE (≤ queries×k rows by construction)
+        and rebuild it as a local DataFrame — the retrieval joins below
+        would otherwise re-execute the full ranking plan (once for the
+        pushed-id collect, again when the lazy page is joined)."""
+        rows = hits.collect()
+        return (
+            [int(r["doc_id"]) for r in rows],
+            self.eng.spark.createDataFrame(rows, hits.schema),
+        )
+
     def _docvalue_cols(self) -> set:
         """Stored doc-value column names of the engine's index (the
         ``field:`` targets that compile to structured filters rather
@@ -930,9 +941,12 @@ class EsRequest:
                 oespec, fld = self._as_bool_tree(spec["organic"])
             merged = {"must": [{"bool": oespec}],
                       "must_not": [{"terms": {"doc_id": ids}}]}
-            organic = eng.bool_topk([(0, merged)], k=k, field=fld).select(
-                "query_id", "doc_id", "score"
-            )
+            # Fetch the organic leg from_+k deep: the final window pages
+            # over pins+organic, so a page past the live-pin count must
+            # still find from_+k organic rows (from_=0 degenerates to k).
+            organic = eng.bool_topk(
+                [(0, merged)], k=from_ + k, field=fld
+            ).select("query_id", "doc_id", "score")
             live = {
                 int(r["doc_id"])
                 for r in eng.fetch(ids).select("doc_id").collect()
@@ -1257,6 +1271,12 @@ class EsRequest:
             raise ValueError(f"unsupported agg kind {bkind!r}")
         b = dict(bspec)
         size = b.pop("size", None)
+        if bkind == "rare_terms" and size is not None:
+            # ES rare_terms has no size parameter (buckets are the
+            # max_doc_count anti-top-N, ordered ascending) — the
+            # generic doc_count-DESC window would silently keep the
+            # most-common "rare" buckets instead.
+            raise ValueError("rare_terms does not take size (ES has none)")
         if bkind == "histogram":
             b["interval"] = float(b["interval"])
         if bkind == "multi_terms":
@@ -1678,7 +1698,7 @@ class EsRequest:
                     "docvalue_fields takes a non-empty list of stored "
                     "column names"
                 )
-            ids = [int(r["doc_id"]) for r in hits.collect()]
+            ids, hits = self._localize_page(hits)
             # a column already on the page (doc_id, or the sort
             # field on the sort path) must not be joined in twice
             add = [c for c in sorted(set(dcols))
@@ -1728,7 +1748,7 @@ class EsRequest:
 
                 tags = (one(hopts.get("pre_tags"), "<em>"),
                         one(hopts.get("post_tags"), "</em>"))
-            ids = [int(r["doc_id"]) for r in hits.collect()]
+            ids, hits = self._localize_page(hits)
             docs = self.eng.fetch(ids)
             if "text" not in docs.columns:
                 raise ValueError("highlight needs store_source=True")

@@ -2568,8 +2568,9 @@ class QueryEngine:
         Absent unigrams smooth to ``1/(2N)`` so the INPUT phrase
         always has a finite score for the ``confidence`` gate.
 
-        ``max_errors``: ≤ 1.0 → fraction of tokens that may change
-        (ES semantics), > 1 → absolute count. ``confidence``: a
+        ``max_errors``: < 1.0 → fraction of tokens that may change,
+        ≥ 1 → absolute count (the ES/Lucene rule: fraction only on
+        [0..1), so the 1.0 default means ONE error, not "all"). ``confidence``: a
         suggestion must score above ``log(input) + ln(confidence)``
         (confidence 0 disables the gate). Identity suggestions are
         never returned.
@@ -2598,7 +2599,7 @@ class QueryEngine:
             )
         fld = self._resolve_field(field)
         n_errors = (
-            int(max_errors) if max_errors > 1
+            int(max_errors) if max_errors >= 1
             else max(1, int(math.floor(max_errors * len(toks))))
         )
         # 1. candidates: one capped dictionary job (closest-first cap)
