@@ -257,13 +257,24 @@ def _codec_index(spark, sf):
             # req: the terms_set per-doc minimum_should_match threshold
             # (deterministic 1..3 from doc_id; no external data)
             (F.col("doc_id") % 3 + 1).cast("long").alias("req"),
+            # spans: the ES nested field type — 1-3 synthetic objects
+            # per doc (array<struct<tag,w>>, deterministic from doc_id)
+            # so the nested query path has a real array-of-struct doc
+            # value; the oracle rebuilds the same objects in SQL
+            F.expr(
+                "transform(sequence(0, cast(doc_id % 3 as int)), j -> "
+                "named_struct("
+                "'tag', element_at(array('usa','ussr','uk','de'), "
+                "cast((doc_id + j) % 4 as int) + 1), "
+                "'w', cast((doc_id * 7 + j * 13) % 50 as long)))"
+            ).alias("spans"),
         )
         IndexBuilder(
             spark,
             IndexConfig(
                 n_groups=2, salt_threshold=200, n_salts=4, store_positions=True,
                 stored_fields=("lang", "source", "n_chars", "warc_ts",
-                               "req"),
+                               "req", "spans"),
             ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
@@ -1702,6 +1713,99 @@ def _q_es_span_first(spark, sf):
     return out
 
 
+# ES nested query bodies over the synthetic spans objects (tag/w per
+# _codec_index): co-occurrence scoping (q1), inner-bool msm per object
+# (q2), nested beside must_not-nested (q3). Scoring contract:
+# constant-per-matching-object, combined by score_mode.
+NESTED_BODIES = [
+    (1, {"nested": {"path": "spans", "score_mode": "sum", "query": {
+        "bool": {"must": [{"term": {"spans.tag": "usa"}},
+                          {"range": {"spans.w": {"gte": 25}}}]}}}}),
+    (2, {"nested": {"path": "spans", "score_mode": "avg", "boost": 2.5,
+                    "query": {"bool": {"should": [
+                        {"term": {"spans.tag": "usa"}},
+                        {"term": {"spans.tag": "ussr"}},
+                        {"range": {"spans.w": {"gte": 40}}},
+                    ], "minimum_should_match": 2}}}}),
+    (3, {"bool": {
+        "must": [{"nested": {"path": "spans", "score_mode": "sum",
+                             "boost": 0.5,
+                             "query": {"range": {"spans.w": {"gte": 10}}}}}],
+        "must_not": [{"nested": {"path": "spans",
+                                 "query": {"term": {"spans.tag": "de"}}}}],
+    }}),
+]
+
+
+def _q_es_nested(spark, sf):
+    """ES nested field type + query via the DSL: per-nested-object
+    match scoping over the stored array-of-struct doc value (a pure
+    JVM higher-order array predicate — no explode, no extra shuffle);
+    oracle unnests the same synthetic objects and rescopes in SQL."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, q in NESTED_BODIES:
+        parts.append(
+            es_search(eng, {"query": q, "size": BM25_K}).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                SF.round("score", 6).alias("score"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _es_nested_sql(k: int) -> str:
+    """Twin of the nested bodies: LATERAL-rebuild the deterministic
+    spans objects, aggregate per-object predicate hits per doc, apply
+    the constant-per-object scoring contract, rank (score desc,
+    doc_id asc)."""
+    return f"""
+WITH objs AS (
+  SELECT d.doc_id, r.j,
+         (['usa','ussr','uk','de'])[CAST((d.doc_id + r.j) % 4 AS INT) + 1]
+           AS tag,
+         (d.doc_id*7 + r.j*13) % 50 AS w
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, CAST(d.doc_id % 3 AS BIGINT) + 1))
+                AS j) r
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE tag = 'usa' AND w >= 25) AS nm1,
+         count(*) FILTER (WHERE (CAST(tag = 'usa' AS INT)
+                                 + CAST(tag = 'ussr' AS INT)
+                                 + CAST(w >= 40 AS INT)) >= 2) AS nm2,
+         count(*) FILTER (WHERE w >= 10) AS nm3,
+         count(*) FILTER (WHERE tag = 'de') AS nde
+  FROM objs GROUP BY doc_id
+), u AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+         CAST(nm1 AS DOUBLE) AS score FROM agg WHERE nm1 > 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), doc_id, 2.5 FROM agg WHERE nm2 > 0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), doc_id, 0.5 * nm3 FROM agg
+  WHERE nm3 > 0 AND nde = 0
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM u
+) WHERE rank <= {k}
+"""
+
+
 def _terms_set_sql(k: int) -> str:
     """Twin of terms_set: the BM25 CTE chain over every supplied term
     (should semantics — score = Σ matched contribs), n_matched =
@@ -1814,9 +1918,10 @@ def _q_es_dsl_parity(spark, sf):
     g = _q_es_rank_feature(spark, sf).withColumn("variant", F.lit("rankf"))
     h = _q_es_terms_set(spark, sf).withColumn("variant", F.lit("tset"))
     i = _q_es_span_first(spark, sf).withColumn("variant", F.lit("spanf"))
+    j = _q_es_nested(spark, sf).withColumn("variant", F.lit("esnested"))
     return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i))
+            .unionByName(h).unionByName(i).unionByName(j))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -4229,6 +4334,8 @@ UNION ALL
 SELECT *, 'tset' AS variant FROM ({_terms_set_sql(BM25_K)})
 UNION ALL
 SELECT *, 'spanf' AS variant FROM ({_span_first_sql(BM25_K)})
+UNION ALL
+SELECT *, 'esnested' AS variant FROM ({_es_nested_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),

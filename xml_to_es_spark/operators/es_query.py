@@ -330,12 +330,12 @@ class EsRequest:
             return {"filter": [{"terms": {"doc_id": vals}}]}, None
         if kind in _STRUCTURED:
             return {"filter": [{kind: spec}]}, None
-        if kind in ("dis_max", "boosting"):
+        if kind in ("dis_max", "boosting", "nested"):
             return {"must": [self._rich_clause({kind: spec})]}, None
         raise ValueError(
             f"query kind {kind!r} is not supported here (match / "
             "match_phrase / bool / simple_query_string / query_string / "
-            "ids / structured are)"
+            "ids / nested / structured are)"
         )
 
     def _highlight_terms(self) -> list[str]:
@@ -643,7 +643,7 @@ class EsRequest:
                     [(0, {"filter": [{"terms": {"doc_id": vals}}]})],
                     by=specs, k=k, from_=from_, search_after=after,
                 )
-            elif kind in _STRUCTURED:
+            elif kind in _STRUCTURED or kind == "nested":
                 out = eng.bool_sort_topk(
                     [(0, {"filter": [{kind: spec}]})], by=specs, k=k,
                     from_=from_, search_after=after,
@@ -743,7 +743,7 @@ class EsRequest:
                 [(0, espec)], k=k, from_=from_, field=bfld,
                 search_after=cursor,
             )
-        if kind in ("dis_max", "boosting"):
+        if kind in ("dis_max", "boosting", "nested"):
             espec = {"must": [self._rich_clause({kind: spec})]}
             return eng.bool_topk([(0, espec)], k=k, from_=from_)
         if kind == "more_like_this":
@@ -1077,7 +1077,7 @@ class EsRequest:
                     )
                 (ck, cs), = cl.items()
                 if ck in ("bool", "match_phrase", "dis_max", "boosting",
-                          "constant_score", "rank_feature"):
+                          "constant_score", "rank_feature", "nested"):
                     return True
                 if ck in _STRUCTURED:
                     if role != "filter":
@@ -1173,6 +1173,20 @@ class EsRequest:
         if ck == "rank_feature":
             # ES body nests the field: {"rank_feature": {"field": f,
             # "saturation": {...}}} — the engine spec is the same dict
+            return {ck: dict(cs)}
+        if ck == "nested":
+            # ES nested query: per-nested-object match scoping over an
+            # array-of-struct doc value — the engine spec is the same
+            # dict (inner structured kinds share the ES shape; the
+            # engine validates path/query/score_mode and rejects
+            # analyzed-text inner kinds)
+            bad = set(cs) - {"path", "query", "score_mode", "boost",
+                             "_name"}
+            if bad or not ({"path", "query"} <= set(cs)):
+                raise ValueError(
+                    f"nested takes path + query (+score_mode, boost, "
+                    f"_name), got {sorted(bad) or sorted(cs)}"
+                )
             return {ck: dict(cs)}
         if ck == "dis_max":
             bad = set(cs) - {"queries", "tie_breaker", "boost", "_name"}

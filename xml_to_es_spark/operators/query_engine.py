@@ -242,6 +242,37 @@ class _BoolRankFeature(_BoolStruct):
         self.boost, self.scoring, self.name = boost, scoring, name
 
 
+class _BoolNested(_BoolStruct):
+    """ES ``nested`` clause: per-nested-object match scoping over an
+    array-of-struct doc value (the ES nested FIELD TYPE, re-expressed
+    Spark-first — instead of hidden sub-documents the objects live in
+    ONE array column stored via ``IndexConfig(stored_fields=...)``,
+    and the inner query evaluates PER ELEMENT as a higher-order JVM
+    array expression, so predicate co-occurrence is scoped to a
+    single object exactly as ES scopes it to a single nested doc).
+    Candidate generation, the pushed doc-values scan and the match
+    CASE ride the structured machinery unchanged — zero extra
+    shuffles at any corpus size.
+
+    Inner query kinds: term/terms/range/exists plus bool combinations
+    of those (the reference's nested sub-properties are unanalyzed
+    metadata — examples/mapping.json:5-9 declares them "index":"no" —
+    so analyzed-text-inside-nested has no parity target and raises).
+    Scoring contract (documented deviation from ES's
+    BM25-over-nested-docs): each matching object contributes the
+    constant 1.0, combined by ``score_mode`` — ``sum`` → matching
+    object count × boost, ``avg``/``max`` → boost, ``none`` → 0."""
+
+    __slots__ = ("path", "inner", "score_mode", "boost", "scoring",
+                 "name")
+
+    def __init__(self, path, inner, score_mode, boost, scoring,
+                 name=None):
+        super().__init__({"nested": {"path": path, "query": inner}})
+        self.path, self.inner, self.score_mode = path, inner, score_mode
+        self.boost, self.scoring, self.name = boost, scoring, name
+
+
 class _BoolNode:
     """An ES ``bool`` node: role lists of children (leaves or nested
     bools), optional ``minimum_should_match`` and ``boost``.
@@ -931,9 +962,119 @@ class QueryEngine:
             return pred
         if kind == "exists":
             return F.col(spec["field"]).isNotNull()
+        if kind == "nested":
+            bad = set(spec) - {"path", "query"}
+            if bad or not ({"path", "query"} <= set(spec)):
+                raise ValueError(
+                    f"nested takes path + query, got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            pred = QueryEngine._nested_elem_pred(
+                str(spec["path"]), spec["query"]
+            )
+            # null / empty array → no element matches (ES: no nested
+            # docs under the parent)
+            return F.coalesce(
+                F.exists(F.col(str(spec["path"])), pred), F.lit(False)
+            )
         raise ValueError(
             f"unknown structured filter kind {kind!r}; expected one of "
             f"{QueryEngine._STRUCTURED_KINDS}"
+        )
+
+    @staticmethod
+    def _nested_elem_pred(path: str, spec: dict):
+        """Inner query of a ``nested`` clause → an element-level
+        predicate builder (Column → Column) for the higher-order
+        array functions. Field names accept the ES full path
+        (``path.sub``) or the bare sub-field; dotted sub-paths walk
+        nested structs. Kinds: term/terms/range/exists + bool trees
+        of those; text kinds raise (see :class:`_BoolNested`)."""
+        if not (isinstance(spec, dict) and len(spec) == 1):
+            raise ValueError(
+                f"nested inner query must be a single-key dict, got {spec!r}"
+            )
+        strip = path + "."
+
+        def field_of(x, c):
+            c = c[len(strip):] if str(c).startswith(strip) else str(c)
+            out = x
+            for part in c.split("."):
+                out = out[part]
+            return out
+
+        (kind, s), = spec.items()
+        if kind == "bool":
+            bad = set(s) - {"must", "should", "must_not", "filter",
+                            "minimum_should_match"}
+            if bad:
+                raise ValueError(
+                    f"nested inner bool: unknown key(s) {sorted(bad)}"
+                )
+            roles = {
+                r: [QueryEngine._nested_elem_pred(path, c)
+                    for c in (s.get(r) if isinstance(s.get(r), (list, tuple))
+                              else [s[r]] if s.get(r) is not None else [])]
+                for r in ("must", "should", "must_not", "filter")
+            }
+            if not any(roles.values()):
+                raise ValueError("empty nested inner bool")
+            msm = s.get("minimum_should_match")
+            need = (_min_match_count(msm, len(roles["should"]))
+                    if msm is not None and roles["should"]
+                    else (0 if (roles["must"] or roles["filter"])
+                          else (1 if roles["should"] else 0)))
+
+            def node(x):
+                out = None
+                for p in roles["must"] + roles["filter"]:
+                    q = F.coalesce(p(x), F.lit(False))
+                    out = q if out is None else (out & q)
+                for p in roles["must_not"]:
+                    q = ~F.coalesce(p(x), F.lit(False))
+                    out = q if out is None else (out & q)
+                if need > 0:
+                    cnt = None
+                    for p in roles["should"]:
+                        q = F.coalesce(p(x), F.lit(False)).cast("int")
+                        cnt = q if cnt is None else (cnt + q)
+                    q = cnt >= need
+                    out = q if out is None else (out & q)
+                return out
+
+            return node
+        if kind == "term":
+            (c, v), = s.items()
+            return lambda x: field_of(x, c) == F.lit(v)
+        if kind == "terms":
+            (c, vs), = s.items()
+            return lambda x: field_of(x, c).isin(list(vs))
+        if kind == "range":
+            (c, bounds), = s.items()
+            ops = {"gte": "__ge__", "gt": "__gt__",
+                   "lte": "__le__", "lt": "__lt__"}
+            bad = set(bounds) - set(ops)
+            if bad or not bounds:
+                raise ValueError(
+                    f"nested range on {c!r}: "
+                    f"{'unknown bound(s) ' + str(sorted(bad)) if bad else 'no bounds'}"
+                )
+            items = sorted(bounds.items())
+
+            def rng(x):
+                pred = None
+                for b, v in items:
+                    p = getattr(field_of(x, c), ops[b])(F.lit(v))
+                    pred = p if pred is None else (pred & p)
+                return pred
+
+            return rng
+        if kind == "exists":
+            return lambda x: field_of(x, s["field"]).isNotNull()
+        raise ValueError(
+            f"nested inner queries support term/terms/range/exists/bool "
+            f"(the reference's nested sub-properties are unanalyzed — "
+            f"mapping.json:5-9), got {kind!r}"
         )
 
     def bool_topk(
@@ -1368,6 +1509,8 @@ class QueryEngine:
         (kind, spec), = clause.items()
         if kind == "exists":
             return spec["field"]
+        if kind == "nested":
+            return spec["path"]
         (c, _), = spec.items()
         return c
 
@@ -1580,6 +1723,30 @@ class QueryEngine:
             s = _BoolStruct(cl)
             structs.append(s)
             return s
+        if kind == "nested":
+            bad = set(spec) - {"path", "query", "score_mode", "boost",
+                               "_name"}
+            if bad or not ({"path", "query"} <= set(spec)):
+                raise ValueError(
+                    f"nested takes path + query (+score_mode, boost, "
+                    f"_name), got {sorted(bad) or sorted(spec)}"
+                )
+            mode = str(spec.get("score_mode", "avg"))
+            if mode not in ("avg", "max", "sum", "none"):
+                raise ValueError(
+                    f"nested score_mode must be avg/max/sum/none, got "
+                    f"{mode!r}"
+                )
+            path = str(spec["path"])
+            # validate the inner query compiles (raises on text kinds)
+            self._nested_elem_pred(path, spec["query"])
+            nn = _BoolNested(
+                path=path, inner=spec["query"], score_mode=mode,
+                boost=float(spec.get("boost", 1.0)), scoring=scoring,
+                name=spec.get("_name"),
+            )
+            structs.append(nn)
+            return nn
         if kind == "rank_feature":
             bad = set(spec) - {"field", "boost", "saturation", "log",
                                "sigmoid", "_name"}
@@ -1699,6 +1866,39 @@ class QueryEngine:
             return False
         return sum(1 for c in node.should if m(c)) >= node.need_should()
 
+    @staticmethod
+    def _struct_only_sat(el, want: bool = True) -> bool:
+        """Exact satisfiability of ``matched(el) == want`` for a doc
+        with ONLY structured evidence: text leaves are pinned False
+        (no matching terms), every structured leaf is FREE (each leaf
+        is a distinct instance, so per-leaf choice is exact). This is
+        the candidate-generation test — pinning all struct leaves to
+        one shared value (the old _static_bool_eval(False, True))
+        wrongly declared trees with a structured must_not clause
+        unmatchable and silently skipped their doc-values candidates."""
+        sat = QueryEngine._struct_only_sat
+        if isinstance(el, (_BoolLeaf, _BoolPhrase)):
+            return want is False
+        if isinstance(el, _BoolStruct):
+            return True
+        n = el
+        if want:
+            return (
+                all(sat(c, True) for c in n.must + n.filter)
+                and all(sat(c, False) for c in n.must_not)
+                and sum(1 for c in n.should if sat(c, True))
+                >= n.need_should()
+            )
+        if any(sat(c, False) for c in n.must + n.filter):
+            return True
+        if any(sat(c, True) for c in n.must_not):
+            return True
+        need = n.need_should()
+        if need > 0:
+            forced = sum(1 for c in n.should if not sat(c, False))
+            return forced < need
+        return False
+
     def _bool_tree_cols(
         self, node: _BoolNode
     ) -> tuple[F.Column, F.Column, list]:
@@ -1726,6 +1926,23 @@ class QueryEngine:
                 return score_node(ch)
             if isinstance(ch, (_BoolLeaf, _BoolPhrase)) and ch.scoring:
                 return F.coalesce(F.col(f"_s{ch.cid}"), F.lit(0.0))
+            if isinstance(ch, _BoolNested) and ch.scoring:
+                # constant-per-object contract (see _BoolNested):
+                # sum → matching-object count × boost; avg/max → the
+                # constant itself; none → 0. Gated by matched() in
+                # the caller, so the count is ≥ 1 when evaluated.
+                if ch.score_mode == "none":
+                    return F.lit(0.0)
+                if ch.score_mode == "sum":
+                    n = F.coalesce(
+                        F.size(F.filter(
+                            F.col(ch.path),
+                            self._nested_elem_pred(ch.path, ch.inner),
+                        )),
+                        F.lit(0),
+                    )
+                    return n.cast("double") * F.lit(ch.boost)
+                return F.lit(ch.boost)
             if isinstance(ch, _BoolRankFeature) and ch.scoring:
                 x = F.col(ch.column).cast("double")
                 if ch.fn == "saturation":
@@ -2015,7 +2232,7 @@ class QueryEngine:
             dvf = dv.filter(any_pred)
             dparts = []
             for qid, tree in trees.items():
-                if qid in q_any and self._static_bool_eval(tree, False, True):
+                if qid in q_any and self._struct_only_sat(tree):
                     dparts.append(
                         dvf.filter(q_any[qid]).select(
                             F.lit(qid).cast("long").alias("query_id"), "doc_id"
