@@ -867,7 +867,12 @@ def _q_phrase_prefix(spark, sf):
 def _q_search_aggs_histogram(spark, sf):
     """ES histogram aggregation: n_chars bucketed by 400 over the full
     match set, with an exact count_distinct(lang) sub-agg per bucket
-    (the ES cardinality shape, exact variant for the SQL twin)."""
+    (part `plain`), plus the round-6 PIPELINE aggregations over the
+    same histogram (part `pipeline`): bucket_script ratio,
+    cumulative_sum, derivative, a sibling avg_bucket, and a
+    bucket_sort top-4-by-sum truncation — all post-agg window
+    arithmetic, twin = DuckDB window functions."""
+    from xml_to_es_spark.operators.es_query import es_search
     from xml_to_es_spark.operators.query_engine import QueryEngine
 
     eng = QueryEngine(spark, _codec_index(spark, sf))
@@ -876,12 +881,49 @@ def _q_search_aggs_histogram(spark, sf):
         group_by=("n_chars", 400),
         metrics={"n_langs": ("count_distinct", "lang")},
     )
-    return out.select(
+    nul = F.lit(None).cast("double")
+    plain = out.select(
+        F.lit("plain").alias("part"),
         "query_id",
         F.col("n_chars_bucket").cast("long").alias("n_chars_bucket"),
         F.col("doc_count").cast("long").alias("doc_count"),
         F.col("n_langs").cast("long").alias("n_langs"),
+        nul.alias("s"), nul.alias("cs"), nul.alias("deriv"),
+        nul.alias("ratio"), nul.alias("avg_s"),
     )
+    parts = [plain]
+    for qid, text in BM25_QUERIES:
+        body = {"query": {"match": {"text": text}}, "aggs": {
+            "h": {"histogram": {"field": "n_chars", "interval": 400},
+                  "aggs": {
+                      "s": {"sum": {"field": "n_chars"}},
+                      "ratio": {"bucket_script": {
+                          "buckets_path": {"a": "s", "b": "_count"},
+                          "script": "params.a / params.b"}},
+                      "cs": {"cumulative_sum": {"buckets_path": "s"}},
+                      "deriv": {"derivative": {"buckets_path": "s"}},
+                      "top": {"bucket_sort": {
+                          "sort": [{"s": {"order": "desc"}}],
+                          "size": 4}},
+                  }},
+            "avg_s": {"avg_bucket": {"buckets_path": "h>s"}},
+        }}
+        parts.append(es_search(eng, body).select(
+            F.lit("pipeline").alias("part"),
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("n_chars_bucket").cast("long").alias("n_chars_bucket"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.lit(None).cast("long").alias("n_langs"),
+            F.col("s").cast("double").alias("s"),
+            F.col("cs").cast("double").alias("cs"),
+            F.col("deriv").cast("double").alias("deriv"),
+            F.round("ratio", 6).alias("ratio"),
+            F.round("avg_s", 6).alias("avg_s"),
+        ))
+    res = parts[0]
+    for pt in parts[1:]:
+        res = res.unionByName(pt)
+    return res
 
 
 # ES filtered aggregations: bool-bounded match sets (text roles +
@@ -2743,13 +2785,35 @@ WITH toks AS (
 hits AS (
   SELECT DISTINCT q.query_id, toks.doc_id
   FROM toks JOIN q USING (term)
+), b AS (
+  SELECT hits.query_id,
+         (floor(d.n_chars / 400.0) * 400)::BIGINT AS n_chars_bucket,
+         count(*)::BIGINT AS doc_count,
+         count(DISTINCT d.lang)::BIGINT AS n_langs,
+         sum(d.n_chars)::DOUBLE AS s
+  FROM hits JOIN documents d USING (doc_id)
+  GROUP BY hits.query_id, n_chars_bucket
+), p AS (
+  SELECT query_id, n_chars_bucket, doc_count, s,
+         round(s / doc_count, 6) AS ratio,
+         sum(s) OVER (PARTITION BY query_id
+                      ORDER BY n_chars_bucket) AS cs,
+         s - lag(s) OVER (PARTITION BY query_id
+                          ORDER BY n_chars_bucket) AS deriv,
+         round(avg(s) OVER (PARTITION BY query_id), 6) AS avg_s
+  FROM b
 )
-SELECT hits.query_id,
-       (floor(d.n_chars / 400.0) * 400)::BIGINT AS n_chars_bucket,
-       count(*)::BIGINT AS doc_count,
-       count(DISTINCT d.lang)::BIGINT AS n_langs
-FROM hits JOIN documents d USING (doc_id)
-GROUP BY hits.query_id, n_chars_bucket
+SELECT 'plain' AS part, query_id, n_chars_bucket, doc_count, n_langs,
+       NULL::DOUBLE AS s, NULL::DOUBLE AS cs, NULL::DOUBLE AS deriv,
+       NULL::DOUBLE AS ratio, NULL::DOUBLE AS avg_s
+FROM b
+UNION ALL
+SELECT 'pipeline', query_id, n_chars_bucket, doc_count,
+       NULL::BIGINT, s, cs, deriv, ratio, avg_s
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, n_chars_bucket ASC)
+             AS rn FROM p)
+WHERE rn <= 4
 """
 
 

@@ -1390,10 +1390,60 @@ class EsRequest:
         )
 
     def _aggs(self) -> DataFrame:
+        from xml_to_es_spark.operators.query_engine import (
+            PIPELINE_SIBLING_KINDS,
+            pipeline_aggs,
+        )
+
         aggs = self.body["aggs"]
-        if len(aggs) != 1:
-            raise ValueError("one top-level agg supported")
-        (_name, spec), = aggs.items()
+        # sibling pipeline aggs (avg/sum/min/max_bucket) stand BESIDE
+        # the one bucket agg; their buckets_path is "<parent>><metric>"
+        siblings, rest = {}, {}
+        for nm, sp in aggs.items():
+            if (isinstance(sp, dict) and len(sp) == 1
+                    and next(iter(sp)) in PIPELINE_SIBLING_KINDS):
+                siblings[nm] = sp
+            else:
+                rest[nm] = sp
+        if len(rest) != 1:
+            raise ValueError(
+                "one top-level bucket agg supported "
+                "(+ sibling pipeline aggs)"
+            )
+        (pname, spec), = rest.items()
+        resolved = {}
+        for nm, sp in siblings.items():
+            (kind, body), = sp.items()
+            body = dict(body or {})
+            bad = set(body) - {"buckets_path"}
+            p = str(body.get("buckets_path", ""))
+            if bad or ">" not in p:
+                raise ValueError(
+                    f"sibling pipeline {nm!r} takes buckets_path "
+                    f"'<bucket-agg>><metric>', got "
+                    f"{sorted(bad) or p!r}"
+                )
+            parent, metric = p.split(">", 1)
+            if parent != pname:
+                raise ValueError(
+                    f"sibling pipeline {nm!r}: buckets_path parent "
+                    f"{parent!r} does not name the bucket agg "
+                    f"{pname!r}"
+                )
+            resolved[nm] = {kind: {"buckets_path": metric}}
+        # siblings ride the tail's single pipeline_aggs call so the
+        # canonical order holds (siblings see the FULL bucket set,
+        # before any bucket_sort truncation — the ES semantics); for
+        # early-return branches (global/sampler/two-level) they apply
+        # here, where no bucket_sort exists to race
+        self._sibling_pipes = resolved
+        out = self._one_agg(pname, spec)
+        if self._sibling_pipes:
+            out = pipeline_aggs(out, self._sibling_pipes)
+            self._sibling_pipes = None
+        return out
+
+    def _one_agg(self, _name: str, spec: dict) -> DataFrame:
         if "composite" in spec:
             return self._composite(spec)
         if "global" in spec or "sampler" in spec:
@@ -1491,8 +1541,52 @@ class EsRequest:
                 metrics = self._parse_metrics(sub2)
                 return self._route_aggs(group_by, metrics, size)
         group_by = gb1
-        metrics = self._parse_metrics(sub)
-        return self._route_aggs(group_by, metrics, size)
+        from xml_to_es_spark.operators.query_engine import (
+            PIPELINE_PARENT_KINDS,
+            pipeline_aggs,
+        )
+
+        pipes = {
+            n: s for n, s in sub.items()
+            if isinstance(s, dict) and len(s) == 1
+            and next(iter(s)) in PIPELINE_PARENT_KINDS
+        }
+        metrics = self._parse_metrics(
+            {n: s for n, s in sub.items() if n not in pipes}
+        )
+        out = self._route_aggs(group_by, metrics, size)
+        sib = getattr(self, "_sibling_pipes", None) or {}
+        if pipes or sib:
+            order_col, key_cols = None, []
+            if pipes:
+                # parent pipelines need the output key column for
+                # bucket-key ordering (cumulative_sum/derivative) and
+                # the bucket_sort tiebreak
+                if isinstance(gb1, list):
+                    raise ValueError(
+                        "pipeline aggs on multi_terms are not supported"
+                    )
+                (bk, bs), = gb1.items()
+                if bk in ("histogram", "date_histogram"):
+                    order_col = f"{bs['field']}_bucket"
+                    key_cols = [order_col]
+                elif bk == "terms":
+                    order_col, key_cols = None, [bs["field"]]
+                else:
+                    raise ValueError(
+                        f"pipeline aggs on {bk!r} buckets are not "
+                        "supported (terms/histogram/date_histogram "
+                        "parents are)"
+                    )
+            dup = set(pipes) & set(sib)
+            if dup:
+                raise ValueError(f"pipeline agg alias collision {sorted(dup)}")
+            out = pipeline_aggs(
+                out, {**pipes, **sib},
+                order_col=order_col, bucket_cols=key_cols,
+            )
+            self._sibling_pipes = None
+        return out
 
     def _route_aggs(self, group_by, metrics, size) -> DataFrame:
         q = self.body.get("query", {})

@@ -5103,6 +5103,162 @@ def _min_match_count(min_match, n_terms: int) -> int:
     return int(min_match)
 
 
+PIPELINE_PARENT_KINDS = ("bucket_script", "cumulative_sum", "derivative",
+                         "bucket_sort")
+PIPELINE_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
+                          "max_bucket")
+_SIBLING_FNS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                "min_bucket": F.min, "max_bucket": F.max}
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    specs: dict,
+    order_col: str | None = None,
+    bucket_cols: list[str] | None = None,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """ES pipeline aggregations over a bucket-agg frame (the output of
+    ``search_aggs``/``bool_aggs``/``_bucket_agg``): pure post-agg
+    window and arithmetic expressions — NO new shuffle beyond the
+    per-query window sort, which runs over the already-tiny bucket
+    frame (≤ queries×buckets rows), never the corpus.
+
+    ``specs``: ``{alias: {kind: spec}}`` in the ES shape with
+    ``buckets_path`` already resolved to column names (``_count`` →
+    ``doc_count``). Kinds and their ES semantics:
+
+    - ``bucket_script``: per-bucket arithmetic over sibling metrics —
+      ``buckets_path`` maps script params to columns, ``script`` is a
+      painless ARITHMETIC-LITERAL subset (``params.x``, numbers,
+      ``+ - * / ( )``; anything else raises — nothing silently
+      ignored).
+    - ``cumulative_sum`` / ``derivative``: running sum / first
+      difference of a metric in bucket-key order — require a sortable
+      parent (histogram/date_histogram), i.e. ``order_col``.
+      Derivative of the first bucket is null (ES). Buckets are the
+      PRESENT (non-empty) ones — the engine's min_doc_count=1 view;
+      ES's gap_policy applies to empty buckets this engine never
+      emits (documented deviation).
+    - ``avg/sum/min/max_bucket`` (sibling pipelines): one value per
+      query over the FULL bucket set, emitted as a constant column on
+      every bucket row (one frame out — the response-shape adaptation
+      of ES's beside-the-buckets scalar).
+    - ``bucket_sort``: sort + from/size truncation of the parent's
+      buckets, applied LAST (after every other pipeline, so sorts may
+      reference computed columns); ties pinned on the bucket key
+      columns ascending.
+
+    Application order is canonical (bucket_script → cumulative_sum →
+    derivative → sibling → bucket_sort), independent of dict order."""
+    import re
+
+    from pyspark.sql import Window as W
+
+    out = buckets
+    by_kind: dict[str, list] = {}
+    for alias, sp in specs.items():
+        if not (isinstance(sp, dict) and len(sp) == 1):
+            raise ValueError(f"pipeline agg {alias!r}: one kind per alias")
+        (kind, body), = sp.items()
+        if kind not in PIPELINE_PARENT_KINDS + PIPELINE_SIBLING_KINDS:
+            raise ValueError(f"unknown pipeline agg kind {kind!r}")
+        by_kind.setdefault(kind, []).append((alias, dict(body or {})))
+
+    def path_col(p, ctx):
+        c = "doc_count" if p == "_count" else str(p)
+        if c not in out.columns:
+            raise ValueError(
+                f"{ctx}: buckets_path {p!r} is not a metric column of "
+                f"the bucket frame {sorted(out.columns)}"
+            )
+        return c
+
+    for alias, body in by_kind.get("bucket_script", []):
+        bad = set(body) - {"buckets_path", "script"}
+        paths = body.get("buckets_path")
+        if bad or not isinstance(paths, dict) or "script" not in body:
+            raise ValueError(
+                f"bucket_script {alias!r} takes buckets_path (dict) + "
+                f"script, got {sorted(bad) or sorted(body)}"
+            )
+        script = str(body["script"])
+        refs = set(re.findall(r"params\.(\w+)", script))
+        if not refs or not refs <= set(paths):
+            raise ValueError(
+                f"bucket_script {alias!r}: script references {sorted(refs)} "
+                f"but buckets_path defines {sorted(paths)}"
+            )
+        leftover = re.sub(r"params\.\w+", "", script)
+        if not re.fullmatch(r"[\s0-9.+\-*/()]*", leftover):
+            raise ValueError(
+                f"bucket_script {alias!r}: only arithmetic over params "
+                f"(+ - * / parentheses, numeric literals) is supported"
+            )
+        cols = {p: path_col(c, f"bucket_script {alias!r}")
+                for p, c in paths.items()}
+        expr = re.sub(r"params\.(\w+)",
+                      lambda m: f"(cast(`{cols[m.group(1)]}` as double))",
+                      script)
+        out = out.withColumn(alias, F.expr(expr).cast("double"))
+
+    need_order = by_kind.get("cumulative_sum", []) + by_kind.get(
+        "derivative", [])
+    if need_order and order_col is None:
+        raise ValueError(
+            "cumulative_sum/derivative need a histogram or "
+            "date_histogram parent (an ordered bucket key)"
+        )
+    if need_order:
+        w = W.partitionBy(query_col).orderBy(F.asc(order_col))
+    for alias, body in by_kind.get("cumulative_sum", []):
+        c = path_col(body.get("buckets_path"), f"cumulative_sum {alias!r}")
+        out = out.withColumn(
+            alias,
+            F.sum(c).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    for alias, body in by_kind.get("derivative", []):
+        c = path_col(body.get("buckets_path"), f"derivative {alias!r}")
+        out = out.withColumn(alias, F.col(c) - F.lag(c).over(w))
+    for kind in PIPELINE_SIBLING_KINDS:
+        for alias, body in by_kind.get(kind, []):
+            c = path_col(body.get("buckets_path"), f"{kind} {alias!r}")
+            out = out.withColumn(
+                alias,
+                _SIBLING_FNS[kind](c).over(W.partitionBy(query_col)),
+            )
+    for alias, body in by_kind.get("bucket_sort", []):
+        bad = set(body) - {"sort", "size", "from"}
+        if bad or not body.get("sort"):
+            raise ValueError(
+                f"bucket_sort {alias!r} takes sort (+size, from), got "
+                f"{sorted(bad) or 'no sort'}"
+            )
+        order = []
+        for ent in body["sort"]:
+            if isinstance(ent, str):
+                ent = {ent: {"order": "asc"}}
+            (c, o), = ent.items()
+            o = (o or {}).get("order", "asc") if isinstance(o, dict) else o
+            if o not in ("asc", "desc"):
+                raise ValueError(f"bucket_sort order must be asc/desc")
+            c = path_col(c, f"bucket_sort {alias!r}")
+            order.append(F.asc(c) if o == "asc" else F.desc(c))
+        for c in (bucket_cols or []):
+            order.append(F.asc(c))
+        frm = int(body.get("from", 0))
+        sz = body.get("size")
+        top = frm + int(sz) if sz is not None else None
+        wn = F.row_number().over(
+            W.partitionBy(query_col).orderBy(*order)
+        )
+        out = out.withColumn("_bsort", wn).filter(
+            (F.col("_bsort") > frm)
+            & ((F.col("_bsort") <= top) if top is not None else F.lit(True))
+        ).drop("_bsort")
+    return out
+
+
 def bm25_topk_dataframe(
     docs: DataFrame,
     queries: list[tuple[int, str]],
