@@ -257,6 +257,16 @@ def _codec_index(spark, sf):
             # req: the terms_set per-doc minimum_should_match threshold
             # (deterministic 1..3 from doc_id; no external data)
             (F.col("doc_id") % 3 + 1).cast("long").alias("req"),
+            # emb: the ES dense_vector equivalent — a deterministic
+            # 4-dim unit-free vector from doc_id, so the knn DSL has a
+            # real stored vector column; the oracle rebuilds the same
+            # components and left-fold cosine in SQL
+            # 48.0d: the double literal — a bare 48.0 parses as
+            # DECIMAL and would store decimal vectors
+            F.expr(
+                "transform(array(3, 5, 7, 11), p -> "
+                "cast((doc_id * p) % 97 - 48 as double) / 48.0d)"
+            ).alias("emb"),
             # spans: the ES nested field type — 1-3 synthetic objects
             # per doc (array<struct<tag,w>>, deterministic from doc_id)
             # so the nested query path has a real array-of-struct doc
@@ -274,7 +284,7 @@ def _codec_index(spark, sf):
             IndexConfig(
                 n_groups=2, salt_threshold=200, n_salts=4, store_positions=True,
                 stored_fields=("lang", "source", "n_chars", "warc_ts",
-                               "req", "spans"),
+                               "req", "emb", "spans"),
             ),
         ).build(docs, out)
         _INDEX_CACHE[sf] = out
@@ -1755,6 +1765,90 @@ def _q_es_span_first(spark, sf):
     return out
 
 
+# ES 8 knn bodies over the stored deterministic emb vectors (exact
+# cosine path — the LSH/hybrid paths are pytest surfaces): plain,
+# filtered+boosted, and a third vector. Score = (1+cos6dp)/2 × boost.
+KNN_BODIES = [
+    (1, [0.9, -0.2, 0.4, 0.1], None, 1.0),
+    (2, [0.1, 0.8, -0.5, 0.3], 150, 2.5),
+    (3, [-0.4, 0.2, 0.9, -0.1], None, 1.0),
+]
+
+
+def _q_es_knn(spark, sf):
+    """ES knn DSL over the stored vector doc value: exact brute-force
+    cosine (broadcast query, TakeOrderedAndProject page), optional
+    structured pre-filter and boost; twin = the same left-fold cosine
+    chain in SQL."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+    parts = []
+    for qid, qv, nmin, boost in KNN_BODIES:
+        knn = {"field": "emb", "query_vector": qv, "k": BM25_K,
+               "boost": boost}
+        if nmin is not None:
+            knn["filter"] = {"range": {"n_chars": {"gte": nmin}}}
+        parts.append(
+            # no re-rounding: the score is (1+cos6dp)/2·boost whose
+            # 7th decimal is an exact half — rounding it again would
+            # gate on the tie-break artifact, not on precision; the
+            # IEEE transform of the identical rounded cosine is
+            # bit-equal across engines
+            es_search(eng, {"knn": knn, "size": BM25_K}).select(
+                SF.lit(qid).cast("long").alias("query_id"),
+                SF.col("rank").cast("long").alias("rank"),
+                "doc_id",
+                "score",
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _knn_sql(k: int) -> str:
+    """Twin of the knn bodies: rebuild the deterministic emb
+    components, left-fold cosine against the literal query vector
+    (identical association to the engine's F.aggregate fold), the
+    (1+cos)/2 × boost transform, rank (score desc, doc_id asc)."""
+    legs = []
+    for qid, qv, nmin, boost in KNN_BODIES:
+        dot = " + ".join(f"e{i + 1}*({float(v)!r})"
+                         for i, v in enumerate(qv))
+        qn = " + ".join(f"({float(v)!r})*({float(v)!r})" for v in qv)
+        where = f"WHERE n_chars >= {nmin}" if nmin is not None else ""
+        legs.append(f"""
+  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,
+         (1.0 + round(({dot})
+                      / (sqrt(e1*e1 + e2*e2 + e3*e3 + e4*e4)
+                         * sqrt({qn})), 6)) / 2.0 * {float(boost)!r}
+           AS score
+  FROM e {where}""")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH e AS (
+  SELECT doc_id, n_chars,
+         ((doc_id*3) % 97 - 48) / 48.0 AS e1,
+         ((doc_id*5) % 97 - 48) / 48.0 AS e2,
+         ((doc_id*7) % 97 - 48) / 48.0 AS e3,
+         ((doc_id*11) % 97 - 48) / 48.0 AS e4
+  FROM documents
+), u AS ({u})
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM u
+) WHERE rank <= {k}
+"""
+
+
 # ES nested query bodies over the synthetic spans objects (tag/w per
 # _codec_index): co-occurrence scoping (q1), inner-bool msm per object
 # (q2), nested beside must_not-nested (q3). Scoring contract:
@@ -1961,9 +2055,11 @@ def _q_es_dsl_parity(spark, sf):
     h = _q_es_terms_set(spark, sf).withColumn("variant", F.lit("tset"))
     i = _q_es_span_first(spark, sf).withColumn("variant", F.lit("spanf"))
     j = _q_es_nested(spark, sf).withColumn("variant", F.lit("esnested"))
+    kn = _q_es_knn(spark, sf).withColumn("variant", F.lit("knn"))
     return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i).unionByName(j))
+            .unionByName(h).unionByName(i).unionByName(j)
+            .unionByName(kn))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -4400,6 +4496,8 @@ UNION ALL
 SELECT *, 'spanf' AS variant FROM ({_span_first_sql(BM25_K)})
 UNION ALL
 SELECT *, 'esnested' AS variant FROM ({_es_nested_sql(BM25_K)})
+UNION ALL
+SELECT *, 'knn' AS variant FROM ({_knn_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),

@@ -262,7 +262,7 @@ class EsRequest:
             "query", "size", "from", "search_after", "sort", "aggs",
             "highlight", "track_scores", "collapse", "track_total_hits",
             "suggest", "rescore", "docvalue_fields", "post_filter",
-            "min_score", "_source",
+            "min_score", "_source", "knn",
         }
         if bad:
             raise ValueError(f"unsupported body key(s) {sorted(bad)}")
@@ -1752,9 +1752,130 @@ class EsRequest:
             field=fld if fld is not None else rfld,
         )
 
+    def _knn(self) -> DataFrame:
+        """ES 8 ``knn`` search body over a STORED vector doc value
+        (an ``array<float/double>`` column in
+        ``IndexConfig(stored_fields=...)`` — this engine's equivalent
+        of the dense_vector mapping)::
+
+            {"knn": {"field": col, "query_vector": [...], "k": K,
+                     "num_candidates": N, "boost": b,
+                     "filter": {structured clause} | [clauses]},
+             "query": {...},        # optional hybrid leg
+             "size": n}
+
+        Routing: exact brute-force cosine (``cosine_topk`` — the
+        correctness baseline) by default; ``num_candidates`` opts into
+        the sign-LSH approximate path (``ann_topk_lsh``: bucket-match
+        + single-bit multi-probe, exact re-rank; must be ≥ k, the ES
+        rule — recall is governed by the deterministic plane model,
+        not the numeric value, a documented adaptation of ES's
+        per-shard HNSW knob).
+        ``filter`` is the ES PRE-filter: structured clauses restrict
+        the candidate vectors before ranking. Score = the ES
+        dense_vector cosine transform ``(1 + cos)/2 × boost``.
+        Hybrid: the optional ``query`` leg runs as its own sized page
+        and scores SUM over the union of both pages (the ES 8
+        combine), re-ranked to ``size``."""
+        from xml_to_es_spark.operators.similarity import (
+            cosine_topk,
+            projection_matrix,
+        )
+
+        bad = set(self.body) - {"knn", "query", "size"}
+        if bad:
+            raise ValueError(
+                f"knn bodies support knn + query + size only, got "
+                f"{sorted(bad)}"
+            )
+        spec = dict(self.body["knn"])
+        bad = set(spec) - {"field", "query_vector", "k", "num_candidates",
+                           "boost", "filter"}
+        if bad or not ({"field", "query_vector", "k"} <= set(spec)):
+            raise ValueError(
+                f"knn takes field + query_vector + k (+num_candidates, "
+                f"boost, filter), got {sorted(bad) or sorted(spec)}"
+            )
+        fld = str(spec["field"])
+        qv = [float(x) for x in spec["query_vector"]]
+        kk = int(spec["k"])
+        boost = float(spec.get("boost", 1.0))
+        if not qv or kk < 1:
+            raise ValueError("knn needs a non-empty query_vector and k ≥ 1")
+        filters = spec.get("filter")
+        if isinstance(filters, dict):
+            filters = [filters]
+        fcols = sorted({self.eng._clause_col(c) for c in (filters or [])})
+        dv = self.eng._doc_values([fld] + fcols).filter(
+            F.col(fld).isNotNull()
+        )
+        # dimension check: one cheap single-row probe — a mismatched
+        # query_vector would otherwise silently match nothing
+        probe = dv.select(F.size(fld).alias("d")).limit(1).collect()
+        if probe and probe[0]["d"] != len(qv):
+            raise ValueError(
+                f"query_vector has {len(qv)} dims but stored {fld!r} "
+                f"vectors have {probe[0]['d']}"
+            )
+        for c in (filters or []):
+            dv = dv.filter(self.eng._structured_pred(c))
+        qdf = self.eng.spark.createDataFrame(
+            [(0, qv)], schema="query_id long, q_vec array<double>"
+        )
+        nc = spec.get("num_candidates")
+        if nc is not None:
+            from xml_to_es_spark.operators.similarity import ann_topk_lsh
+
+            nc = int(nc)
+            if nc < kk:
+                raise ValueError("num_candidates must be ≥ k (the ES rule)")
+            planes = projection_matrix(len(qv), n_planes=8)
+            knn = ann_topk_lsh(
+                dv, qdf, planes, k=min(kk, nc),
+                key_col="doc_id", vec_col=fld,
+            )
+        else:
+            knn = cosine_topk(dv, qdf, k=kk, key_col="doc_id", vec_col=fld)
+        # no second rounding: cosine is already 6dp (the similarity
+        # operators' contract), and (1+c)/2 of a 6dp value lands on
+        # exact 7th-decimal halves — re-rounding would flip on the
+        # half-way artifact, not on real precision
+        knn = knn.select(
+            "query_id", "doc_id",
+            ((F.lit(1.0) + F.col("cosine")) / F.lit(2.0)
+             * F.lit(boost)).alias("score"),
+        )
+        if "query" in self.body:
+            organic = EsRequest(
+                self.eng,
+                {"query": self.body["query"], "size": self.k},
+            ).run().select("query_id", "doc_id", "score")
+            knn = (
+                knn.withColumnRenamed("score", "_ks")
+                .join(organic.withColumnRenamed("score", "_os"),
+                      ["query_id", "doc_id"], "full_outer")
+                .select(
+                    "query_id", "doc_id",
+                    (F.coalesce(F.col("_ks"), F.lit(0.0))
+                     + F.coalesce(F.col("_os"), F.lit(0.0))).alias("score"),
+                )
+            )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+        return (
+            knn.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("query_id", F.col("rank").cast("int"), "doc_id",
+                    "score")
+        )
+
     def run(self) -> DataFrame:
         if "suggest" in self.body:
             return self._suggest()
+        if "knn" in self.body:
+            return self._knn()
         if "rescore" in self.body:
             return self._rescore()
         if "aggs" in self.body and "size" not in self.body:
