@@ -117,17 +117,62 @@ def _q_term_tf(spark, sf):
     )
 
 
+ANALYZER_STOPS = ("the", "a", "of", "and", "to", "in")
+
+
+def _stemmed_index(spark, sf):
+    """Build (once per sf per process) a SMALL index with the round-6
+    configurable analyzer (stopwords + minimal_english stemmer) over
+    the deterministic doc_id%5==0 subset — bounds the extra sweep cost
+    while proving the BUILD pipeline applies the chain (the terms
+    dictionary the stemdf variant reads is the build's own output)."""
+    key = ("stemmed", sf)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from xml_to_es_spark.config import IndexConfig
+        from xml_to_es_spark.operators.index_build import IndexBuilder
+
+        out = tempfile.mkdtemp(prefix="entry_stem_") + "/index"
+        docs = _docs(spark, sf).select("doc_id", "text").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        IndexBuilder(spark, IndexConfig(
+            n_groups=1, stopwords=ANALYZER_STOPS,
+            stemmer="minimal_english",
+        )).build(docs, out)
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
 def _q_term_stats(spark, sf):
-    """Both inverted-index statistics tables in one frame, tagged by
+    """The inverted-index statistics tables in one frame, tagged by
     `variant`: per-term document frequency (df — the idf input) and
-    per-term total frequency (tf sum), each top-100."""
+    per-term total frequency (tf sum), each top-100, plus `stemdf` —
+    the df dictionary of a CONFIGURED-ANALYZER index (stopwords +
+    minimal_english, round 6), read from the index's own terms table
+    so the build-side chain is what the oracle gates."""
     a = _q_term_df(spark, sf).withColumnRenamed("df", "n").withColumn(
         "variant", F.lit("df")
     )
     b = _q_term_tf(spark, sf).withColumnRenamed("tf", "n").withColumn(
         "variant", F.lit("tf")
     )
-    return a.unionByName(b)
+    c = (
+        spark.read.parquet(_stemmed_index(spark, sf) + "/terms")
+        .select("term", F.col("df").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+        .withColumn("variant", F.lit("stemdf"))
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _sql_analyze_tok() -> str:
+    """DuckDB twin of the stemmed index's analysis chain."""
+    from xml_to_es_spark.functions.analysis import sql_analyze
+
+    return sql_analyze("text", ANALYZER_STOPS, "minimal_english")
 
 
 def _q_bm25(spark, sf):
@@ -1231,6 +1276,99 @@ def _q_multi_match(spark, sf):
     )
 
 
+def _q_multi_match_cross(spark, sf):
+    """ES multi_match type=cross_fields (round 6): term-centric
+    blending — per bare token the idf uses the MAX df across fields
+    (Lucene BlendedTermQuery), per-token score = max over fields +
+    tie_breaker·Σrest, doc score = Σ tokens. One scan, two hash-aggs;
+    twin recomputes the identical blend in SQL."""
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _fielded_index(spark, sf))
+    out = eng.multi_match(
+        BM25_QUERIES, k=BM25_K, fields=["text", "title"],
+        match_type="cross_fields", tie_breaker=0.2,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _cross_fields_sql(k: int, tb: float = 0.2) -> str:
+    """Twin of multi_match cross_fields: per-field tf/dl/avgdl, the
+    BLENDED (max-across-fields) df per term, per-term
+    max + tb·(sum - max) across fields, per-doc sum, rank window."""
+    import re
+
+    qvals = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(re.findall("[a-z0-9]+", text.lower()))):
+            qvals.append(f"({qid}, '{t}')")
+    values = ", ".join(qvals)
+
+    def leg(tok_expr, sfx):
+        return f"""toks{sfx} AS (
+  SELECT doc_id, len({tok_expr}) AS dl, unnest({tok_expr}) AS term
+  FROM documents
+), tf{sfx} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks{sfx} WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), stats{sfx} AS (
+  SELECT count(*)::DOUBLE AS n, avg(len({tok_expr}))::DOUBLE AS avgdl
+  FROM documents
+), dfreq{sfx} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{sfx} GROUP BY term
+)"""
+
+    return f"""
+WITH q(query_id, term) AS (VALUES {values}),
+{leg(TOK, "_b")},
+{leg(_title_tok(), "_t")},
+blend AS (
+  SELECT coalesce(b.term, t.term) AS term,
+         greatest(coalesce(b.df, 0), coalesce(t.df, 0)) AS df
+  FROM dfreq_b b FULL OUTER JOIN dfreq_t t USING (term)
+),
+contrib AS (
+  SELECT q.query_id, tf_b.doc_id, tf_b.term,
+         ln(1.0 + ((SELECT n FROM stats_b) - blend.df + 0.5)
+                  / (blend.df + 0.5))
+         * tf_b.tf * 2.2
+         / (tf_b.tf + 1.2*(1.0 - 0.75
+            + 0.75*tf_b.dl/(SELECT avgdl FROM stats_b))) AS c
+  FROM tf_b JOIN blend USING (term) JOIN q USING (term)
+  UNION ALL
+  SELECT q.query_id, tf_t.doc_id, tf_t.term,
+         ln(1.0 + ((SELECT n FROM stats_b) - blend.df + 0.5)
+                  / (blend.df + 0.5))
+         * tf_t.tf * 2.2
+         / (tf_t.tf + 1.2*(1.0 - 0.75
+            + 0.75*tf_t.dl/(SELECT avgdl FROM stats_t))) AS c
+  FROM tf_t JOIN blend USING (term) JOIN q USING (term)
+),
+per_tok AS (
+  SELECT query_id, doc_id, term,
+         max(c) + {float(tb)!r} * (sum(c) - max(c)) AS ts
+  FROM contrib GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, sum(ts) AS score_raw
+  FROM per_tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM best)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_multi_match_boosted(spark, sf):
     """ES multi_match best_fields with field boosts (title^2) and
     dis_max tie_breaker=0.3: per-(query, doc, field) boosted sums in
@@ -1601,10 +1739,12 @@ def _q_bm25_paging_both(spark, sf):
 
 def _q_multi_match_both(spark, sf):
     """multi_match best_fields (pure dis_max) + boosted fields with
-    tie_breaker=0.3 (full-agg path), tagged by `variant`."""
+    tie_breaker=0.3 (full-agg path) + the round-6 cross_fields
+    blended-df type, tagged by `variant`."""
     a = _q_multi_match(spark, sf).withColumn("variant", F.lit("best_fields"))
     b = _q_multi_match_boosted(spark, sf).withColumn("variant", F.lit("boosted"))
-    return a.unionByName(b)
+    c = _q_multi_match_cross(spark, sf).withColumn("variant", F.lit("cross"))
+    return a.unionByName(b).unionByName(c)
 
 
 # rank_feature: the relevance+popularity shape — BM25 must clause +
@@ -1849,6 +1989,132 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# Round-6 span_or / span_not / intervals bodies over the codec index.
+# distinct qid ranges fold the three parts into one variant frame
+SPANOR_QUERIES = [(1, ["hash", "merge"]), (2, ["sort", "window"])]
+SPANNOT_QUERY = (3, "join", ["hash", "join"])  # joins not after hash
+INTV_QUERIES = [(4, "hash join", 2), (5, "sort merge", 1)]
+
+
+def _q_es_spans2(spark, sf):
+    """ES span_or (union of span_term alternatives, dis_max scored),
+    span_not (include term minus occurrences overlapped by an exclude
+    span), and ordered intervals with max_gaps — via the DSL, tagged
+    by part; twins re-derive each from token positions in SQL."""
+    from pyspark.sql import functions as SF
+
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    eng = QueryEngine(spark, _codec_index(spark, sf))
+
+    def shape(df, qid):
+        return df.select(
+            SF.lit(qid).cast("long").alias("query_id"),
+            SF.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            SF.round("score", 6).alias("score"),
+        )
+
+    parts = []
+    for qid, terms in SPANOR_QUERIES:
+        body = {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": t}} for t in terms]}}, "size": BM25_K}
+        parts.append(shape(es_search(eng, body), qid))
+    qid, inc, exc = SPANNOT_QUERY
+    body = {"query": {"span_not": {
+        "include": {"span_term": {"text": inc}},
+        "exclude": {"span_near": {
+            "clauses": [{"span_term": {"text": t}} for t in exc],
+            "in_order": True, "slop": 0}},
+    }}, "size": BM25_K}
+    parts.append(shape(es_search(eng, body), qid))
+    for qid, text, gaps in INTV_QUERIES:
+        body = {"query": {"intervals": {"text": {"match": {
+            "query": text, "max_gaps": gaps, "ordered": True,
+        }}}}, "size": BM25_K}
+        parts.append(shape(es_search(eng, body), qid))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _spans2_sql(k: int) -> str:
+    """Twins: spanor = per-doc max of the alternatives' single-term
+    BM25; spannot = include-term docs where some occurrence is not
+    covered by the exclude pair; intv = docs with an ordered pair
+    within the gap budget, scored as the phrase-BM25 sum."""
+    or_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in SPANOR_QUERIES for t in ts
+    )
+    all_terms = sorted(
+        {t for _, ts in SPANOR_QUERIES for t in ts}
+        | {SPANNOT_QUERY[1]} | set(SPANNOT_QUERY[2])
+        | {t for _, txt, _g in INTV_QUERIES for t in txt.split()}
+    )
+    lits = ", ".join(f"'{t}'" for t in all_terms)
+    inc, exc = SPANNOT_QUERY[1], SPANNOT_QUERY[2]
+    intv_legs = []
+    for qid, txt, gaps in INTV_QUERIES:
+        a, b = txt.split()
+        intv_legs.append(f"""
+  SELECT CAST({qid} AS BIGINT) AS query_id, s.doc_id,
+         sum(s.c) AS score_raw
+  FROM scored s
+  WHERE s.term IN ('{a}', '{b}') AND s.doc_id IN (
+    SELECT pa.doc_id FROM tp pa JOIN tp pb USING (doc_id)
+    WHERE pa.term = '{a}' AND pb.term = '{b}'
+      AND pb.pos > pa.pos AND pb.pos - pa.pos - 1 <= {gaps})
+    AND s.doc_id IN (SELECT doc_id FROM tp WHERE term = '{a}')
+    AND s.doc_id IN (SELECT doc_id FROM tp WHERE term = '{b}')
+  GROUP BY 1, 2""")
+    intv_sql = "\nUNION ALL\n".join(intv_legs)
+    return f"""
+WITH dtok AS (
+  SELECT doc_id, {TOK} AS tl FROM documents
+), tp AS (
+  SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS pos
+  FROM dtok
+), toks AS (
+  SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM dtok
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM toks WHERE term IN ({lits}) GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(tl))::DOUBLE AS avgdl FROM dtok
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+         * tf.tf * 2.2
+         / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+), orq(query_id, term) AS (VALUES {or_vals}),
+u AS (
+  SELECT orq.query_id, s.doc_id, max(s.c) AS score_raw
+  FROM scored s JOIN orq USING (term) GROUP BY 1, 2
+  UNION ALL
+  SELECT CAST({SPANNOT_QUERY[0]} AS BIGINT), s.doc_id, s.c
+  FROM scored s
+  WHERE s.term = '{inc}' AND s.doc_id IN (
+    SELECT tp.doc_id FROM tp JOIN dtok USING (doc_id)
+    WHERE tp.term = '{inc}'
+      AND (tp.pos = 1 OR dtok.tl[tp.pos - 1] != '{exc[0]}'))
+  UNION ALL
+  SELECT query_id, doc_id, score_raw FROM ({intv_sql})
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         doc_id, round(score_raw, 6) AS score
+  FROM u
+) WHERE rank <= {k}
+"""
+
+
 # ES nested query bodies over the synthetic spans objects (tag/w per
 # _codec_index): co-occurrence scoping (q1), inner-bool msm per object
 # (q2), nested beside must_not-nested (q3). Scoring contract:
@@ -2056,10 +2322,11 @@ def _q_es_dsl_parity(spark, sf):
     i = _q_es_span_first(spark, sf).withColumn("variant", F.lit("spanf"))
     j = _q_es_nested(spark, sf).withColumn("variant", F.lit("esnested"))
     kn = _q_es_knn(spark, sf).withColumn("variant", F.lit("knn"))
+    sp = _q_es_spans2(spark, sf).withColumn("variant", F.lit("spans2"))
     return (a.unionByName(a2).unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
             .unionByName(h).unionByName(i).unionByName(j)
-            .unionByName(kn))
+            .unionByName(kn).unionByName(sp))
 
 
 # more_like_this: free-text likes (the codec index stores no _source,
@@ -4446,6 +4713,12 @@ SELECT term, n, 'tf' AS variant FROM (
   SELECT term, count(*) AS n FROM (
     SELECT unnest({TOK}) AS term FROM documents)
   GROUP BY term ORDER BY n DESC, term ASC LIMIT 100)
+UNION ALL
+SELECT term, n, 'stemdf' AS variant FROM (
+  SELECT term, count(*) AS n FROM (
+    SELECT doc_id, unnest(list_distinct({_sql_analyze_tok()})) AS term
+    FROM documents WHERE doc_id % 5 = 0)
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT 100)
 """,
         "bm25_topk": f"""
 SELECT *, 'or' AS variant FROM ({_bm25_sql()})
@@ -4498,6 +4771,8 @@ UNION ALL
 SELECT *, 'esnested' AS variant FROM ({_es_nested_sql(BM25_K)})
 UNION ALL
 SELECT *, 'knn' AS variant FROM ({_knn_sql(BM25_K)})
+UNION ALL
+SELECT *, 'spans2' AS variant FROM ({_spans2_sql(BM25_K)})
 """,
         "sqs_mixed_topk": _sqs_mixed_sql(BM25_K),
         "es_collapse_topk": _es_collapse_sql(BM25_K),
@@ -4525,6 +4800,8 @@ SELECT *, 'phrase_prefix' AS variant FROM ({_phrase_prefix_sql(BM25_K)})
 SELECT *, 'best_fields' AS variant FROM ({_multi_match_sql(BM25_K)})
 UNION ALL
 SELECT *, 'boosted' AS variant FROM ({_multi_match_boosted_sql(BM25_K, 2.0, 0.3)})
+UNION ALL
+SELECT *, 'cross' AS variant FROM ({_cross_fields_sql(BM25_K, 0.2)})
 """,
         "doc_id_assignment": """
 SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS rank_id

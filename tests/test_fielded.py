@@ -397,3 +397,110 @@ def test_multi_match_boosts_and_tie_breaker(spark, fielded):
 
     with pytest.raises(ValueError, match="tie_breaker"):
         eng.multi_match(q, k=5, tie_breaker=1.5)
+
+
+def _field_stats(pdf, col):
+    from xml_to_es_spark.pyref import tokenize
+
+    toks = {r.doc_id: tokenize(getattr(r, col)) for r in pdf.itertuples()}
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    df = {}
+    for t in set(x for ts in toks.values() for x in ts):
+        df[t] = sum(1 for ts in toks.values() if t in ts)
+    return toks, dl, avgdl, df
+
+
+def test_multi_match_phrase_type(spark, fielded):
+    """Round-6 multi_match type=phrase: per-field match_phrase under
+    the dis_max combine — twin = per-field phrase_topk pages merged
+    max + tie_breaker·rest in pandas."""
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    qs = [(1, "alpha common"), (2, "title w7")]
+    for tb in (0.0, 0.3):
+        got = eng.multi_match(qs, k=60, match_type="phrase",
+                              tie_breaker=tb).toPandas()
+        a = eng.phrase_topk(qs, k=60, field="text").toPandas()
+        b = eng.phrase_topk(qs, k=60, field="title").toPandas()
+        per = {}
+        for fr in (a, b):
+            for r in fr.itertuples():
+                per.setdefault((r.query_id, r.doc_id), []).append(r.score)
+        want = {}
+        for key, ss in per.items():
+            want[key] = max(ss) + tb * (sum(ss) - max(ss))
+        rows = sorted(want.items(), key=lambda x: (x[0][0], -x[1], x[0][1]))
+        got_keys = [(r.query_id, r.doc_id) for r in got.itertuples()]
+        assert got_keys == [k for k, _ in rows]
+        np.testing.assert_allclose(
+            got.score, [s for _, s in rows], rtol=1e-9)
+
+
+def test_multi_match_cross_fields(spark, fielded):
+    """Round-6 multi_match type=cross_fields: per-token blended df
+    (max across fields, the Lucene BlendedTermQuery), per-token max
+    across fields + tie_breaker·rest, summed over tokens — twin =
+    the same formula in pandas."""
+    import math
+
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    n = len(pdf)
+    tstats = _field_stats(pdf, "text")
+    ustats = _field_stats(pdf, "title")
+    qs = [(1, "biogen w7"), (2, "alpha title")]
+
+    def twin(text, tb):
+        from xml_to_es_spark.pyref import tokenize
+
+        out = {}
+        for d in pdf.doc_id:
+            tot = 0.0
+            for tok in sorted(set(tokenize(text))):
+                dfb = max(tstats[3].get(tok, 0), ustats[3].get(tok, 0))
+                if dfb == 0:
+                    continue
+                idf = math.log(1 + (n - dfb + 0.5) / (dfb + 0.5))
+                ss = []
+                for toks, dl, avgdl, _df in (tstats, ustats):
+                    tf = toks[d].count(tok)
+                    if tf:
+                        ss.append(idf * tf * 2.2 / (
+                            tf + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl)))
+                if ss:
+                    tot += max(ss) + tb * (sum(ss) - max(ss))
+            if tot > 0:
+                out[d] = tot
+        return sorted(out.items(), key=lambda x: (-x[1], x[0]))
+
+    for tb in (0.0, 0.4):
+        got = eng.multi_match(qs, k=60, match_type="cross_fields",
+                              tie_breaker=tb).toPandas()
+        for qid, text in qs:
+            g = got[got.query_id == qid]
+            want = twin(text, tb)
+            assert list(g.doc_id) == [d for d, _ in want], (qid, tb)
+            np.testing.assert_allclose(
+                g.score, [s for _, s in want], rtol=1e-9)
+    # the blending is visible: "biogen" appears only in doc 7's title,
+    # so its cross_fields idf uses df=1 — and doc 7 matches via the
+    # title variant even though the text field lacks the term
+    assert 7 in list(got[got.query_id == 1].doc_id)
+
+
+def test_multi_match_new_types_dsl(spark, fielded):
+    """The DSL routes the new types and rejects cursors on them."""
+    from xml_to_es_spark.operators.es_query import es_search
+
+    root, pdf, idx = fielded
+    eng = QueryEngine(spark, idx)
+    out = es_search(eng, {"query": {"multi_match": {
+        "query": "alpha common", "type": "phrase"}}, "size": 5}).toPandas()
+    direct = eng.multi_match([(0, "alpha common")], k=5,
+                             match_type="phrase").toPandas()
+    assert list(out.doc_id) == list(direct.doc_id)
+    with pytest.raises(ValueError, match="search_after"):
+        es_search(eng, {"query": {"multi_match": {
+            "query": "alpha", "type": "cross_fields"}},
+            "search_after": [1.0, 3], "size": 5})

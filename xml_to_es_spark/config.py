@@ -86,6 +86,14 @@ class IndexConfig:
     # search-time aggregations (:meth:`QueryEngine.search_aggs`) and
     # _source hits can use them without an external doc store
     stored_fields: tuple[str, ...] = ()
+    # Configurable analyzer (round 6): stopword removal and the pinned
+    # minimal_english stemmer (the Lucene EnglishMinimalStemmer),
+    # applied build-side (functions.analysis.analyze_col) AND to query
+    # text by the engine (the stored mapping carries both, so
+    # upsert/compact inherit and drift raises). The empty default is
+    # the historical pinned chain, bit-for-bit.
+    stopwords: tuple[str, ...] = ()
+    stemmer: str | None = None
     extra: dict = field(default_factory=dict)
 
     @property

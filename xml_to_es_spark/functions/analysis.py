@@ -25,6 +25,81 @@ def tokens_col(text: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
 
 
+def stem_minimal_english_col(t: Column) -> Column:
+    """JVM twin of :func:`xml_to_es_spark.pyref.stem_minimal_english`
+    (the Lucene EnglishMinimalStemmer, exact branch order) as a pure
+    CASE/substr expression — whole-stage-codegen'd, no UDF."""
+    n = F.length(t)
+    c1, c2 = F.substring(t, -1, 1), F.substring(t, -2, 1)
+    c3, c4 = F.substring(t, -3, 1), F.substring(t, -4, 1)
+    return (
+        F.when((n < 3) | (c1 != "s"), t)
+        .when(c2.isin("u", "s"), t)
+        .when(
+            (c2 == "e") & (n > 3) & (c3 == "i") & ~c4.isin("a", "e"),
+            F.concat(t.substr(F.lit(1), n - 3), F.lit("y")),
+        )
+        .when((c2 == "e") & c3.isin("i", "a", "o", "e"), t)
+        .otherwise(t.substr(F.lit(1), n - 1))
+    )
+
+
+def analyze_col(
+    text: Column | str,
+    stopwords: tuple[str, ...] = (),
+    stemmer: str | None = None,
+) -> Column:
+    """The CONFIGURABLE analysis chain as one JVM expression:
+    :func:`tokens_col` → stopword removal (array filter over a
+    literal set) → minimal_english stemming (per-element CASE).
+    Default empty config degenerates to :func:`tokens_col` exactly —
+    zero plan change for existing indexes. Positions downstream are
+    indices in the FILTERED stream (no ES position-increment gaps —
+    documented deviation: a phrase spanning a removed stopword
+    matches when its survivors are adjacent)."""
+    toks = tokens_col(text)
+    if stopwords:
+        stops = [str(s) for s in stopwords]
+        toks = F.filter(toks, lambda t: ~t.isin(stops))
+    if stemmer == "minimal_english":
+        toks = F.transform(toks, stem_minimal_english_col)
+    elif stemmer is not None:
+        raise ValueError(
+            f"unsupported stemmer {stemmer!r} (minimal_english is the "
+            "pinned chain)"
+        )
+    return toks
+
+
+def sql_analyze(
+    text_expr: str,
+    stopwords: tuple[str, ...] = (),
+    stemmer: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`analyze_col`: the same tokenize →
+    stop-filter → minimal_english chain as one SQL expression over
+    ``text_expr``."""
+    out = f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+')"
+    if stopwords:
+        lits = ", ".join(f"'{s}'" for s in stopwords)
+        out = f"list_filter({out}, t -> t NOT IN ({lits}))"
+    if stemmer == "minimal_english":
+        stem = (
+            "CASE"
+            " WHEN len(t) < 3 OR t[-1] != 's' THEN t"
+            " WHEN t[-2] IN ('u', 's') THEN t"
+            " WHEN t[-2] = 'e' AND len(t) > 3 AND t[-3] = 'i'"
+            "  AND t[-4] NOT IN ('a', 'e')"
+            "  THEN t[1:len(t)-3] || 'y'"
+            " WHEN t[-2] = 'e' AND t[-3] IN ('i', 'a', 'o', 'e') THEN t"
+            " ELSE t[1:len(t)-1] END"
+        )
+        out = f"list_transform({out}, t -> {stem})"
+    elif stemmer is not None:
+        raise ValueError(f"unsupported stemmer {stemmer!r}")
+    return out
+
+
 def doc_len_col(tokens: Column | str) -> Column:
     """token count as long (cast so Spark's int matches DuckDB bigint)."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens

@@ -346,8 +346,6 @@ class EsRequest:
         Multi-term expansions (fuzziness, prefix, wildcard) highlight
         their LITERAL tokens, not the dictionary variants — a
         documented deviation (ES marks the matched variants)."""
-        from xml_to_es_spark.pyref import tokenize
-
         q = self.body.get("query", {})
         (kind, spec), = q.items()
         if kind in ("match", "match_phrase", "match_phrase_prefix",
@@ -357,9 +355,9 @@ class EsRequest:
                                "minimum_should_match", "slop",
                                "max_expansions"},
             )
-            return sorted(set(tokenize(opts["query"])))
+            return sorted(set(self.eng._tokenize(opts["query"])))
         if kind == "multi_match":
-            return sorted(set(tokenize(spec["query"])))
+            return sorted(set(self.eng._tokenize(spec["query"])))
         if kind in ("bool", "simple_query_string", "query_string",
                     "dis_max", "boosting"):
             espec, _f = self._as_bool_tree(q)
@@ -377,12 +375,11 @@ class EsRequest:
             f"highlight is not supported on {kind!r} queries"
         )
 
-    @staticmethod
-    def _collect_scoring_tokens(espec: dict, acc: set) -> None:
+    def _collect_scoring_tokens(self, espec: dict, acc: set) -> None:
         """Walk a bool NODE spec (legacy flat or rich) gathering the
-        tokens of scoring text clauses into ``acc``."""
-        from xml_to_es_spark.pyref import tokenize
-
+        tokens of scoring text clauses into ``acc`` (analyzed with the
+        index's stored chain)."""
+        tokenize = self.eng._tokenize
         for role in ("must", "should"):
             v = espec.get(role)
             if v is None:
@@ -396,14 +393,14 @@ class EsRequest:
                     txt = cs["query"] if isinstance(cs, dict) else cs
                     acc.update(tokenize(txt))
                 elif ck == "bool":
-                    EsRequest._collect_scoring_tokens(cs, acc)
+                    self._collect_scoring_tokens(cs, acc)
                 elif ck == "dis_max":
                     for c in cs["queries"]:
-                        EsRequest._collect_scoring_tokens(
+                        self._collect_scoring_tokens(
                             {"should": [c]}, acc
                         )
                 elif ck == "boosting":
-                    EsRequest._collect_scoring_tokens(
+                    self._collect_scoring_tokens(
                         {"must": [cs["positive"]]}, acc
                     )
                 # constant_score / structured: filter context, no terms
@@ -980,7 +977,8 @@ class EsRequest:
                 [(0, {"must": [{"rank_feature": dict(spec)}]})],
                 k=k, from_=from_,
             )
-        if kind in ("span_first", "span_near", "span_term"):
+        if kind in ("span_first", "span_near", "span_term", "span_or",
+                    "span_not", "intervals"):
             # ES span family, the positional subset the phrase kernel
             # expresses exactly: span_term (one term), span_near with
             # in_order=true + slop=0 (consecutive terms ≙ phrase), and
@@ -1019,6 +1017,70 @@ class EsRequest:
                     return flds.pop(), " ".join(toks)
                 raise ValueError(f"unsupported span kind {sk!r}")
 
+            if kind == "span_or":
+                # round 6: union of span alternatives, dis_max scored
+                bad = set(spec) - {"clauses"}
+                if bad or not spec.get("clauses"):
+                    raise ValueError(
+                        f"span_or takes clauses, got "
+                        f"{sorted(bad) or 'no clauses'}"
+                    )
+                flds, texts = set(), []
+                for c in spec["clauses"]:
+                    (ck2, cs2), = c.items()
+                    f, t = span_text(ck2, cs2)
+                    flds.add(f)
+                    texts.append(t)
+                if len(flds) != 1:
+                    raise ValueError("span_or clauses mix fields")
+                return eng.span_or_topk(
+                    [(0, texts)], k=k, from_=from_,
+                    field=self._resolve_match_field(flds.pop()),
+                )
+            if kind == "span_not":
+                # round 6: include span minus overlapping exclude term
+                bad = set(spec) - {"include", "exclude"}
+                if bad or not ({"include", "exclude"} <= set(spec)):
+                    raise ValueError(
+                        f"span_not takes include + exclude, got "
+                        f"{sorted(bad) or sorted(spec)}"
+                    )
+                (ik, is_), = spec["include"].items()
+                (ek, es_), = spec["exclude"].items()
+                fi, ti = span_text(ik, is_)
+                fe, te = span_text(ek, es_)
+                if fi != fe:
+                    raise ValueError("span_not include/exclude mix fields")
+                return eng.span_not_topk(
+                    [(0, (ti, te))], k=k, from_=from_,
+                    field=self._resolve_match_field(fi),
+                )
+            if kind == "intervals":
+                # round 6: ES intervals `match` rule, ordered=true only
+                (fld2, rule), = spec.items()
+                if not (isinstance(rule, dict) and set(rule) == {"match"}):
+                    raise ValueError(
+                        "intervals supports the match rule only "
+                        "(all_of/any_of/prefix/fuzzy are not routed)"
+                    )
+                mr = dict(rule["match"])
+                bad = set(mr) - {"query", "max_gaps", "ordered"}
+                if bad or "query" not in mr:
+                    raise ValueError(
+                        f"intervals match takes query (+max_gaps, "
+                        f"ordered), got {sorted(bad) or 'no query'}"
+                    )
+                if not mr.get("ordered", False):
+                    raise ValueError(
+                        "intervals ordered=false is not supported — use "
+                        "match_phrase slop for unordered proximity"
+                    )
+                return eng.intervals_topk(
+                    [(0, str(mr["query"]))],
+                    max_gaps=int(mr.get("max_gaps", 0)),
+                    k=k, from_=from_,
+                    field=self._resolve_match_field(fld2),
+                )
             first = None
             if kind == "span_first":
                 bad = set(spec) - {"match", "end"}
@@ -1062,8 +1124,6 @@ class EsRequest:
         flat translation would silently AND its tokens — the round-4
         ADVICE defect). Flat single-token bodies keep the legacy
         translation, bit-identical to the direct engine call."""
-        from xml_to_es_spark.pyref import tokenize
-
         if ("minimum_should_match" in spec or "boost" in spec
                 or "_name" in spec):
             return True
@@ -1095,7 +1155,7 @@ class EsRequest:
                 if "boost" in opts or "operator" in opts or "_name" in opts:
                     return True
                 fields.add(self._resolve_match_field(fld))
-                if role == "must" and len(tokenize(opts["query"])) > 1:
+                if role == "must" and len(self.eng._tokenize(opts["query"])) > 1:
                     return True
         return len(fields) > 1
 
@@ -1696,10 +1756,8 @@ class EsRequest:
         bad = set(t) - {"field", "suggest_mode", "max_edits", "size"}
         if bad:
             raise ValueError(f"unsupported term-suggester option(s) {sorted(bad)}")
-        from xml_to_es_spark.pyref import tokenize
-
         return self.eng.suggest_terms(
-            tokenize(spec["text"]),
+            self.eng._tokenize(spec["text"]),
             field=self._resolve_match_field(t.get("field", "text")),
             max_edits=int(t.get("max_edits", 2)),
             size=int(t.get("size", 5)),
@@ -2571,17 +2629,23 @@ def index_stats(spark, index_dir: str) -> dict:
     }
 
 
-def es_analyze(body: dict) -> list[dict]:
-    """ES ``_analyze``: the engine's PINNED analysis chain (lowercase
-    → ``[a-z0-9]+`` extraction, config.TOKEN_PATTERN — the same regex
-    the Spark build, the pure-Python oracle and the DuckDB twins all
-    use) applied to one text, returning the ES token-stream shape:
-    ``[{token, start_offset, end_offset, position}, ...]``. Offsets
-    index into the lowercased text (identical to the original for
-    ASCII; the token stream itself always matches the index's
-    tokenizer bit-for-bit). A debugging surface — driver-side by
-    design, like ES's own _analyze."""
+def es_analyze(body: dict, engine: QueryEngine | None = None) -> list[dict]:
+    """ES ``_analyze``: the analysis chain applied to one text,
+    returning the ES token-stream shape ``[{token, start_offset,
+    end_offset, position}, ...]``. Without ``engine``: the PINNED
+    default chain (lowercase → ``[a-z0-9]+`` extraction,
+    config.TOKEN_PATTERN — the same regex the Spark build, the
+    pure-Python oracle and the DuckDB twins all use). With ``engine``:
+    that index's STORED chain (round-6 configurable analyzer —
+    stopword removal then minimal_english stemming), so the report
+    matches the index bit-for-bit. Offsets index the original match
+    span in the lowercased text (a stemmed token keeps its surface
+    offsets); positions are indices in the FILTERED stream, matching
+    the index's positional sidecar (no ES position-increment gaps —
+    documented deviation). Driver-side by design, like ES's own
+    _analyze."""
     from xml_to_es_spark.config import TOKEN_PATTERN
+    from xml_to_es_spark.pyref import stem_minimal_english
 
     bad = set(body) - {"text"}
     if bad or "text" not in body:
@@ -2591,15 +2655,22 @@ def es_analyze(body: dict) -> list[dict]:
     text = body["text"]
     if not isinstance(text, str):
         raise ValueError("_analyze text must be one string")
-    return [
-        {
-            "token": m.group(0),
+    stops = set(engine.stopwords) if engine is not None else set()
+    stemmer = engine.stemmer if engine is not None else None
+    out = []
+    for m in re.finditer(TOKEN_PATTERN, text.lower()):
+        tok = m.group(0)
+        if tok in stops:
+            continue
+        if stemmer == "minimal_english":
+            tok = stem_minimal_english(tok)
+        out.append({
+            "token": tok,
             "start_offset": m.start(),
             "end_offset": m.end(),
-            "position": i,
-        }
-        for i, m in enumerate(re.finditer(TOKEN_PATTERN, text.lower()))
-    ]
+            "position": len(out),
+        })
+    return out
 
 
 def es_field_caps(engine: QueryEngine) -> dict:
@@ -2656,7 +2727,6 @@ def es_termvectors(
     distinct terms — never a corpus scan."""
     from collections import Counter
 
-    from xml_to_es_spark.pyref import tokenize
 
     body = dict(body or {})
     bad = set(body) - {"fields", "term_statistics"}
@@ -2681,7 +2751,7 @@ def es_termvectors(
     want_stats = bool(body.get("term_statistics", False))
     out = []
     for f in fields:
-        toks = tokenize(doc[f] or "")
+        toks = engine._tokenize(doc[f] or "")
         pos: dict[str, list[int]] = {}
         for i, t in enumerate(toks):
             pos.setdefault(t, []).append(i)

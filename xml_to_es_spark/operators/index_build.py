@@ -297,8 +297,21 @@ class IndexBuilder:
     """Build the inverted index for a (doc_id, text) DataFrame."""
 
     def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
+        import re as _re
+
         self.spark = spark
         self.cfg = cfg or IndexConfig()
+        if self.cfg.stemmer not in (None, "minimal_english"):
+            raise ValueError(
+                f"unsupported stemmer {self.cfg.stemmer!r} "
+                "(minimal_english is the pinned chain)"
+            )
+        bad = [s for s in self.cfg.stopwords
+               if not _re.fullmatch("[a-z0-9]+", s)]
+        if bad:
+            raise ValueError(
+                f"stopwords must be analyzer tokens ([a-z0-9]+), got {bad}"
+            )
 
     # -- inputs ------------------------------------------------------------
 
@@ -308,8 +321,13 @@ class IndexBuilder:
         map-side partials. ``prefix`` non-None stores the term under
         the ``{field}:{token}`` key and tags rows with the field name
         (fielded indexes); positions are within-FIELD token offsets."""
+        from xml_to_es_spark.functions.analysis import analyze_col
+
         toks = docs.select(
-            "doc_id", tokens_col(F.col(field)).alias("toks")
+            "doc_id",
+            analyze_col(
+                F.col(field), self.cfg.stopwords, self.cfg.stemmer
+            ).alias("toks"),
         ).withColumn("dl", doc_len_col("toks"))
         if self.cfg.store_positions:
             exploded = toks.select(
@@ -483,6 +501,7 @@ class IndexBuilder:
 
     _ANALYSIS_KEYS = (
         "indexed_fields", "store_positions", "store_source", "stored_fields",
+        "stopwords", "stemmer",
     )
 
     def _stored_mapping(self, index_dir: str) -> dict:
@@ -499,6 +518,12 @@ class IndexBuilder:
         for key in ("store_positions", "store_source"):
             if st.get(key) is not None:
                 out[key] = bool(st[key])
+        if st.get("an_stopwords") is not None:
+            out["stopwords"] = tuple(
+                s for s in st["an_stopwords"].split(",") if s
+            )
+        if st.get("an_stemmer") is not None:
+            out["stemmer"] = st["an_stemmer"] or None
         for key in ("block_size", "n_groups"):
             if st.get(key) is not None:
                 out[key] = int(st[key])
@@ -1171,6 +1196,12 @@ class IndexBuilder:
                 "stored_fields", F.lit(",".join(self.cfg.stored_fields))
             )
             .withColumn("token_pattern", F.lit(TOKEN_PATTERN))
+            # analyzer chain (round 6): stopwords are [a-z0-9]+ tokens
+            # so the comma join is injective; "" = no stemmer
+            .withColumn(
+                "an_stopwords", F.lit(",".join(self.cfg.stopwords))
+            )
+            .withColumn("an_stemmer", F.lit(self.cfg.stemmer or ""))
         )
 
     def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):

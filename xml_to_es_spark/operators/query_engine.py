@@ -379,6 +379,12 @@ class QueryEngine:
         )
         self.fielded = self.fields != ("text",)
         self.default_field = "text" if "text" in self.fields else self.fields[0]
+        # configurable analyzer (round 6): the base dir's stored chain
+        # is authoritative; query text analyzes exactly like the build
+        self.stopwords: tuple[str, ...] = tuple(
+            s for s in (d.get("an_stopwords") or "").split(",") if s
+        )
+        self.stemmer: str | None = d.get("an_stemmer") or None
         # the kill set spans upsert tombstones AND the deletes log, so
         # even a single-dir (base-only) index can carry kills
         self.kills: dict[int, int] = load_kills(spark, index_dir)
@@ -565,6 +571,17 @@ class QueryEngine:
                 f"field {f!r} is not indexed; indexed_fields={self.fields}"
             )
         return f
+
+    def _tokenize(self, text: str) -> list[str]:
+        """Query-text analysis with the INDEX's stored chain (pinned
+        tokenize → stopwords → stemmer, the round-6 configurable
+        analyzer) — every query path analyzes exactly like the build,
+        so a query for "joins" hits docs indexed as "join" on a
+        stemmed index. The empty default IS the historical pinned
+        tokenize, bit-for-bit."""
+        from xml_to_es_spark.pyref import analyze
+
+        return analyze(text, self.stopwords, self.stemmer)
 
     def _term_of(self, token: str, field: str | None) -> str:
         """Query token → stored term key ({field}:{token} on fielded
@@ -874,6 +891,74 @@ class QueryEngine:
             return self.topk_wand(
                 queries, k=k, n_ranges=n_ranges, fields=use, from_=from_,
                 field_boosts=boosts, search_after=search_after,
+            )
+        if match_type == "phrase":
+            # ES multi_match type=phrase: one match_phrase per field
+            # under the dis_max combine (max + tie_breaker·Σrest) —
+            # routed through the bool machinery, so the phrase kernel
+            # runs once per field over the FULL match set (exact at
+            # any tie_breaker, unlike a union-of-top-k max merge)
+            if search_after:
+                raise ValueError(
+                    "multi_match phrase does not take search_after"
+                )
+            trees = [
+                (qid, {"must": [{"dis_max": {
+                    "tie_breaker": tie_breaker,
+                    "queries": [
+                        {"match_phrase": {
+                            "query": text, "field": f, "boost": b}}
+                        for f, b in parsed
+                    ],
+                }}]})
+                for qid, text in queries
+            ]
+            return self.bool_topk(trees, k=k, from_=from_)
+        if match_type == "cross_fields":
+            # ES multi_match type=cross_fields: term-centric blending —
+            # every field variant of a bare token scores with the MAX
+            # df across fields (blend_df, the Lucene BlendedTermQuery),
+            # per-token score = max over fields (+ tie_breaker·Σrest),
+            # doc score = Σ over tokens. One scan, two hash-aggs.
+            if search_after:
+                raise ValueError(
+                    "multi_match cross_fields does not take search_after"
+                )
+            matched = self._matched_segments(
+                queries, fields=use, field_boosts=boosts, blend_df=True
+            )
+            if matched is None:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            contribs = matched.mapInPandas(
+                _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
+                schema=CONTRIB_SCHEMA,
+            )
+            per_tok = (
+                contribs.withColumn(
+                    "tok", F.substring_index(F.col("term"), ":", -1)
+                )
+                .groupBy("query_id", "doc_id", "tok")
+                .agg(F.max("contrib").alias("mx"),
+                     F.sum("contrib").alias("sm"))
+                .withColumn(
+                    "tscore",
+                    F.col("mx")
+                    + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx")),
+                )
+            )
+            best = per_tok.groupBy("query_id", "doc_id").agg(
+                F.sum("tscore").alias("score")
+            )
+            from pyspark.sql import Window as W
+
+            wx = W.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                best.withColumn("rank", F.row_number().over(wx))
+                .filter((F.col("rank") > from_)
+                        & (F.col("rank") <= from_ + k))
+                .select("query_id", "rank", "doc_id", "score")
             )
         if match_type != "best_fields":
             raise ValueError(f"unsupported multi_match type {match_type!r}")
@@ -1387,10 +1472,10 @@ class QueryEngine:
             else:
                 ftext = fval or ""
             toks = {
-                r: sorted(set(tokenize(clauses.get(r, "") or "")))
+                r: sorted(set(self._tokenize(clauses.get(r, "") or "")))
                 for r in ("must", "should", "must_not")
             }
-            toks["filter"] = sorted(set(tokenize(ftext)))
+            toks["filter"] = sorted(set(self._tokenize(ftext)))
             # a token may appear in several POSITIVE roles at once
             # (ES: must+should double-scores it, must+filter scores it
             # once and requires it twice over — both reproduced by the
@@ -1640,7 +1725,7 @@ class QueryEngine:
                 # legacy token string: one single-token clause per
                 # distinct token (every token required/excluded —
                 # identical match set to the flat path)
-                for t in sorted(set(tokenize(v))):
+                for t in sorted(set(self._tokenize(v))):
                     children.append(self._compile_bool_clause(
                         {"match": t}, child_scoring, default_field,
                         leaves, structs,
@@ -1682,7 +1767,7 @@ class QueryEngine:
                     f"_name, got {sorted(bad) or 'no query'}"
                 )
             fld = self._resolve_field(opts.get("field", default_field))
-            toks = sorted(set(tokenize(opts["query"])))
+            toks = sorted(set(self._tokenize(opts["query"])))
             if not toks:
                 raise ValueError("empty match clause")
             leaf = _BoolLeaf(
@@ -1705,7 +1790,7 @@ class QueryEngine:
                     f"_name, got {sorted(bad) or 'no query'}"
                 )
             fld = self._resolve_field(opts.get("field", default_field))
-            if not tokenize(opts["query"]):
+            if not self._tokenize(opts["query"]):
                 raise ValueError("empty match_phrase clause")
             leaf = _BoolPhrase(
                 cid=len(leaves),
@@ -2045,7 +2130,7 @@ class QueryEngine:
         for fld, lls in by_field.items():
             pseudo = [(lf.cid, lf.text) for lf in lls]
             seqs = {
-                lf.cid: [self._term_of(t, fld) for t in tokenize(lf.text)]
+                lf.cid: [self._term_of(t, fld) for t in self._tokenize(lf.text)]
                 for lf in lls
             }
             slops = {lf.cid: lf.slop for lf in lls}
@@ -2326,7 +2411,7 @@ class QueryEngine:
 
         fld = self._resolve_field(field)
         seqs = {
-            qid: [self._term_of(t, fld) for t in tokenize(text)]
+            qid: [self._term_of(t, fld) for t in self._tokenize(text)]
             for qid, text in queries
         }
         matched = self._matched_segments(queries, field=field)
@@ -2349,6 +2434,128 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def _span_like_topk(
+        self,
+        scan_queries: list[tuple[int, str]],
+        k: int,
+        from_: int,
+        field: str | None,
+        **kernel_kw,
+    ) -> DataFrame:
+        """Shared driver for the span/interval operators: one
+        term-pruned scan (all tokens of all clauses), the positional
+        kernel per (query, dir, range), WindowGroupLimit merge — the
+        phrase_topk shape exactly."""
+        from pyspark.sql import Window as W
+
+        matched = self._matched_segments(scan_queries, field=field)
+        if matched is None:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        k_local = from_ + k
+        ranged = self._ranged(matched, 1)
+        run = self._phrase_group_kernel(k_local, **kernel_kw)
+        partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
+            run, schema=TOPK_SCHEMA + ", range_id int"
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > from_) & (F.col("rank") <= k_local))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def span_or_topk(
+        self,
+        queries: list[tuple[int, list[str]]],
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``span_or``: each query is a LIST of span texts
+        (span_term = one token, span_near in_order/slop 0 = a phrase);
+        a doc matches when ANY alternative's span matches, scored as
+        the max over its matching alternatives (the dis_max combine
+        the expansion paths pin). One scan over the union of all
+        alternatives' tokens. Needs ``store_positions=True``."""
+        fld = self._resolve_field(field)
+        alts = {
+            qid: [
+                [self._term_of(t, fld) for t in self._tokenize(text)]
+                for text in texts
+            ]
+            for qid, texts in queries
+        }
+        if not all(alt for alt in alts.values()) or not all(
+            all(sq for sq in alt) for alt in alts.values()
+        ):
+            raise ValueError("span_or needs non-empty clause texts")
+        scan = [(qid, " ".join(texts_)) for qid, texts_ in queries]
+        seqs = {qid: alts[qid][0] for qid, _ in queries}
+        return self._span_like_topk(
+            scan, k, from_, field, seqs=seqs, alts=alts
+        )
+
+    def span_not_topk(
+        self,
+        queries: list[tuple[int, tuple[str, str]]],
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``span_not``: each query is (include span text, exclude
+        span text) — an include occurrence matches unless an exclude
+        occurrence OVERLAPS it (the ES default, pre/post 0; e.g.
+        include "fox", exclude "quick fox" keeps only the foxes not
+        preceded by quick). Both spans are consecutive-token sequences
+        (span_term / in-order slop-0 span_near). Needs
+        ``store_positions=True``."""
+        fld = self._resolve_field(field)
+        seqs, excl, scan = {}, {}, []
+        for qid, (inc, exc) in queries:
+            toks = self._tokenize(inc)
+            etoks = self._tokenize(exc)
+            if not toks or not etoks:
+                raise ValueError(
+                    "span_not takes non-empty include and exclude spans"
+                )
+            seqs[qid] = [self._term_of(t, fld) for t in toks]
+            excl[qid] = [self._term_of(t, fld) for t in etoks]
+            scan.append((qid, inc + " " + exc))
+        return self._span_like_topk(
+            scan, k, from_, field, seqs=seqs, exclude=excl
+        )
+
+    def intervals_topk(
+        self,
+        queries: list[tuple[int, str]],
+        max_gaps: int = 0,
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``intervals`` ``match`` with ``ordered=true``: the
+        query's tokens must occur IN ORDER with at most ``max_gaps``
+        positions between the first and last beyond adjacency
+        (width − tokens ≤ max_gaps) — the greedy minimal-chain kernel
+        (exact; see _phrase_group_kernel). ``ordered=false`` raises
+        with a pointer at match_phrase slop (the supported unordered
+        proximity form). Scoring is the pinned phrase BM25 sum of the
+        terms (documented deviation from ES's interval frequency
+        scoring). Needs ``store_positions=True``."""
+        if max_gaps < 0:
+            raise ValueError("max_gaps must be ≥ 0")
+        fld = self._resolve_field(field)
+        seqs = {
+            qid: [self._term_of(t, fld) for t in self._tokenize(text)]
+            for qid, text in queries
+        }
+        if not all(seqs.values()):
+            raise ValueError("empty intervals text")
+        gaps = {qid: int(max_gaps) for qid, _ in queries}
+        return self._span_like_topk(
+            queries, k, from_, field, seqs=seqs, ordered_gaps=gaps
+        )
+
     def _phrase_group_kernel(
         self,
         k: int | None,
@@ -2357,6 +2564,9 @@ class QueryEngine:
         variants: dict[int, list[str]] | None = None,
         after: dict[int, tuple[float, int]] | None = None,
         first: int | None = None,
+        alts: dict[int, list[list[str]]] | None = None,
+        exclude: dict[int, list[str]] | None = None,
+        ordered_gaps: dict[int, int] | None = None,
     ):
         """applyInPandas kernel: one (query, dir, range) group →
         decode the phrase terms' doc/tf/dl/position streams, intersect
@@ -2467,8 +2677,9 @@ class QueryEngine:
                 # token shifts left) stay packable; a uniform offset
                 # changes neither the intersection nor the span.
                 m = len(sq)
+                og = (ordered_gaps or {}).get(qid)
                 slot_keys: list[np.ndarray] = []
-                for j, t in enumerate(sq):
+                for j, t in enumerate(sq) if og is None else ():
                     e = by_term[t]
                     idxs = np.searchsorted(e["docs"], cand)
                     plists = [e["pos"][i] for i in idxs]
@@ -2483,7 +2694,9 @@ class QueryEngine:
                     )
                     keys = (owner << np.int64(33)) | (flat + 1)
                     slot_keys.append(keys)
-                if sl == 0:
+                if og is not None:
+                    survivors = None  # computed by the intervals chain
+                elif sl == 0:
                     survivors: np.ndarray | None = None
                     for keys in slot_keys:
                         survivors = (
@@ -2515,6 +2728,54 @@ class QueryEngine:
                     survivors = anchors[ok]
                     if survivors.size == 0:
                         return None
+                if og is not None:
+                    # ES intervals (ordered, max_gaps): greedy minimal
+                    # chain from every slot-0 occurrence — for slot j,
+                    # the smallest position strictly greater than the
+                    # previous slot's pick, same candidate; the span
+                    # matches iff width − (m−1) ≤ max_gaps. Raw
+                    # (unshifted) keys; greedy minimality makes the
+                    # width bound exact per anchor.
+                    vmask1 = np.int64((1 << 33) - 1)
+                    raw_keys: list[np.ndarray] = []
+                    for t in sq:
+                        e = by_term[t]
+                        idxs = np.searchsorted(e["docs"], cand)
+                        plists = [e["pos"][i] for i in idxs]
+                        counts = np.array(
+                            [p.size for p in plists], dtype=np.int64
+                        )
+                        flat = (
+                            np.concatenate(plists)
+                            if plists
+                            else np.empty(0, dtype=np.int64)
+                        )
+                        owner = np.repeat(
+                            np.arange(cand.size, dtype=np.int64), counts
+                        )
+                        raw_keys.append((owner << np.int64(33)) | (flat + 1))
+                    cur = raw_keys[0]
+                    if not cur.size:
+                        return None
+                    owners0 = cur >> np.int64(33)
+                    startv = cur & vmask1
+                    okg = np.ones(cur.size, dtype=bool)
+                    prev = cur
+                    for keys in raw_keys[1:]:
+                        if not keys.size:
+                            return None
+                        idx = np.searchsorted(keys, prev + 1)
+                        hitg = idx < keys.size
+                        nxt = keys[np.minimum(idx, keys.size - 1)]
+                        hitg &= (nxt >> np.int64(33)) == owners0
+                        okg &= hitg
+                        prev = np.where(hitg, nxt, prev)
+                    okg &= ((prev & vmask1) - startv) <= np.int64(
+                        m - 1 + og
+                    )
+                    survivors = cur[okg]
+                    if survivors.size == 0:
+                        return None
                 if first is not None:
                     # ES span_first: the span must END at position ≤
                     # end. A survivor key's value part is start+m
@@ -2525,6 +2786,68 @@ class QueryEngine:
                     survivors = survivors[
                         (survivors & vmask0) <= np.int64(first)
                     ]
+                    if survivors.size == 0:
+                        return None
+                exc = (exclude or {}).get(qid)
+                if (exc is not None and survivors.size
+                        and all(t in by_term for t in exc)):
+                    # ES span_not: drop include survivors overlapped by
+                    # an exclude-span occurrence. Exclude occurrences:
+                    # the same shift-and-intersect, packed as
+                    # (owner, start + me); include survivor value
+                    # v = start_i + m, so overlap ⟺ an exclude key
+                    # value in [v − m + 1, v + me − 1] of the same
+                    # owner — one first-key-ge probe.
+                    vmask2 = np.int64((1 << 33) - 1)
+                    me = len(exc)
+                    ex_surv: np.ndarray | None = None
+                    for j2, t2 in enumerate(exc):
+                        e2 = by_term[t2]
+                        idxs2 = np.minimum(
+                            np.searchsorted(e2["docs"], cand),
+                            e2["docs"].size - 1,
+                        )
+                        has2 = e2["docs"][idxs2] == cand
+                        plists2 = [
+                            e2["pos"][i2] if h2
+                            else np.empty(0, dtype=np.int64)
+                            for i2, h2 in zip(idxs2, has2)
+                        ]
+                        counts2 = np.array(
+                            [p2.size for p2 in plists2], dtype=np.int64
+                        )
+                        flat2 = (
+                            np.concatenate(plists2)
+                            if plists2
+                            else np.empty(0, dtype=np.int64)
+                        ) - j2 + me
+                        owner2 = np.repeat(
+                            np.arange(cand.size, dtype=np.int64), counts2
+                        )
+                        ks = (owner2 << np.int64(33)) | flat2
+                        ex_surv = (
+                            ks if ex_surv is None
+                            else np.intersect1d(
+                                ex_surv, ks, assume_unique=True
+                            )
+                        )
+                        if ex_surv.size == 0:
+                            break
+                    if ex_surv is not None and ex_surv.size:
+                        sv = np.sort(survivors)
+                        target = (
+                            (sv >> np.int64(33)) << np.int64(33)
+                        ) | ((sv & vmask2) - np.int64(m) + 1)
+                        idx = np.searchsorted(ex_surv, target)
+                        hit = idx < ex_surv.size
+                        nxt = ex_surv[np.minimum(idx, ex_surv.size - 1)]
+                        bad = hit & (
+                            (nxt >> np.int64(33)) == (sv >> np.int64(33))
+                        ) & (
+                            (nxt & vmask2)
+                            <= (sv & vmask2) + np.int64(me - 1)
+                        )
+                        survivors = sv[~bad]
                     if survivors.size == 0:
                         return None
                 sdocs = cand[np.unique(survivors >> np.int64(33))]
@@ -2540,7 +2863,22 @@ class QueryEngine:
                     )
                 return sdocs, score
 
-            if variants is None:
+            if alts is not None:
+                # span_or: dis_max over the full alternative
+                # sequences, same combine as the variants path
+                best: dict[int, float] = {}
+                for sq_ in alts.get(qid, []):
+                    r = evaluate(sq_)
+                    if r is None:
+                        continue
+                    for d_, s_ in zip(r[0].tolist(), r[1].tolist()):
+                        if s_ > best.get(d_, -np.inf):
+                            best[d_] = s_
+                if not best:
+                    return empty
+                sdocs = np.array(sorted(best), dtype=np.int64)
+                score = np.array([best[int(d_)] for d_ in sdocs])
+            elif variants is None:
                 r = evaluate(seq)
                 if r is None:
                     return empty
@@ -2806,7 +3144,7 @@ class QueryEngine:
 
         if max_edits not in (1, 2):
             raise ValueError("max_edits must be 1 or 2 (the ES bound)")
-        toks = tokenize(text)
+        toks = self._tokenize(text)
         if not toks:
             raise ValueError("empty phrase-suggest text")
         if len(toks) > 10:
@@ -3138,13 +3476,13 @@ class QueryEngine:
 
         fld = self._resolve_field(field)
         seqs = {
-            qid: [self._term_of(t, fld) for t in tokenize(text)]
+            qid: [self._term_of(t, fld) for t in self._tokenize(text)]
             for qid, text in queries
         }
         last_raw = {
             qid: toks[-1]
             for qid, text in queries
-            if (toks := tokenize(text))
+            if (toks := self._tokenize(text))
         }
         vmap = self.prefix_variants(
             sorted(set(last_raw.values())), field=fld,
@@ -3179,6 +3517,7 @@ class QueryEngine:
         fields: list[str] | None = None,
         prefix_expansions: int | None = None,
         field_boosts: dict | None = None,
+        blend_df: bool = False,
     ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
@@ -3196,26 +3535,26 @@ class QueryEngine:
         contributions."""
         flist = fields if fields is not None else [field]
         boosts = field_boosts or {}
-        qterms: list[tuple[int, str, float, float]] = []
+        qterms: list[tuple[int, str, float, float, str]] = []
         for fld_raw in flist:
             fld = self._resolve_field(fld_raw)
             avg = self._avgdl_of(fld)
             bst = float(boosts.get(fld_raw, 1.0))
             if fuzziness:
-                toks = sorted({t for _, text in queries for t in tokenize(text)})
+                toks = sorted({t for _, text in queries for t in self._tokenize(text)})
                 variants = self.fuzzy_variants(toks, fuzziness, field=fld)
                 for qid, text in queries:
                     expanded = sorted(
-                        {v for t in set(tokenize(text)) for v in variants[t]}
+                        {v for t in set(self._tokenize(text)) for v in variants[t]}
                     )
-                    qterms += [(qid, v, avg, bst) for v in expanded]
+                    qterms += [(qid, v, avg, bst, v) for v in expanded]
             elif prefix_expansions:
                 # match_bool_prefix: last token expands as a prefix,
                 # the rest match exactly (disjunctive, per-variant idf)
                 per_q = {
                     qid: toks
                     for qid, text in queries
-                    if (toks := tokenize(text))
+                    if (toks := self._tokenize(text))
                 }
                 vmap = self.prefix_variants(
                     sorted({t[-1] for t in per_q.values()}),
@@ -3227,17 +3566,26 @@ class QueryEngine:
                         {self._term_of(t, fld) for t in toks[:-1]}
                         | set(vmap[toks[-1]])
                     )
-                    qterms += [(qid, t, avg, bst) for t in terms]
+                    qterms += [(qid, t, avg, bst, t) for t in terms]
             else:
                 for qid, text in queries:
-                    for t in sorted(set(tokenize(text))):
-                        qterms.append((qid, self._term_of(t, fld), avg, bst))
+                    for t in sorted(set(self._tokenize(text))):
+                        qterms.append((qid, self._term_of(t, fld), avg, bst, t))
         if not qterms:
             return None
-        meta = self._term_meta(sorted({t for _, t, _, _ in qterms}))
+        meta = self._term_meta(sorted({t for _, t, _, _, _ in qterms}))
+        df_of = {}
+        if blend_df:
+            # blended df per bare token: max over its field variants
+            for _qid, t, _avg, _bst, bare in qterms:
+                if t in meta and meta[t]["df"] > 0:
+                    df_of[bare] = max(df_of.get(bare, 0), meta[t]["df"])
         present = [
-            (qid, t, _idf(self.n_docs, meta[t]["df"]) * bst, avg)
-            for qid, t, avg, bst in qterms
+            (qid, t,
+             _idf(self.n_docs,
+                  df_of[bare] if blend_df else meta[t]["df"]) * bst,
+             avg)
+            for qid, t, avg, bst, bare in qterms
             if t in meta and meta[t]["df"] > 0
         ]
         if not present:
@@ -3348,7 +3696,7 @@ class QueryEngine:
 
             snip = None
             for qid, text in queries:
-                terms = sorted(set(tokenize(text)))
+                terms = sorted(set(self._tokenize(text)))
                 if not terms:
                     continue
                 expr = snippet_col("text", terms, snippet_width)
@@ -3941,9 +4289,9 @@ class QueryEngine:
         for qid, (spec, texts, ids) in specs.items():
             toks: list[str] = []
             for t in texts:
-                toks += tokenize(t)
+                toks += self._tokenize(t)
             for i in ids:
-                toks += tokenize(like_texts[i])
+                toks += self._tokenize(like_texts[i])
             mtf = int(spec.get("min_term_freq", 2))
             cand[qid] = {
                 t: c for t, c in Counter(toks).items() if c >= mtf
@@ -4027,7 +4375,7 @@ class QueryEngine:
         ).filter(F.col("doc_id").isin(ids))
         toks = sorted({
             self._term_of(t, fld)
-            for _, text in queries for t in tokenize(text)
+            for _, text in queries for t in self._tokenize(text)
         })
         meta = self._term_meta(toks)
         rows = [
@@ -4258,7 +4606,7 @@ class QueryEngine:
         )
         if min_match is not None:
             need = {
-                qid: _min_match_count(min_match, len(set(tokenize(text))))
+                qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(
@@ -4373,7 +4721,7 @@ class QueryEngine:
             )
         if min_match is not None:
             need = {
-                qid: _min_match_count(min_match, len(set(tokenize(text))))
+                qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(
@@ -5066,7 +5414,7 @@ class QueryEngine:
         )
         if min_match is not None:
             need = {
-                qid: _min_match_count(min_match, len(set(tokenize(text))))
+                qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
             need_df = self.spark.createDataFrame(

@@ -31,6 +31,50 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def stem_minimal_english(w: str) -> str:
+    """The Lucene EnglishMinimalStemmer (ES ``minimal_english`` token
+    filter) — plural stripping only, pinned so the Spark column
+    expression, this oracle and the DuckDB twins agree bit-for-bit:
+    words < 3 chars or not ending in 's' pass through; ``-us``/``-ss``
+    pass through; ``-ies`` (len ≥ 4, char before the 'i' not a/e) →
+    ``-y``; ``-[iaoe]es`` pass through; otherwise drop the final
+    's'. (The exact Lucene branch order, including the len-4 guard.)"""
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in ("u", "s"):
+        return w
+    if c == "e":
+        if n > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]
+
+
+def analyze(
+    text: str,
+    stopwords: tuple[str, ...] = (),
+    stemmer: str | None = None,
+) -> list[str]:
+    """The CONFIGURABLE analysis chain (IndexConfig stopwords/stemmer):
+    pinned tokenize → stopword removal → minimal_english stemming.
+    With the default empty config this IS :func:`tokenize`."""
+    toks = tokenize(text)
+    if stopwords:
+        stops = set(stopwords)
+        toks = [t for t in toks if t not in stops]
+    if stemmer == "minimal_english":
+        toks = [stem_minimal_english(t) for t in toks]
+    elif stemmer is not None:
+        raise ValueError(
+            f"unsupported stemmer {stemmer!r} (minimal_english is the "
+            "pinned chain)"
+        )
+    return toks
+
+
 def idf(n_docs: int, df: int) -> float:
     """BM25 idf = ln(1 + (N - df + 0.5) / (df + 0.5))."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
