@@ -390,3 +390,53 @@ def test_composite_validation(spark, idx):
     with pytest.raises(ValueError, match="order"):
         eng.composite_aggs(
             q, [{"a": {"terms": {"field": "lang", "order": "up"}}}])
+
+
+def test_script_score(spark, idx):
+    """Round-6 ES script_score: the painless arithmetic-literal subset
+    over _score / doc values / params vs a pandas twin; full-set
+    re-rank (a 1/_score script inverts the inner ranking)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from xml_to_es_spark.operators.es_query import es_search
+
+    pdf, path = idx
+    e = QueryEngine(spark, path)
+    base = es_search(e, {"query": {"match": {"text": "alpha"}},
+                         "size": 100}).toPandas()
+    nch = dict(zip(pdf.doc_id, pdf.n_chars))
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": "alpha"}},
+        "script": {
+            "source": "_score * Math.log(doc['n_chars'].value) / params.d",
+            "params": {"d": 2.0}},
+    }}, "size": 100}
+    got = es_search(e, body).toPandas()
+    want = sorted(
+        ((d, s * math.log(nch[d]) / 2.0)
+         for d, s in zip(base.doc_id, base.score)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert list(got.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(got.score, [s for _, s in want], rtol=1e-9)
+    # inversion: 1/_score reverses the base ranking (ties aside)
+    inv = es_search(e, {"query": {"script_score": {
+        "query": {"match": {"text": "alpha"}},
+        "script": "1.0 / _score"}}, "size": 100}).toPandas()
+    want_inv = sorted(((d, 1.0 / s) for d, s in zip(base.doc_id, base.score)),
+                      key=lambda x: (-x[1], x[0]))
+    assert list(inv.doc_id) == [d for d, _ in want_inv]
+    # rejection matrix
+    for bad in ["doc['n_chars'].value; import os", "_score ** 2",
+                "System.exit(0)", "params.zzz + 1"]:
+        with pytest.raises(ValueError):
+            es_search(e, {"query": {"script_score": {
+                "query": {"match": {"text": "alpha"}},
+                "script": bad}}, "size": 5})
+    with pytest.raises(ValueError, match="query \\+ script"):
+        es_search(e, {"query": {"script_score": {
+            "query": {"match": {"text": "alpha"}},
+            "script": "_score", "boost": 2.0}}, "size": 5})

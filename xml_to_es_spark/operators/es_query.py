@@ -253,6 +253,48 @@ def _parse_simple_query(text: str) -> dict:
     return rich
 
 
+def _compile_script_score(source: str, params: dict) -> tuple[str, list]:
+    """Painless ARITHMETIC-LITERAL subset → one Spark SQL expression:
+    ``_score``, ``doc['field'].value``, ``params.x`` (numeric),
+    numeric literals, ``+ - * / ( )``, ``Math.log`` (→ ln) and
+    ``Math.sqrt``. Returns (sql_expr, doc-value columns). Anything
+    outside the whitelist raises — the repo's nothing-silently-ignored
+    contract for scripts."""
+    import re as _re2
+
+    cols = _re2.findall(r"doc\['(\w+)'\]\.value", source)
+    expr = _re2.sub(r"doc\['(\w+)'\]\.value",
+                    lambda m: f"(cast(`{m.group(1)}` as double))", source)
+
+    def sub_param(m):
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(
+                f"script references params.{name} but params defines "
+                f"{sorted(params)}"
+            )
+        return f"({float(params[name])!r})"
+
+    expr = _re2.sub(r"params\.(\w+)", sub_param, expr)
+    expr = expr.replace("Math.log", "ln").replace("Math.sqrt", "sqrt")
+    expr = _re2.sub(r"\b_score\b", "(cast(`_score` as double))", expr)
+    leftover = _re2.sub(
+        r"\(cast\(`\w+` as double\)\)|ln|sqrt|[\s0-9.+\-*/()]", "", expr
+    )
+    if leftover or "**" in expr or "//" in expr:
+        raise ValueError(
+            f"unsupported script syntax "
+            f"{(leftover or '** or //')!r} — the supported "
+            "subset is _score, doc['field'].value, params.x, numeric "
+            "literals, + - * / ( ), Math.log, Math.sqrt"
+        )
+    try:
+        F.expr(expr)
+    except Exception as ex:
+        raise ValueError(f"script does not parse: {ex}") from None
+    return expr, cols
+
+
 class EsRequest:
     """Parsed ES body → a routed engine call. Use :func:`es_search`."""
 
@@ -769,6 +811,63 @@ class EsRequest:
             return eng.more_like_this_topk(
                 [(0, m)], k=k, from_=from_,
                 field=self._resolve_match_field(flds[0]) if flds else None,
+            )
+        if kind == "script_score":
+            # ES script_score: re-rank the inner query's FULL match
+            # set by a painless ARITHMETIC-LITERAL subset — `_score`,
+            # `doc['field'].value`, `params.x`, numeric literals,
+            # + - * / ( ) and Math.log/Math.sqrt — compiled to one JVM
+            # expression; anything else raises (nothing silently
+            # ignored). The full set is required because a script can
+            # INVERT the inner ranking (e.g. 1/_score), so no top-k
+            # containment argument holds.
+            bad = set(spec) - {"query", "script"}
+            if bad or not ({"query", "script"} <= set(spec)):
+                raise ValueError(
+                    f"script_score takes query + script, got "
+                    f"{sorted(bad) or sorted(spec)}"
+                )
+            sc = spec["script"]
+            if isinstance(sc, str):
+                sc = {"source": sc}
+            badk = set(sc) - {"source", "params"}
+            if badk or "source" not in sc:
+                raise ValueError(
+                    f"script takes source (+params), got "
+                    f"{sorted(badk) or 'no source'}"
+                )
+            expr, cols = _compile_script_score(
+                str(sc["source"]), dict(sc.get("params") or {})
+            )
+            espec, fld = self._as_bool_tree(spec["query"])
+            ms = eng._bool_tree_match_set([(0, espec)], field=fld)
+            if ms is None:
+                from xml_to_es_spark.operators.query_engine import (
+                    TOPK_SCHEMA,
+                )
+
+                return eng.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            ms = ms.select(
+                "query_id", "doc_id", F.col("score").alias("_score")
+            )
+            if cols:
+                ms = ms.join(
+                    eng._doc_values(sorted(set(cols))), "doc_id", "left"
+                )
+            scored = ms.withColumn(
+                "score", F.expr(expr).cast("double")
+            )
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter((F.col("rank") > from_)
+                        & (F.col("rank") <= from_ + k))
+                .select("query_id", F.col("rank").cast("int"), "doc_id",
+                        "score")
             )
         if kind == "function_score":
             fs = dict(spec)
