@@ -425,13 +425,88 @@ def main():
             size=10, min_doc_count=3,
         ).collect(),
     )
+    # ---- round-6 additions (also excluded from r2_comparable) ----
+    new_in_r6 = [
+        "es_nested_topk", "multi_match_cross_topk", "intervals_topk",
+        "pipeline_aggs",
+    ]
+    # 26. ES nested query: per-object scoping as a higher-order array
+    # predicate over an array<struct> doc value — costs what a term
+    # filter costs (one column-pruned doc-values pass, no explode)
+    dv2 = dv.withColumn(
+        "spans",
+        F.expr(
+            "transform(sequence(0, cast(doc_id % 3 as int)), j -> "
+            "named_struct('tag', element_at(array('usa','ussr','uk','de'), "
+            "cast((doc_id + j) % 4 as int) + 1), "
+            "'w', cast((doc_id * 7 + j * 13) % 50 as long)))"
+        ),
+    )
+    timed(
+        "es_nested_topk",
+        lambda: eng.bool_topk(
+            [
+                (1, {"must": [{"nested": {
+                    "path": "spans", "score_mode": "sum", "query": {
+                        "bool": {"must": [
+                            {"term": {"spans.tag": "usa"}},
+                            {"range": {"spans.w": {"gte": 25}}}]}}}}]}),
+                (2, {"must": [{"match": {"query": "hash join"}}],
+                     "filter": [{"nested": {
+                         "path": "spans",
+                         "query": {"term": {"spans.tag": "uk"}}}}]}),
+            ],
+            k=10, docs=dv2,
+        ).collect(),
+    )
+    # 27. multi_match cross_fields: blended-df term-centric combine —
+    # one scan, two hash-aggs over the fielded index
+    timed(
+        "multi_match_cross_topk",
+        lambda: feng.multi_match(
+            entry.BM25_QUERIES, k=10, fields=["text", "title"],
+            match_type="cross_fields", tie_breaker=0.2,
+        ).collect(),
+    )
+    # 28. ordered intervals with a gap budget: the greedy minimal-chain
+    # positional kernel over the same decoded streams as phrase
+    timed(
+        "intervals_topk",
+        lambda: feng.intervals_topk(
+            entry.BM25_PHRASE_QUERIES, max_gaps=2, k=10, field="text",
+        ).collect(),
+    )
+    # 29. pipeline aggregations: post-agg window arithmetic over the
+    # bucket frame (bucket_script + cumulative_sum + derivative +
+    # bucket_sort) — corpus cost identical to the plain histogram agg
+    from xml_to_es_spark.operators.query_engine import pipeline_aggs
+
+    timed(
+        "pipeline_aggs",
+        lambda: pipeline_aggs(
+            eng.search_aggs(
+                entry.BM25_QUERIES, group_by=("n_chars", 400),
+                metrics={"s": ("sum", "n_chars")}, docs=dv,
+            ),
+            {
+                "ratio": {"bucket_script": {
+                    "buckets_path": {"a": "s", "b": "_count"},
+                    "script": "params.a / params.b"}},
+                "cs": {"cumulative_sum": {"buckets_path": "s"}},
+                "d": {"derivative": {"buckets_path": "s"}},
+                "top": {"bucket_sort": {"sort": [{"s": {"order": "desc"}}],
+                                        "size": 4}},
+            },
+            order_col="n_chars_bucket", bucket_cols=["n_chars_bucket"],
+        ).collect(),
+    )
     dv.unpersist()
     fdocs.unpersist()
 
     total = round(sum(timings.values()), 3)
     r2_comparable = round(
         sum(v for k, v in timings.items()
-            if k not in new_in_r3 + new_in_r4 + new_in_r5), 3
+            if k not in new_in_r3 + new_in_r4 + new_in_r5 + new_in_r6), 3
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
