@@ -509,3 +509,87 @@ def test_named_queries_and_constant_score_add_no_passes(spark, tmp_path):
     assert named.count("Exchange hashpartitioning") <= plain.count(
         "Exchange hashpartitioning"
     ) + 2  # dv-join + candidate-union shuffles, nothing per clause
+
+
+def test_round6_operator_plans(spark, tmp_path):
+    """Round-6 plan shapes: nested = one doc-values pass with a
+    higher-order array predicate (no explode, no Python); cross_fields
+    = one scan + two hash-aggs with exactly the one MapInPandas decode
+    kernel; pipeline aggs add windows over the bucket frame, zero
+    extra scans; knn exact = broadcast query against one column-pruned
+    doc-values pass, no cartesian blowup beyond the 1-row broadcast."""
+    import pandas as pd
+
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.es_query import es_search
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"alpha beta w{i}" for i in range(40)],
+        "title": [f"title w{i}" for i in range(40)],
+        "n_chars": [100 + i for i in range(40)],
+        "emb": [[float(i % 7), 1.0, -0.5] for i in range(40)],
+    })
+    docs = spark.createDataFrame(pdf).withColumn(
+        "tags",
+        F.expr("transform(sequence(0, cast(doc_id % 2 as int)), j -> "
+               "named_struct('k', cast((doc_id + j) % 3 as long)))"),
+    )
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, IndexConfig(
+        n_groups=2, indexed_fields=("text", "title"),
+        store_positions=True, stored_fields=("n_chars", "emb", "tags"),
+    )).build(docs, idx)
+    eng = QueryEngine(spark, idx)
+
+    nested = es_search(eng, {"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}],
+        "should": [{"nested": {"path": "tags", "score_mode": "sum",
+                               "query": {"range": {"tags.k": {"gte": 1}}}}}],
+    }}, "size": 5})
+    p = explain_str(nested, "formatted")
+    assert "Generate" not in p or "explode(tags" not in p  # no explode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert_no_cartesian(nested)
+    # executed FINAL plan: ONE decode kernel (toString appends the
+    # initial plan too — count only the final section)
+    nested.collect()
+    pf = (nested._jdf.queryExecution().executedPlan().toString()
+          .split("== Initial Plan ==")[0])
+    assert pf.count("MapInPandas") <= 1
+
+    cross = eng.multi_match([(0, "alpha beta")], k=5,
+                            match_type="cross_fields", tie_breaker=0.2)
+    pc = explain_str(cross, "formatted")
+    assert "BatchEvalPython" not in pc
+    assert_no_cartesian(cross)
+    cross.collect()
+    pcf = (cross._jdf.queryExecution().executedPlan().toString()
+           .split("== Initial Plan ==")[0])
+    assert pcf.count("MapInPandas") == 1
+
+    from xml_to_es_spark.operators.query_engine import pipeline_aggs
+
+    base = eng.search_aggs([(0, "alpha")], group_by=("n_chars", 20),
+                           metrics={"s": ("sum", "n_chars")})
+    piped = pipeline_aggs(
+        base,
+        {"cs": {"cumulative_sum": {"buckets_path": "s"}},
+         "r": {"bucket_script": {"buckets_path": {"a": "s", "b": "_count"},
+                                 "script": "params.a / params.b"}}},
+        order_col="n_chars_bucket", bucket_cols=["n_chars_bucket"],
+    )
+    # pipelines add NO new scans: same number of parquet reads
+    pb, pp = explain_str(base, "formatted"), explain_str(piped, "formatted")
+    assert pp.count("Scan parquet") == pb.count("Scan parquet")
+    assert "BatchEvalPython" not in pp
+
+    knn = es_search(eng, {"knn": {"field": "emb",
+                                  "query_vector": [1.0, 0.5, -0.5],
+                                  "k": 3}, "size": 3})
+    pk = explain_str(knn, "formatted")
+    assert "BatchEvalPython" not in pk and "ArrowEvalPython" not in pk
+    # the cross join is the 1-row broadcast query vector by design
+    assert "BroadcastNestedLoopJoin" in pk or "CartesianProduct" not in pk
