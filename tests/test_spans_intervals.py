@@ -181,3 +181,79 @@ def test_span_intervals_validation(eng):
     with pytest.raises(ValueError, match="include"):
         es_search(e, {"query": {"span_not": {
             "include": {"span_term": {"text": "a"}}}}, "size": 3})
+
+
+def test_intervals_any_of(eng):
+    """any_of over match rules sharing one gap budget: matched = any
+    branch, score = max over matching branches' term-BM25 sums."""
+    e, pdf = eng
+
+    def one(text, seq, gaps):
+        plists = [_positions(text, t) for t in seq]
+        if any(not p for p in plists):
+            return False
+        for combo in itertools.product(*plists):
+            if all(a < b for a, b in zip(combo, combo[1:])) and (
+                    combo[-1] - combo[0] + 1 - len(seq) <= gaps):
+                return True
+        return False
+
+    body = {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "a b", "max_gaps": 1, "ordered": True}},
+        {"match": {"query": "c a", "max_gaps": 1, "ordered": True}},
+    ]}}}}, "size": 20}
+    out = es_search(e, body).toPandas()
+    want = {}
+    for r in pdf.itertuples():
+        ss = []
+        if one(r.text, ["a", "b"], 1):
+            ss.append(_bm25(pdf, r.doc_id, ["a", "b"]))
+        if one(r.text, ["c", "a"], 1):
+            ss.append(_bm25(pdf, r.doc_id, ["c", "a"]))
+        if ss:
+            want[r.doc_id] = max(ss)
+    rows = sorted(want.items(), key=lambda x: (-x[1], x[0]))
+    assert list(out.doc_id) == [d for d, _ in rows] and rows
+    np.testing.assert_allclose(out.score, [s for _, s in rows], rtol=1e-9)
+    with pytest.raises(ValueError, match="share one max_gaps"):
+        es_search(e, {"query": {"intervals": {"text": {"any_of": {
+            "intervals": [
+                {"match": {"query": "a b", "max_gaps": 1, "ordered": True}},
+                {"match": {"query": "c a", "max_gaps": 2, "ordered": True}},
+            ]}}}}, "size": 5})
+
+
+def test_nested_inner_hits(spark, tmp_path_factory):
+    """Top-level nested with inner_hits: each hit carries the array of
+    matching objects (the DataFrame adaptation of ES inner_hits)."""
+    from xml_to_es_spark.config import IndexConfig
+    from xml_to_es_spark.operators.index_build import IndexBuilder
+    from xml_to_es_spark.operators.query_engine import QueryEngine
+
+    pdf = pd.DataFrame({
+        "doc_id": range(12),
+        "text": [f"alpha w{i}" for i in range(12)],
+    })
+    docs = (spark.createDataFrame(pdf)
+            .withColumn("tags", __import__("pyspark.sql.functions",
+                                           fromlist=["expr"]).expr(
+        "transform(sequence(0, cast(doc_id % 3 as int)), j -> "
+        "named_struct('k', cast((doc_id + j) % 4 as long)))")))
+    idx = str(tmp_path_factory.mktemp("ih") / "idx")
+    IndexBuilder(spark, IndexConfig(
+        n_groups=1, stored_fields=("tags",))).build(docs, idx)
+    e = QueryEngine(spark, idx)
+    out = es_search(e, {"query": {"nested": {
+        "path": "tags", "score_mode": "sum", "inner_hits": {},
+        "query": {"range": {"tags.k": {"gte": 2}}}}}, "size": 12}
+    ).toPandas()
+    assert "inner_hits" in out.columns and len(out) > 0
+    for r in out.itertuples():
+        objs = [{"k": (r.doc_id + j) % 4} for j in range(r.doc_id % 3 + 1)]
+        want = [o for o in objs if o["k"] >= 2]
+        got = [{"k": o["k"]} for o in r.inner_hits]
+        assert got == want and len(want) == int(r.score)
+    with pytest.raises(ValueError, match="inner_hits takes an empty"):
+        es_search(e, {"query": {"nested": {
+            "path": "tags", "inner_hits": {"size": 2},
+            "query": {"range": {"tags.k": {"gte": 2}}}}}, "size": 3})

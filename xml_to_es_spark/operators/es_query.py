@@ -783,8 +783,42 @@ class EsRequest:
                 search_after=cursor,
             )
         if kind in ("dis_max", "boosting", "nested"):
+            inner_hits = None
+            if kind == "nested" and isinstance(spec, dict) \
+                    and "inner_hits" in spec:
+                # ES inner_hits on a TOP-LEVEL nested query: each hit
+                # carries the matching nested objects. DataFrame
+                # adaptation: an `inner_hits` ARRAY column holding the
+                # objects that satisfied the inner query (the same
+                # element predicate, zero extra scans — the path
+                # column is already in the doc-values projection).
+                spec = dict(spec)
+                ih = spec.pop("inner_hits")
+                if ih not in ({}, None):
+                    raise ValueError(
+                        "inner_hits takes an empty body (size/sort/"
+                        "name are not supported — the column carries "
+                        "ALL matching objects)"
+                    )
+                inner_hits = (str(spec["path"]), spec["query"])
             espec = {"must": [self._rich_clause({kind: spec})]}
-            return eng.bool_topk([(0, espec)], k=k, from_=from_)
+            out = eng.bool_topk([(0, espec)], k=k, from_=from_)
+            if inner_hits is not None:
+                path, q = inner_hits
+                ids, out = self._localize_page(out)
+                objs = eng._doc_values([path]).filter(
+                    F.col("doc_id").isin(ids)
+                ).select(
+                    "doc_id",
+                    F.filter(
+                        F.col(path),
+                        QueryEngine._nested_elem_pred(path, q),
+                    ).alias("inner_hits"),
+                )
+                out = out.join(F.broadcast(objs), "doc_id", "left").select(
+                    "query_id", "rank", "doc_id", "score", "inner_hits"
+                )
+            return out
         if kind == "more_like_this":
             m = dict(spec)
             bad = set(m) - ({"fields"} | QueryEngine._MLT_KEYS)
@@ -1155,29 +1189,63 @@ class EsRequest:
                     field=self._resolve_match_field(fi),
                 )
             if kind == "intervals":
-                # round 6: ES intervals `match` rule, ordered=true only
+                # round 6: ES intervals `match` rule (ordered=true
+                # only) and `any_of` over match rules sharing one
+                # ordered gap budget
                 (fld2, rule), = spec.items()
+
+                def mrule(r) -> tuple[str, int]:
+                    mr = dict(r)
+                    bad = set(mr) - {"query", "max_gaps", "ordered"}
+                    if bad or "query" not in mr:
+                        raise ValueError(
+                            f"intervals match takes query (+max_gaps, "
+                            f"ordered), got {sorted(bad) or 'no query'}"
+                        )
+                    if not mr.get("ordered", False):
+                        raise ValueError(
+                            "intervals ordered=false is not supported — "
+                            "use match_phrase slop for unordered "
+                            "proximity"
+                        )
+                    return str(mr["query"]), int(mr.get("max_gaps", 0))
+
+                if isinstance(rule, dict) and set(rule) == {"any_of"}:
+                    ao = dict(rule["any_of"])
+                    ivs = ao.pop("intervals", None)
+                    if ao or not isinstance(ivs, list) or not ivs:
+                        raise ValueError(
+                            "any_of takes a non-empty intervals list"
+                        )
+                    parsed2 = []
+                    for r in ivs:
+                        if not (isinstance(r, dict)
+                                and set(r) == {"match"}):
+                            raise ValueError(
+                                "any_of branches must be match rules"
+                            )
+                        parsed2.append(mrule(r["match"]))
+                    gaps = {g for _t, g in parsed2}
+                    if len(gaps) != 1:
+                        raise ValueError(
+                            "any_of branches must share one max_gaps "
+                            "(per-branch budgets are not supported — "
+                            "documented restriction)"
+                        )
+                    return eng.intervals_any_topk(
+                        [(0, [t for t, _g in parsed2])],
+                        max_gaps=gaps.pop(), k=k, from_=from_,
+                        field=self._resolve_match_field(fld2),
+                    )
                 if not (isinstance(rule, dict) and set(rule) == {"match"}):
                     raise ValueError(
-                        "intervals supports the match rule only "
-                        "(all_of/any_of/prefix/fuzzy are not routed)"
+                        "intervals supports the match rule and any_of "
+                        "of match rules (all_of/prefix/fuzzy are not "
+                        "routed)"
                     )
-                mr = dict(rule["match"])
-                bad = set(mr) - {"query", "max_gaps", "ordered"}
-                if bad or "query" not in mr:
-                    raise ValueError(
-                        f"intervals match takes query (+max_gaps, "
-                        f"ordered), got {sorted(bad) or 'no query'}"
-                    )
-                if not mr.get("ordered", False):
-                    raise ValueError(
-                        "intervals ordered=false is not supported — use "
-                        "match_phrase slop for unordered proximity"
-                    )
+                text, gaps1 = mrule(rule["match"])
                 return eng.intervals_topk(
-                    [(0, str(mr["query"]))],
-                    max_gaps=int(mr.get("max_gaps", 0)),
-                    k=k, from_=from_,
+                    [(0, text)], max_gaps=gaps1, k=k, from_=from_,
                     field=self._resolve_match_field(fld2),
                 )
             first = None

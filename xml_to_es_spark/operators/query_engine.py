@@ -2556,6 +2556,39 @@ class QueryEngine:
             queries, k, from_, field, seqs=seqs, ordered_gaps=gaps
         )
 
+    def intervals_any_topk(
+        self,
+        queries: list[tuple[int, list[str]]],
+        max_gaps: int = 0,
+        k: int = 10,
+        field: str | None = None,
+        from_: int = 0,
+    ) -> DataFrame:
+        """ES ``intervals`` ``any_of``: a doc matches when ANY of the
+        alternative ordered interval rules matches (every branch
+        shares ``ordered=true`` and ONE ``max_gaps`` — per-branch
+        budgets raise upstream, a documented restriction). Score = max
+        over the matching branches' pinned phrase-BM25 sums (the alts
+        combine). Needs ``store_positions=True``."""
+        if max_gaps < 0:
+            raise ValueError("max_gaps must be ≥ 0")
+        fld = self._resolve_field(field)
+        alts = {
+            qid: [
+                [self._term_of(t, fld) for t in self._tokenize(text)]
+                for text in texts
+            ]
+            for qid, texts in queries
+        }
+        if not all(alt and all(sq for sq in alt) for alt in alts.values()):
+            raise ValueError("intervals any_of needs non-empty rule texts")
+        scan = [(qid, " ".join(texts)) for qid, texts in queries]
+        seqs = {qid: alts[qid][0] for qid, _ in queries}
+        gaps = {qid: int(max_gaps) for qid, _ in queries}
+        return self._span_like_topk(
+            scan, k, from_, field, seqs=seqs, alts=alts, ordered_gaps=gaps
+        )
+
     def _phrase_group_kernel(
         self,
         k: int | None,
