@@ -40,6 +40,19 @@ def fielded(spark, tmp_path_factory):
     return root, pdf, idx
 
 
+@pytest.fixture(scope="module")
+def fielded_mut(fielded):
+    """A COPY of the fielded index for the mutating upsert/compact
+    tests, so the module-scoped `fielded` index stays pristine for the
+    tests whose pandas twins are computed from the original corpus."""
+    import shutil
+
+    root, pdf, idx = fielded
+    mut = str(root / "mut_idx")
+    shutil.copytree(idx, mut)
+    return root, pdf, mut
+
+
 def test_title_only_hit_ranks_per_field(spark, fielded):
     """ES semantics: match on {title: biogen} finds the title-only
     doc; match on {text: biogen} does not."""
@@ -111,11 +124,11 @@ def test_fielded_phrase_and_field_validation(spark, fielded):
         bad.validate_mapping(idx)
 
 
-def test_fielded_upsert_inherits_mapping_and_matches_rebuild(spark, fielded):
+def test_fielded_upsert_inherits_mapping_and_matches_rebuild(spark, fielded_mut):
     """An upsert from a DEFAULT-config builder must inherit the fielded
     + positional mapping (ES: a PUT cannot change the mapping), detect
     title-only changes, and stay bit-equal to a fresh rebuild."""
-    root, pdf, idx = fielded
+    root, pdf, idx = fielded_mut
     patch = pd.DataFrame(
         {
             "doc_id": [7, 100],
@@ -165,10 +178,10 @@ def test_fielded_upsert_inherits_mapping_and_matches_rebuild(spark, fielded):
     assert list(got["doc_id"]) == [3]
 
 
-def test_fielded_compact_keeps_fields_and_positions(spark, fielded):
+def test_fielded_compact_keeps_fields_and_positions(spark, fielded_mut):
     """Compaction of the fielded LSM (runs after the upserts above)
     inherits the mapping: still two fields, positional sidecar intact."""
-    root, pdf, idx = fielded
+    root, pdf, idx = fielded_mut
     out = str(root / "compacted")
     IndexBuilder(spark).compact(idx, out)
     eng = QueryEngine(spark, out)

@@ -58,8 +58,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xml_to_es_spark.config import IndexConfig
-from xml_to_es_spark.functions.analysis import doc_len_col, tokens_col
+from xml_to_es_spark.functions.analysis import doc_len_col
 from xml_to_es_spark.operators.postings import encode_segment
+from xml_to_es_spark.session import local_rows_df
 
 POSTINGS_SCHEMA = (
     "group int, term string, salt int, n_docs long, first_doc long, "
@@ -460,12 +461,18 @@ class IndexBuilder:
         )
         return f"{row['n']}-{row['h1']}-{row['h2']}"
 
-    def _write_docs_meta(self, docs: DataFrame, out: Path) -> None:
+    def _write_docs_meta(self, docs: DataFrame, out: Path) -> str:
         """One projection over the input text — md5 (+ byte length,
         + stored source/url) — checkpointed to parquet. Everything
         downstream that needs per-doc metadata reads THIS narrow table
         instead of re-scanning the fat text column: the whole build
-        touches text exactly TWICE (here and the tokenize pass)."""
+        touches text exactly TWICE (here and the tokenize pass).
+
+        Returns the input snapshot, observed DURING the write (the
+        same aggregate expressions as :meth:`_snapshot_from_meta`, so
+        the value is identical) — no separate read-back job."""
+        from pyspark.sql import Observation
+
         cols = [
             F.col("doc_id"),
             self._md5_col().alias("text_md5"),
@@ -481,7 +488,17 @@ class IndexBuilder:
         if "url" in docs.columns:
             cols.append(F.col("url"))
         cols += [F.col(f) for f in self._stored_only(docs)]
-        docs.select(*cols).write.mode("overwrite").parquet(str(out / "docs_meta"))
+        obs = Observation()
+        docs.select(*cols).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(cast(doc_id as string), text_md5))"
+            ).alias("h1"),
+            F.sum("text_len").alias("h2"),
+        ).write.mode("overwrite").parquet(str(out / "docs_meta"))
+        got = obs.get
+        return f"{got['n']}-{got['h1']}-{got['h2']}"
 
     def _snapshot_from_meta(self, out: Path) -> str:
         row = (
@@ -635,8 +652,7 @@ class IndexBuilder:
             if out.exists():
                 shutil.rmtree(out)
             out.mkdir(parents=True, exist_ok=True)
-            self._write_docs_meta(docs, out)
-            snapshot = self._snapshot_from_meta(out)
+            snapshot = self._write_docs_meta(docs, out)
         else:
             # resume / crash-injection path: fingerprint the CURRENT
             # input directly (same md5-keyed formula → same value)
@@ -679,13 +695,15 @@ class IndexBuilder:
                 wall_ms=int((time.time() - t0) * 1000),
             )
             phases["tokens_s"] = round(time.time() - t_tok, 2)
+        st = None
         if ("docs", -1) not in done:
             # doc lengths come from the tokens table — text is
             # tokenized exactly ONCE per build
             t_ds = time.time()
-            self._build_docs_and_stats(docs, out, snapshot)
+            st = self._build_docs_and_stats(docs, out, snapshot)
             phases["docs_stats_s"] = round(time.time() - t_ds, 2)
-        st = self.spark.read.parquet(str(out / "stats")).first()
+        if st is None:  # resume path: docs stage already committed
+            st = self.spark.read.parquet(str(out / "stats")).first()
         n_docs = st["n_docs"]
         id_range = (int(st["min_doc"]), int(st["max_doc"]))
 
@@ -1249,25 +1267,56 @@ class IndexBuilder:
             d = d.withColumn(
                 "doc_len", F.col(f"doc_len__{self.cfg.default_field}")
             )
-        d.write.mode("overwrite").parquet(str(out / "docs"))
-        dd = self.spark.read.parquet(str(out / "docs"))
-        per_field = []
-        for f in fields if self.cfg.fielded else []:
-            per_field += [
+        # corpus stats observed DURING the docs write (identical
+        # aggregate expressions → identical values, one job instead of
+        # write + read-back + agg); the 1-row stats table is then
+        # assembled driver-side
+        from pyspark.sql import Observation
+
+        per_field_names = [f for f in fields] if self.cfg.fielded else []
+        obs = Observation()
+        per_field_aggs = []
+        for f in per_field_names:
+            per_field_aggs += [
                 F.avg(f"doc_len__{f}").alias(f"avgdl__{f}"),
                 F.sum(f"doc_len__{f}").alias(f"total_tokens__{f}"),
             ]
-        stats = dd.select(
-            F.count("*").alias("n_docs"),
+        d.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
             F.sum("doc_len").alias("total_tokens"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
-            *per_field,
-        ).withColumn("input_snapshot", F.lit(snapshot))
-        stats = self._stats_config_cols(stats)
-        stats.coalesce(1).write.mode("overwrite").parquet(str(out / "stats"))
+            *per_field_aggs,
+        ).write.mode("overwrite").parquet(str(out / "docs"))
+        got = obs.get
+        schema = (
+            "n_docs long, avgdl double, total_tokens long, "
+            "min_doc long, max_doc long"
+            + "".join(
+                f", avgdl__{f} double, total_tokens__{f} long"
+                for f in per_field_names
+            )
+            + ", input_snapshot string"
+        )
+        row = (
+            int(got["n_docs"]),
+            got["avgdl"],
+            got["total_tokens"],
+            got["min_doc"],
+            got["max_doc"],
+            *[
+                v
+                for f in per_field_names
+                for v in (got[f"avgdl__{f}"], got[f"total_tokens__{f}"])
+            ],
+            snapshot,
+        )
+        stats = self._stats_config_cols(local_rows_df(self.spark, [row], schema))
+        stats.write.mode("overwrite").parquet(str(out / "stats"))
         self._manifest_row(out, stage="docs", group=-1, snapshot=snapshot)
+        return got
 
     def _encode_postings(
         self, tok: DataFrame, min_doc: int, max_doc: int
@@ -1340,8 +1389,8 @@ class IndexBuilder:
         if getattr(self, "_defer_manifest", False):
             self._pending_manifest.extend(rows)
             return
-        df = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+        df = local_rows_df(self.spark, rows, MANIFEST_SCHEMA)
+        df.write.mode("append").parquet(str(out / "_manifest"))
 
     def _build_all_groups(self, out: Path, id_range: tuple, snapshot: str) -> None:
         """Single-job stage 2: every group in one shuffle; postings land
@@ -1401,12 +1450,12 @@ class IndexBuilder:
         if getattr(self, "_defer_manifest", False):
             self._pending_manifest.append(row)
             return
-        df = self.spark.createDataFrame([row], schema=MANIFEST_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+        df = local_rows_df(self.spark, [row], MANIFEST_SCHEMA)
+        df.write.mode("append").parquet(str(out / "_manifest"))
 
     def _flush_manifest(self, out: Path):
         if not getattr(self, "_pending_manifest", None):
             return
-        df = self.spark.createDataFrame(self._pending_manifest, schema=MANIFEST_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(str(out / "_manifest"))
+        df = local_rows_df(self.spark, self._pending_manifest, MANIFEST_SCHEMA)
+        df.write.mode("append").parquet(str(out / "_manifest"))
         self._pending_manifest = []

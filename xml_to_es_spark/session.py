@@ -44,6 +44,26 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """``spark.createDataFrame(rows, schema)`` for SMALL driver-side
+    row lists, materialized as ONE partition.
+
+    The stock list path parallelizes into ``defaultParallelism``
+    (= cores) pickled partitions, so evaluating the tiny DataFrame
+    costs one Python-worker round trip PER CORE — and a downstream
+    ``coalesce(1)`` chains those round trips serially (~3.5 s on
+    local[32] for a 6-row manifest write, measured). One slice makes
+    it a single round trip (guide §4: control how often the
+    JVM↔Python boundary is crossed, not just how much crosses it)."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    if not rows:
+        # empty RDDs cannot carry schema through the RDD path
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors regardless of the
     driver's cwd — the programmatic equivalent of
