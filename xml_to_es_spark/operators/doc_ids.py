@@ -20,6 +20,7 @@ pins one boundary sample so the count job and the final job agree.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from xml_to_es_spark.session import local_rows_df
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -47,7 +48,7 @@ def assign_doc_ids(
         offsets[pid] = acc
         acc += counts[pid]
     spark = df.sparkSession
-    omap = spark.createDataFrame(
+    omap = local_rows_df(spark, 
         [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _off long"
     )
     w = W.partitionBy("_pid").orderBy(*order)

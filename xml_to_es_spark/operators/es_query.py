@@ -140,6 +140,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xml_to_es_spark.operators.query_engine import QueryEngine
+from xml_to_es_spark.session import local_rows_df
 
 _MATCH_KEYS = {"query", "operator", "fuzziness", "minimum_should_match",
                "max_expansions", "slop"}
@@ -455,7 +456,7 @@ class EsRequest:
         rows = hits.collect()
         return (
             [int(r["doc_id"]) for r in rows],
-            self.eng.spark.createDataFrame(rows, hits.schema),
+            local_rows_df(self.eng.spark, rows, hits.schema),
         )
 
     def _docvalue_cols(self) -> set:
@@ -880,7 +881,7 @@ class EsRequest:
                     TOPK_SCHEMA,
                 )
 
-                return eng.spark.createDataFrame([], schema=TOPK_SCHEMA)
+                return local_rows_df(eng.spark, [], schema=TOPK_SCHEMA)
             ms = ms.select(
                 "query_id", "doc_id", F.col("score").alias("_score")
             )
@@ -984,7 +985,7 @@ class EsRequest:
             bares = [t[len(f) + 1:] if f else t for t in stored]
             boost = float(opts.get("boost", 1.0))
             if not bares:
-                return eng.spark.createDataFrame(
+                return local_rows_df(eng.spark, 
                     [], schema="query_id long, rank int, doc_id long, "
                                "score double")
             # ES default rewrite for multi-term queries is
@@ -1085,7 +1086,7 @@ class EsRequest:
                 (0, d, _PINNED_SCORE - pos * _PINNED_STEP)
                 for pos, d in enumerate(ids) if d in live
             ]
-            pins = eng.spark.createDataFrame(
+            pins = local_rows_df(eng.spark, 
                 pin_rows, schema="query_id long, doc_id long, score double"
             )
             from pyspark.sql import Window as W
@@ -1271,7 +1272,7 @@ class EsRequest:
                 raise ValueError("match_none takes an empty body")
             from xml_to_es_spark.operators.query_engine import TOPK_SCHEMA
 
-            return eng.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(eng.spark, [], schema=TOPK_SCHEMA)
         if kind == "match_all":
             raise ValueError(
                 "bare match_all is an unbounded corpus scan; add a filter "
@@ -2044,7 +2045,7 @@ class EsRequest:
             )
         for c in (filters or []):
             dv = dv.filter(self.eng._structured_pred(c))
-        qdf = self.eng.spark.createDataFrame(
+        qdf = local_rows_df(self.eng.spark, 
             [(0, qv)], schema="query_id long, q_vec array<double>"
         )
         nc = spec.get("num_candidates")
@@ -2408,7 +2409,7 @@ def es_mget(engine: QueryEngine, body: dict) -> DataFrame:
         ids = [int(v) for v in body["ids"]]
     else:
         ids = [int(d["_id"]) for d in body["docs"]]
-    req = engine.spark.createDataFrame(
+    req = local_rows_df(engine.spark, 
         [(i,) for i in ids], schema="doc_id long"
     )
     got = engine.fetch(ids)
@@ -2483,7 +2484,7 @@ def es_bulk(builder, index_dir: str, actions) -> dict:
             for r in live_docs(builder.spark, index_dir)
             .select("doc_id")
             .join(
-                builder.spark.createDataFrame(
+                local_rows_df(builder.spark, 
                     [(int(d),) for d in creates], schema="doc_id long"
                 ),
                 "doc_id",
@@ -2928,7 +2929,7 @@ def es_termvectors(
     schema = ("doc_id long, field string, term string, term_freq long, "
               "positions array<long>")
     if not want_stats:
-        return engine.spark.createDataFrame(out, schema=schema)
+        return local_rows_df(engine.spark, out, schema=schema)
     keys = {
         (f, t): engine._term_of(t, f if engine.fielded else None)
         for _d, f, t, _c, _p in out
@@ -2938,7 +2939,7 @@ def es_termvectors(
         r + (int(meta.get(keys[(r[1], r[2])], {}).get("df", 0)),)
         for r in out
     ]
-    return engine.spark.createDataFrame(
+    return local_rows_df(engine.spark, 
         out, schema=schema + ", doc_freq long"
     )
 

@@ -994,8 +994,8 @@ class IndexBuilder:
         if isinstance(doc_ids, DataFrame):
             ids = doc_ids.select("doc_id").distinct()
         else:
-            ids = self.spark.createDataFrame(
-                [(int(d),) for d in doc_ids], schema="doc_id long"
+            ids = local_rows_df(
+                self.spark, [(int(d),) for d in doc_ids], "doc_id long"
             ).distinct()
         with self._writer_lock(index_dir):
             del_ord = self._next_ord(index_dir)

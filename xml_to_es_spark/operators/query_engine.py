@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xml_to_es_spark.session import local_rows_df
 from xml_to_es_spark.config import BM25Config
 from xml_to_es_spark.operators.postings import varbyte_decode
 from xml_to_es_spark.pyref import idf as _idf
@@ -637,7 +638,7 @@ class QueryEngine:
         from_+1 .. from_+k of the full ranking, global ranks kept."""
         matched = self._matched_segments(queries, fuzziness, field, fields)
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
@@ -699,7 +700,7 @@ class QueryEngine:
             field_boosts=field_boosts,
         )
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         k_local = from_ + k  # pagination: page p needs the top from_+k
         if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
             # per-(query, dir, range) local top-k, global merge: a
@@ -804,7 +805,7 @@ class QueryEngine:
         """Join matched segments to the broadcast doc-range table on
         segment-span overlap, so a segment's bytes only reach the
         ranges its docs can fall in."""
-        ranges = self.spark.createDataFrame(
+        ranges = local_rows_df(self.spark, 
             self._doc_ranges(n_ranges), schema="range_id int, range_lo long, range_hi long"
         )
         seg_last = F.element_at("block_last_doc", -1)
@@ -928,7 +929,7 @@ class QueryEngine:
                 queries, fields=use, field_boosts=boosts, blend_df=True
             )
             if matched is None:
-                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+                return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
             contribs = matched.mapInPandas(
                 _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
                 schema=CONTRIB_SCHEMA,
@@ -971,7 +972,7 @@ class QueryEngine:
                 queries, fields=use, field_boosts=boosts
             )
             if matched is None:
-                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+                return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
             contribs = matched.mapInPandas(
                 _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
                 schema=CONTRIB_SCHEMA,
@@ -1252,7 +1253,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            out = self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            out = local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
             if track_total_hits:
                 out = out.withColumn("total", F.lit(0).cast("long"))
             return out
@@ -1327,7 +1328,7 @@ class QueryEngine:
             if t in meta and meta[t]["df"] > 0
         ]
         if not present:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         agg = self._bool_agg(present, meta)
         cols = sorted(set(msm_of.values()))
         dv = (docs.select("doc_id", *cols) if docs is not None
@@ -1376,7 +1377,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         return self._bucket_agg(
@@ -1546,7 +1547,7 @@ class QueryEngine:
             cur = scan.get((qid, t))
             scan[(qid, t)] = (max(idf, cur[0]) if cur else idf, avg)
             role_rows.append((qid, t, role))
-        sdf = self.spark.createDataFrame(
+        sdf = local_rows_df(self.spark, 
             [(q, t, i, a) for (q, t), (i, a) in scan.items()],
             schema="query_id long, term string, idf double, avgdl double",
         )
@@ -1555,7 +1556,7 @@ class QueryEngine:
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
-        roles = self.spark.createDataFrame(
+        roles = local_rows_df(self.spark, 
             role_rows, schema="query_id long, term string, role string"
         )
         return (
@@ -1620,7 +1621,7 @@ class QueryEngine:
         with score 0, minus any must_not matches from the agg."""
         text_hits = None
         if agg is not None:
-            need_df = self.spark.createDataFrame(
+            need_df = local_rows_df(self.spark, 
                 need, schema="query_id long, n_must int, n_filter int, msm int"
             )
             text_hits = (
@@ -2142,7 +2143,7 @@ class QueryEngine:
             partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
                 run, schema=TOPK_SCHEMA + ", range_id int"
             )
-            pm = self.spark.createDataFrame(
+            pm = local_rows_df(self.spark, 
                 [
                     (lf.cid, qid_of[lf.cid],
                      lf.boost if lf.scoring else 0.0)
@@ -2243,7 +2244,7 @@ class QueryEngine:
         }
         pre = None  # unified (query_id, doc_id, cid, wc) clause rows
         if present:
-            sdf = self.spark.createDataFrame(
+            sdf = local_rows_df(self.spark, 
                 [
                     (
                         qid,
@@ -2255,7 +2256,7 @@ class QueryEngine:
                 ],
                 schema="query_id long, term string, idf double, avgdl double",
             )
-            cdf = self.spark.createDataFrame(
+            cdf = local_rows_df(self.spark, 
                 [r for r in clause_rows if (r[0], r[1]) in present],
                 schema="query_id long, term string, cid int, w double",
             )
@@ -2416,7 +2417,7 @@ class QueryEngine:
         }
         matched = self._matched_segments(queries, field=field)
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
         if first is not None and slop:
@@ -2450,7 +2451,7 @@ class QueryEngine:
 
         matched = self._matched_segments(scan_queries, field=field)
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, 1)
         run = self._phrase_group_kernel(k_local, **kernel_kw)
@@ -3068,7 +3069,7 @@ class QueryEngine:
                 "suggest_mode must be missing / popular / always"
             )
         toks = [t for t in dict.fromkeys(tokens) if t]
-        empty = self.spark.createDataFrame(
+        empty = local_rows_df(self.spark, 
             [],
             schema="token string, rank long, suggestion string, "
                    "distance int, df long",
@@ -3301,7 +3302,7 @@ class QueryEngine:
             out_rows.append((text, len(out_rows) + 1, sug, float(sc)))
             if len(out_rows) >= size:
                 break
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark, 
             out_rows,
             schema="text string, rank long, suggestion string, "
                    "score double",
@@ -3526,7 +3527,7 @@ class QueryEngine:
             queries, field=field, prefix_expansions=max_expansions
         )
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         k_local = from_ + k
         ranged = self._ranged(matched, n_ranges or 1)
         run = self._phrase_group_kernel(
@@ -3623,7 +3624,7 @@ class QueryEngine:
         ]
         if not present:
             return None
-        qdf = self.spark.createDataFrame(
+        qdf = local_rows_df(self.spark, 
             present, schema="query_id long, term string, idf double, avgdl double"
         )
         return self._pruned_postings(meta).join(F.broadcast(qdf), "term")
@@ -3648,7 +3649,7 @@ class QueryEngine:
         for part in parts[1:]:
             out = out.unionByName(part, allowMissingColumns=True)
         if self.kills:
-            kills_df = self.spark.createDataFrame(
+            kills_df = local_rows_df(self.spark, 
                 list(self.kills.items()), schema="doc_id long, kill_ord int"
             )
             out = out.join(F.broadcast(kills_df), "doc_id", "left").filter(
@@ -3715,7 +3716,7 @@ class QueryEngine:
         # and length-stats columns stay out of the hit payload
         docs = self.fetch(ids).drop("text_md5", "doc_len")
         docs = docs.drop(*[c for c in docs.columns if c.startswith("doc_len__")])
-        hits_df = self.spark.createDataFrame(rows, schema=hits.schema)
+        hits_df = local_rows_df(self.spark, rows, schema=hits.schema)
         out = hits_df.join(F.broadcast(docs), "doc_id").select(
             "query_id", "rank", "doc_id", "score",
             *[c for c in docs.columns if c != "doc_id"],
@@ -3844,7 +3845,7 @@ class QueryEngine:
             hits = self._bool_tree_match_set(queries, field=field, docs=docs)
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
-        qids = self.spark.createDataFrame(
+        qids = local_rows_df(self.spark, 
             [(int(q),) for q, _ in queries], schema="query_id long"
         )
         if hits is None:
@@ -3874,7 +3875,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field)
         if hits is None:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         return hits.select(
@@ -4171,7 +4172,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         if cols:
             dv = (
                 docs.select("doc_id", *cols)
@@ -4368,7 +4369,7 @@ class QueryEngine:
                 ]
             bqueries.append((qid, b))
         if not bqueries:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         return self.bool_topk(
             bqueries, k=k, field=field, from_=from_, docs=docs
         )
@@ -4401,7 +4402,7 @@ class QueryEngine:
         empty = ("query_id long, doc_id long, term string, df long, "
                  "idf double, tf_sat double, contrib double")
         if matched is None:
-            return self.spark.createDataFrame([], schema=empty)
+            return local_rows_df(self.spark, [], schema=empty)
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
@@ -4416,8 +4417,8 @@ class QueryEngine:
             for t, m in meta.items() if m["df"] > 0
         ]
         if not rows:
-            return self.spark.createDataFrame([], schema=empty)
-        tdf = self.spark.createDataFrame(
+            return local_rows_df(self.spark, [], schema=empty)
+        tdf = local_rows_df(self.spark, 
             rows, schema="term string, df long, idf double"
         )
         return contribs.join(F.broadcast(tdf), "term").select(
@@ -4462,7 +4463,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         spec = self._norm_bucket(group_by)
@@ -4535,7 +4536,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         dv = (
@@ -4580,7 +4581,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         return self._sort_tail(
@@ -4642,7 +4643,7 @@ class QueryEngine:
                 qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
-            need_df = self.spark.createDataFrame(
+            need_df = local_rows_df(self.spark, 
                 list(need.items()), schema="query_id long, need int"
             )
             hits = hits.join(F.broadcast(need_df), "query_id").filter(
@@ -4739,7 +4740,7 @@ class QueryEngine:
         self._check_metrics(metrics)
         matched = self._matched_segments(queries, field=field)
         if matched is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, n_matched long"
             )
         else:
@@ -4757,7 +4758,7 @@ class QueryEngine:
                 qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
-            need_df = self.spark.createDataFrame(
+            need_df = local_rows_df(self.spark, 
                 list(need.items()), schema="query_id long, need int"
             )
             hits = hits.join(F.broadcast(need_df), "query_id").filter(
@@ -5207,7 +5208,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field, docs=docs)
         if hits is None:
-            hits = self.spark.createDataFrame(
+            hits = local_rows_df(self.spark, 
                 [], schema="query_id long, doc_id long, score double"
             )
         cols = list(dict.fromkeys(
@@ -5277,7 +5278,7 @@ class QueryEngine:
         else:
             hits = self._bool_match_set(queries, field=field)
         if hits is None:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], schema="query_id long, term string, fg long, "
                            "bg long, score double",
             )
@@ -5368,7 +5369,7 @@ class QueryEngine:
         original columns preserved."""
         from pyspark.sql import Window as W
 
-        cur = self.spark.createDataFrame(
+        cur = local_rows_df(self.spark, 
             [(int(q), float(s), int(d)) for q, (s, d) in search_after.items()],
             schema="query_id long, c_score double, c_doc long",
         )
@@ -5436,7 +5437,7 @@ class QueryEngine:
 
         matched = self._matched_segments(queries, field=field, fields=fields)
         if matched is None:
-            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
@@ -5450,7 +5451,7 @@ class QueryEngine:
                 qid: _min_match_count(min_match, len(set(self._tokenize(text))))
                 for qid, text in queries
             }
-            need_df = self.spark.createDataFrame(
+            need_df = local_rows_df(self.spark, 
                 list(need.items()), schema="query_id long, need int"
             )
             scored = scored.join(F.broadcast(need_df), "query_id").filter(
@@ -5687,7 +5688,7 @@ def bm25_topk_dataframe(
     for qid, text in queries:
         for t in sorted(set(tokenize(text))):
             qrows.append((qid, t))
-    qdf = spark.createDataFrame(qrows, schema="query_id long, term string")
+    qdf = local_rows_df(spark, qrows, schema="query_id long, term string")
     if fuzziness:
         # dictionary-driven expansion in ONE vocabulary pass: distinct
         # corpus terms × query tokens (exploded literals), levenshtein
@@ -5743,7 +5744,7 @@ def bm25_topk_dataframe(
             )
             for qid, text in queries
         ]
-        need_df = spark.createDataFrame(need_rows, schema="query_id long, need int")
+        need_df = local_rows_df(spark, need_rows, schema="query_id long, need int")
         scored = scored.join(F.broadcast(need_df), "query_id").filter(
             F.col("n_matched") >= F.col("need")
         )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
+from xml_to_es_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -294,7 +295,7 @@ def ann_topk_ivf_indexed(
     cells = sorted({int(r["cell"]) for r in probe_rows})
     base = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     q = queries.join(
-        spark.createDataFrame(probe_rows, schema=f"{q_key} long, cell int"), q_key
+        local_rows_df(spark, probe_rows, schema=f"{q_key} long, cell int"), q_key
     )
     cand = base.join(F.broadcast(q), "cell").withColumn(
         "cosine",

@@ -46,22 +46,39 @@ def get_spark(
 
 def local_rows_df(spark: SparkSession, rows, schema):
     """``spark.createDataFrame(rows, schema)`` for SMALL driver-side
-    row lists, materialized as ONE partition.
+    row lists, materialized as a JVM ``LocalRelation`` via Arrow.
 
     The stock list path parallelizes into ``defaultParallelism``
-    (= cores) pickled partitions, so evaluating the tiny DataFrame
-    costs one Python-worker round trip PER CORE — and a downstream
+    (= cores) pickled partitions, so EVERY materialization of the tiny
+    DataFrame (a broadcast build, a collect, a write) costs one
+    Python-worker round trip per core — and a downstream
     ``coalesce(1)`` chains those round trips serially (~3.5 s on
-    local[32] for a 6-row manifest write, measured). One slice makes
-    it a single round trip (guide §4: control how often the
-    JVM↔Python boundary is crossed, not just how much crosses it)."""
+    local[32] for a 6-row manifest write, measured). The pandas/Arrow
+    path hands the rows to the JVM once, at creation: evaluation then
+    never touches a Python worker (guide §4: control how often the
+    JVM↔Python boundary is crossed, not just how much crosses it).
+    Falls back to a one-slice RDD for values Arrow cannot convert."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+    from pyspark.sql.types import _parse_datatype_string  # noqa: F401
+
     rows = rows if isinstance(rows, list) else list(rows)
-    if not rows:
-        # empty RDDs cannot carry schema through the RDD path
-        return spark.createDataFrame([], schema=schema)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema=schema
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string(schema)
     )
+    try:
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=st.names, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        if not rows:
+            return spark.createDataFrame([], schema=st)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema=st
+        )
 
 
 def _ship_package(spark: SparkSession) -> None:
