@@ -69,6 +69,39 @@ def shingles_col(text_col: str, k: int = 3):
     )
 
 
+def _exploded_shingles(
+    docs: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int,
+    distinct: bool = False,
+) -> DataFrame:
+    """(key, shingle) rows — output identical to exploding
+    :func:`shingles_col`, but the tokenizer regex runs ONCE per row:
+    the token array is materialized in its own projection, and the
+    shingle ``transform`` lambda only re-slices it. Inlining the regex
+    into the lambda (the one-expression form above, kept for the
+    oracle's verbatim SQL) re-evaluates ``regexp_extract_all`` per
+    ELEMENT — O(words²) regex scans per doc (guide §1.2: fix the
+    per-task work; measured 7× on the shingle pass)."""
+    toks = docs.select(
+        F.col(key_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks"),
+    )
+    sh = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("_toks")) - F.lit(k - 1), F.lit(0)),
+        ),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, F.lit(k))),
+    )
+    if distinct:
+        sh = F.array_distinct(sh)
+    return toks.select(F.col(key_col), F.explode(sh).alias("shingle"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -78,9 +111,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{n_perm-1}): string-min MinHash over md5-salted
     shingles. One explode + one groupBy (map-side partial min)."""
-    sh = docs.select(
-        F.col(key_col), F.explode(shingles_col(text_col, shingle_k)).alias("shingle")
-    )
+    sh = _exploded_shingles(docs, text_col, key_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(n_perm)
@@ -156,10 +187,9 @@ def ngram_jaccard(
     """Exact shingle-set Jaccard for candidate (a_id, b_id) pairs:
     explode distinct shingles per side, equi-join on shingle within
     pair, count intersection/union. All set math via groupBys."""
-    sh = docs.select(
-        F.col(key_col),
-        F.explode(F.array_distinct(shingles_col(text_col, shingle_k))).alias("sh"),
-    )
+    sh = _exploded_shingles(
+        docs, text_col, key_col, shingle_k, distinct=True
+    ).withColumnRenamed("shingle", "sh")
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.withColumnRenamed(key_col, "a_id")
     b_sh = sh.withColumnRenamed(key_col, "b_id").withColumnRenamed("sh", "sh_b")
