@@ -646,13 +646,16 @@ class IndexBuilder:
         t_snap = time.time()
         done: set[tuple[str, int]] = set()
         if self._defer_manifest:
-            # fresh fast-path build: write docs_meta FIRST (the only
-            # non-tokenize text read), then derive the snapshot from
-            # the narrow written table
+            # fresh fast-path build: no separate docs_meta checkpoint —
+            # the docs/stats stage projects the metadata straight from
+            # the input and observes the snapshot during ITS write
+            # (same formula, same value), so the build still touches
+            # text exactly twice (tokenize + docs) but runs one fewer
+            # write + read-back cycle
             if out.exists():
                 shutil.rmtree(out)
             out.mkdir(parents=True, exist_ok=True)
-            snapshot = self._write_docs_meta(docs, out)
+            snapshot = None  # derived by _build_docs_and_stats
         else:
             # resume / crash-injection path: fingerprint the CURRENT
             # input directly (same md5-keyed formula → same value)
@@ -682,6 +685,7 @@ class IndexBuilder:
         phases["snapshot_s"] = round(time.time() - t_snap, 2)
 
         t0 = time.time()
+        tokens_wall_ms = None
         if ("tokens", -1) not in done:
             t_tok = time.time()
             tok = self.tokenized(docs)
@@ -690,10 +694,15 @@ class IndexBuilder:
             tok.write.mode("overwrite").partitionBy("group").parquet(
                 str(out / "tokens")
             )
-            self._manifest_row(
-                out, stage="tokens", group=-1, snapshot=snapshot,
-                wall_ms=int((time.time() - t0) * 1000),
-            )
+            if snapshot is None:
+                # fast path: the snapshot lands with the docs stage;
+                # buffer this row's wall time until it is known
+                tokens_wall_ms = int((time.time() - t0) * 1000)
+            else:
+                self._manifest_row(
+                    out, stage="tokens", group=-1, snapshot=snapshot,
+                    wall_ms=int((time.time() - t0) * 1000),
+                )
             phases["tokens_s"] = round(time.time() - t_tok, 2)
         st = None
         if ("docs", -1) not in done:
@@ -701,7 +710,13 @@ class IndexBuilder:
             # tokenized exactly ONCE per build
             t_ds = time.time()
             st = self._build_docs_and_stats(docs, out, snapshot)
+            snapshot = st["snapshot"]
             phases["docs_stats_s"] = round(time.time() - t_ds, 2)
+        if tokens_wall_ms is not None:
+            self._manifest_row(
+                out, stage="tokens", group=-1, snapshot=snapshot,
+                wall_ms=tokens_wall_ms,
+            )
         if st is None:  # resume path: docs stage already committed
             st = self.spark.read.parquet(str(out / "stats")).first()
         n_docs = st["n_docs"]
@@ -1222,12 +1237,17 @@ class IndexBuilder:
             .withColumn("an_stemmer", F.lit(self.cfg.stemmer or ""))
         )
 
-    def _build_docs_and_stats(self, docs: DataFrame, out: Path, snapshot: str):
+    def _build_docs_and_stats(
+        self, docs: DataFrame, out: Path, snapshot: str | None
+    ):
         # doc_len from the already-written tokens table (no second
         # tokenize pass); left join keeps zero-token docs at length 0.
         # text_md5 (upsert change-detection, ES PUT-by-id semantics,
         # ElasticIndexer.js:68-97) comes from the docs_meta checkpoint
-        # when present — fresh builds never scan the text column here
+        # when present (resume-style builds). ``snapshot=None`` (the
+        # fresh fast path) additionally observes the input-snapshot
+        # aggregates during the docs write — same formula as
+        # :meth:`_snapshot`, so the value is identical
         tok = self.spark.read.parquet(str(out / "tokens"))
         fields = self.cfg.indexed_fields
         if self.cfg.fielded:
@@ -1246,12 +1266,18 @@ class IndexBuilder:
             dl = tok.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
             fill = {"doc_len": 0}
             len_cols = []
+        snap_aggs = []
         if (out / "docs_meta").exists():
             base = self.spark.read.parquet(str(out / "docs_meta")).drop("text_len")
         else:
             base = docs.select(
                 "doc_id",
                 self._md5_col().alias("text_md5"),
+                # fast path: the snapshot rides the same observe, so
+                # _len_col is projected here where the text columns
+                # are still in scope (dropped again before the write)
+                *([self._len_col().alias("_text_len")]
+                  if snapshot is None else []),
                 *(
                     [c for c in dict.fromkeys(("text", *fields)) if c in docs.columns]
                     if self.cfg.store_source
@@ -1260,6 +1286,13 @@ class IndexBuilder:
                 *(["url"] if "url" in docs.columns else []),
                 *self._stored_only(docs),
             )
+        if snapshot is None:
+            snap_aggs = [
+                F.expr(
+                    "bit_xor(xxhash64(cast(doc_id as string), text_md5))"
+                ).alias("_h1"),
+                F.sum("_text_len").alias("_h2"),
+            ]
         d = base.join(dl, "doc_id", "left").fillna(fill)
         if self.cfg.fielded:
             # doc_len keeps the DEFAULT field's length so single-field
@@ -1289,8 +1322,13 @@ class IndexBuilder:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
             *per_field_aggs,
-        ).write.mode("overwrite").parquet(str(out / "docs"))
+            *snap_aggs,
+        ).drop("_text_len").write.mode("overwrite").parquet(str(out / "docs"))
         got = obs.get
+        if snapshot is None:
+            snapshot = f"{got['n_docs']}-{got['_h1']}-{got['_h2']}"
+        got = dict(got)
+        got["snapshot"] = snapshot
         schema = (
             "n_docs long, avgdl double, total_tokens long, "
             "min_doc long, max_doc long"
@@ -1367,25 +1405,55 @@ class IndexBuilder:
     ) -> None:
         # ONE narrow scan of the postings (seg_bytes is a column, so
         # the binary payloads are never re-read): terms dictionary,
-        # then per-group manifest stats from the terms table itself
+        # with the per-group manifest stats OBSERVED during the same
+        # write (bounded conditional aggregates — no read-back job).
+        # Falls back to the read-back aggregation for very wide group
+        # counts, where 5×n_groups observe expressions would bloat the
+        # plan.
+        from pyspark.sql import Observation
+
         terms = pb.groupBy("group", "term").agg(
             F.sum("n_docs").alias("df"),
             F.max("max_tf").alias("max_tf"),
             F.count("*").alias("n_segments"),
             F.sum("seg_bytes").alias("bytes"),
         )
+        obs = None
+        if self.cfg.n_groups <= 64:
+            obs = Observation()
+            aggs = []
+            for g in range(self.cfg.n_groups):
+                cond = F.col("group") == g
+                aggs += [
+                    F.min(F.when(cond, F.col("term"))).alias(f"lo_{g}"),
+                    F.max(F.when(cond, F.col("term"))).alias(f"hi_{g}"),
+                    F.sum(F.when(cond, F.col("n_segments"))).alias(f"nseg_{g}"),
+                    F.sum(F.when(cond, F.col("df"))).alias(f"np_{g}"),
+                    F.sum(F.when(cond, F.col("bytes"))).alias(f"bytes_{g}"),
+                ]
+            terms = terms.observe(obs, *aggs)
         terms.write.mode("overwrite").partitionBy("group").parquet(str(out / "terms"))
-        td = self.spark.read.parquet(str(out / "terms"))
-        stats = td.groupBy("group").agg(
-            F.min("term").alias("lo"), F.max("term").alias("hi"),
-            F.sum("n_segments").alias("nseg"), F.sum("df").alias("np"),
-            F.sum("bytes").alias("bytes"),
-        ).collect()
-        rows = [
-            ("postings", int(r["group"]), r["lo"], r["hi"], r["nseg"], r["np"],
-             r["bytes"], wall_ms_total, snapshot, "done")
-            for r in stats
-        ]
+        if obs is not None:
+            got = obs.get
+            rows = [
+                ("postings", g, got[f"lo_{g}"], got[f"hi_{g}"],
+                 got[f"nseg_{g}"], got[f"np_{g}"], got[f"bytes_{g}"],
+                 wall_ms_total, snapshot, "done")
+                for g in range(self.cfg.n_groups)
+                if got[f"nseg_{g}"] is not None  # group may be empty
+            ]
+        else:
+            td = self.spark.read.parquet(str(out / "terms"))
+            stats = td.groupBy("group").agg(
+                F.min("term").alias("lo"), F.max("term").alias("hi"),
+                F.sum("n_segments").alias("nseg"), F.sum("df").alias("np"),
+                F.sum("bytes").alias("bytes"),
+            ).collect()
+            rows = [
+                ("postings", int(r["group"]), r["lo"], r["hi"], r["nseg"],
+                 r["np"], r["bytes"], wall_ms_total, snapshot, "done")
+                for r in stats
+            ]
         if getattr(self, "_defer_manifest", False):
             self._pending_manifest.extend(rows)
             return
