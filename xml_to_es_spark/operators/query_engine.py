@@ -466,6 +466,18 @@ class QueryEngine:
             )
             if dead.size:
                 self._dead_by_ord[o] = dead
+        # memoized parquet scans: every spark.read.parquet(path) builds
+        # a fresh file index (one listing + schema-inference job); an
+        # engine instance snapshots its dirs at construction, so the
+        # same DataFrame handle is reused for every query — repeated
+        # queries never re-list the index (guide §6 file-listing cost)
+        self._scan_cache: dict[str, DataFrame] = {}
+
+    def _parquet(self, path: str) -> DataFrame:
+        df = self._scan_cache.get(path)
+        if df is None:
+            df = self._scan_cache[path] = self.spark.read.parquet(path)
+        return df
 
     # -- term metadata -----------------------------------------------------
 
@@ -484,7 +496,7 @@ class QueryEngine:
             scans = []
             for o, p in self.dirs:
                 scans.append(
-                    self.spark.read.parquet(f"{p}/terms")
+                    self._parquet(f"{p}/terms")
                     .filter(F.col("term").isin(missing))
                     .select("term", "df", "group")
                     .withColumn("ord", F.lit(o))
@@ -601,7 +613,7 @@ class QueryEngine:
             terms_here = [t for t, m in meta.items() if o in m["groups"]]
             if not terms_here:
                 continue
-            df = self.spark.read.parquet(f"{p}/postings")
+            df = self._parquet(f"{p}/postings")
             groups = sorted({meta[t]["groups"][o] for t in terms_here})
             df = df.filter(F.col("group").isin(groups)).filter(
                 F.col("term").isin(terms_here)
@@ -3007,7 +3019,7 @@ class QueryEngine:
         from pyspark.sql import Window as W
 
         scans = [
-            self.spark.read.parquet(f"{p}/terms").select("term") for _, p in self.dirs
+            self._parquet(f"{p}/terms").select("term") for _, p in self.dirs
         ]
         vocab = scans[0]
         for sc in scans[1:]:
@@ -3077,7 +3089,7 @@ class QueryEngine:
         if not toks:
             return empty
         scans = [
-            self.spark.read.parquet(f"{p}/terms").select("term", "df")
+            self._parquet(f"{p}/terms").select("term", "df")
             for _, p in self.dirs
         ]
         vocab = scans[0]
@@ -3336,7 +3348,7 @@ class QueryEngine:
         if any((not p) or (" " in p) for p in prefixes):
             raise ValueError("completion prefixes are single non-empty terms")
         scans = [
-            self.spark.read.parquet(f"{p}/terms").select("term", "df")
+            self._parquet(f"{p}/terms").select("term", "df")
             for _, p in self.dirs
         ]
         vocab = scans[0]
@@ -3641,7 +3653,7 @@ class QueryEngine:
         parts = []
         for o, p in self.dirs:
             parts.append(
-                self.spark.read.parquet(f"{p}/docs")
+                self._parquet(f"{p}/docs")
                 .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
                 .withColumn("ord", F.lit(o))
             )
@@ -5290,8 +5302,8 @@ class QueryEngine:
         fld = self._resolve_field(field)
         scans, dicts = [], []
         for o, p in self.dirs:
-            sc = self.spark.read.parquet(f"{p}/postings")
-            dc = self.spark.read.parquet(f"{p}/terms").select(
+            sc = self._parquet(f"{p}/postings")
+            dc = self._parquet(f"{p}/terms").select(
                 "term", "df"
             )
             if fld is not None:
