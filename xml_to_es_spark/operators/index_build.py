@@ -685,7 +685,71 @@ class IndexBuilder:
         phases["snapshot_s"] = round(time.time() - t_snap, 2)
 
         t0 = time.time()
-        tokens_wall_ms = None
+        if self._defer_manifest:
+            # ---- fresh fast path ----
+            # the docs/stats stage and the encode stage both depend
+            # only on the written tokens table; the encode's salt
+            # id-range is observed during the tokens write, so the two
+            # stages run CONCURRENTLY on two driver threads — the
+            # second job's tasks back-fill executors freed by the
+            # first's tail (guide §2.6 overlap of independent jobs).
+            # Salt ranges derive from the token-table doc span (the
+            # only docs postings can contain), so segment contents are
+            # unchanged for any corpus whose extreme ids have tokens.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.sql import Observation
+
+            t_tok = time.time()
+            tok = self.tokenized(docs)
+            obs = Observation()
+            tok.observe(
+                obs,
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).write.mode("overwrite").partitionBy("group").parquet(
+                str(out / "tokens")
+            )
+            got = obs.get
+            tokens_wall_ms = int((time.time() - t0) * 1000)
+            phases["tokens_s"] = round(time.time() - t_tok, 2)
+            t_par = time.time()
+            if got["lo"] is None:
+                # zero-token corpus: nothing to encode in parallel
+                st = self._build_docs_and_stats(docs, out, None)
+                snapshot = st["snapshot"]
+                self._build_all_groups(out, (0, 0), snapshot)
+            else:
+                id_range = (int(got["lo"]), int(got["hi"]))
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fa = ex.submit(
+                        self._build_docs_and_stats, docs, out, None
+                    )
+                    fb = ex.submit(
+                        self._build_all_groups, out, id_range, None
+                    )
+                    st = fa.result()
+                    fb.result()
+                snapshot = st["snapshot"]
+            phases["docs_groups_s"] = round(time.time() - t_par, 2)
+            self._manifest_row(
+                out, stage="tokens", group=-1, snapshot=snapshot,
+                wall_ms=tokens_wall_ms,
+            )
+            # postings rows were buffered before the snapshot existed
+            self._pending_manifest = [
+                r[:8] + (snapshot if r[8] is None else r[8],) + r[9:]
+                for r in self._pending_manifest
+            ]
+            self._flush_manifest(out)
+            return {
+                "groups_built": self.cfg.n_groups,
+                "snapshot": snapshot,
+                "wall_s": time.time() - t0,
+                "n_docs": int(st["n_docs"]),
+                "phases": phases,
+            }
+        # ---- resume / crash-injection path (per-group durable) ----
         if ("tokens", -1) not in done:
             t_tok = time.time()
             tok = self.tokenized(docs)
@@ -694,15 +758,10 @@ class IndexBuilder:
             tok.write.mode("overwrite").partitionBy("group").parquet(
                 str(out / "tokens")
             )
-            if snapshot is None:
-                # fast path: the snapshot lands with the docs stage;
-                # buffer this row's wall time until it is known
-                tokens_wall_ms = int((time.time() - t0) * 1000)
-            else:
-                self._manifest_row(
-                    out, stage="tokens", group=-1, snapshot=snapshot,
-                    wall_ms=int((time.time() - t0) * 1000),
-                )
+            self._manifest_row(
+                out, stage="tokens", group=-1, snapshot=snapshot,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
             phases["tokens_s"] = round(time.time() - t_tok, 2)
         st = None
         if ("docs", -1) not in done:
@@ -710,36 +769,13 @@ class IndexBuilder:
             # tokenized exactly ONCE per build
             t_ds = time.time()
             st = self._build_docs_and_stats(docs, out, snapshot)
-            snapshot = st["snapshot"]
             phases["docs_stats_s"] = round(time.time() - t_ds, 2)
-        if tokens_wall_ms is not None:
-            self._manifest_row(
-                out, stage="tokens", group=-1, snapshot=snapshot,
-                wall_ms=tokens_wall_ms,
-            )
         if st is None:  # resume path: docs stage already committed
             st = self.spark.read.parquet(str(out / "stats")).first()
         n_docs = st["n_docs"]
         id_range = (int(st["min_doc"]), int(st["max_doc"]))
 
         built = 0
-        per_group = resume or fail_after_groups is not None
-        if not per_group:
-            # fast path: all groups in ONE shuffle+encode job; the
-            # per-group path below exists for checkpoint-resume, where
-            # each group is an independently committed unit
-            t_g = time.time()
-            self._build_all_groups(out, id_range, snapshot)
-            phases["groups_s"] = round(time.time() - t_g, 2)
-            self._flush_manifest(out)
-            built = self.cfg.n_groups
-            return {
-                "groups_built": built,
-                "snapshot": snapshot,
-                "wall_s": time.time() - t0,
-                "n_docs": int(n_docs),
-                "phases": phases,
-            }
         for g in range(self.cfg.n_groups):
             if ("postings", g) in done:
                 continue

@@ -1006,16 +1006,35 @@ class QueryEngine:
                 ).alias("score")
             )
         else:
-            parts = [
-                self.topk_wand(
-                    queries, k=k_local, n_ranges=n_ranges, field=f,
-                    field_boosts={f: boosts[f]},
+            # union-of-per-field-top-k, computed from ONE postings scan
+            # + ONE WAND kernel pass: synthetic per-(query, field) ids
+            # keep kernel groups field-pure (the containment argument
+            # needs per-field top-k), then the ids are divided back and
+            # the dis_max merge takes the max per doc. Same rows and
+            # scores as one topk_wand per field, half the plan.
+            nf = len(use)
+            syn = self._matched_segments(
+                queries, fields=use, field_boosts=boosts,
+                per_field_qids=True,
+            )
+            if syn is None:
+                return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
+            wsyn = W.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
+                page = (
+                    self._wand_partials(syn, k_local, n_ranges or 1, None)
+                    .withColumn("rank", F.row_number().over(wsyn))
+                    .filter(F.col("rank") <= k_local)
                 )
-                for f in use
-            ]
-            allp = parts[0]
-            for p in parts[1:]:
-                allp = allp.unionByName(p)
+            else:
+                page = syn.groupBy("query_id", "ord").applyInPandas(
+                    self._wand_group_kernel(k_local), schema=TOPK_SCHEMA
+                )
+            allp = page.withColumn(
+                "query_id", F.floor(F.col("query_id") / nf).cast("long")
+            )
             best = allp.groupBy("query_id", "doc_id").agg(
                 F.max("score").alias("score")
             )
@@ -3564,6 +3583,7 @@ class QueryEngine:
         prefix_expansions: int | None = None,
         field_boosts: dict | None = None,
         blend_df: bool = False,
+        per_field_qids: bool = False,
     ) -> DataFrame | None:
         """Shared front half: postings segments term-pruned (across
         base + delta dirs) and joined to the broadcast
@@ -3581,11 +3601,19 @@ class QueryEngine:
         contributions."""
         flist = fields if fields is not None else [field]
         boosts = field_boosts or {}
+        # per_field_qids: emit qid·|fields|+field_index so downstream
+        # kernels keep per-field groups while ONE scan serves every
+        # field (multi_match best_fields — callers divide back)
+        nf = len(flist)
         qterms: list[tuple[int, str, float, float, str]] = []
-        for fld_raw in flist:
+        for fi, fld_raw in enumerate(flist):
             fld = self._resolve_field(fld_raw)
             avg = self._avgdl_of(fld)
             bst = float(boosts.get(fld_raw, 1.0))
+
+            def syn(qid, _fi=fi):
+                return qid * nf + _fi if per_field_qids else qid
+
             if fuzziness:
                 toks = sorted({t for _, text in queries for t in self._tokenize(text)})
                 variants = self.fuzzy_variants(toks, fuzziness, field=fld)
@@ -3593,7 +3621,7 @@ class QueryEngine:
                     expanded = sorted(
                         {v for t in set(self._tokenize(text)) for v in variants[t]}
                     )
-                    qterms += [(qid, v, avg, bst, v) for v in expanded]
+                    qterms += [(syn(qid), v, avg, bst, v) for v in expanded]
             elif prefix_expansions:
                 # match_bool_prefix: last token expands as a prefix,
                 # the rest match exactly (disjunctive, per-variant idf)
@@ -3612,11 +3640,13 @@ class QueryEngine:
                         {self._term_of(t, fld) for t in toks[:-1]}
                         | set(vmap[toks[-1]])
                     )
-                    qterms += [(qid, t, avg, bst, t) for t in terms]
+                    qterms += [(syn(qid), t, avg, bst, t) for t in terms]
             else:
                 for qid, text in queries:
                     for t in sorted(set(self._tokenize(text))):
-                        qterms.append((qid, self._term_of(t, fld), avg, bst, t))
+                        qterms.append(
+                            (syn(qid), self._term_of(t, fld), avg, bst, t)
+                        )
         if not qterms:
             return None
         meta = self._term_meta(sorted({t for _, t, _, _, _ in qterms}))
@@ -3953,7 +3983,20 @@ class QueryEngine:
             rs = self._bool_tree_match_set(rescore, field=field)
         else:
             rs = self._bool_match_set(rescore, field=field)
-        page = first.select("query_id", "doc_id", "score")
+        # localize the (≤ window_size·|queries|) first-pass page ONCE:
+        # it feeds both the semi-join broadcast and the left side below,
+        # and as a lazy plan the whole first-pass ranking would execute
+        # twice (guide §7.2 duplicated-subtree check)
+        page = local_rows_df(
+            self.spark,
+            [
+                (int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+                for r in first.select(
+                    "query_id", "doc_id", "score"
+                ).collect()
+            ],
+            "query_id long, doc_id long, score double",
+        )
         if rs is None:
             joined = page.withColumn("rescore_score", F.lit(None).cast("double"))
         else:
@@ -5691,10 +5734,14 @@ def bm25_topk_dataframe(
     toks = docs.select(
         "doc_id", tokens_col("text").alias("toks")
     ).withColumn("dl", doc_len_col("toks"))
-    stats = toks.select(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # corpus stats as a broadcast 1-row side instead of a driver
+    # .first(): the tokenize pass for (n, avgdl) then runs INSIDE the
+    # main job (no separate job + driver round trip), and the scoring
+    # arithmetic is unchanged double math (same values bit-for-bit)
+    stats_df = toks.select(
+        F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    n, avgdl = F.col("_n"), F.col("_avgdl")
 
     qrows = []
     for qid, text in queries:
@@ -5736,12 +5783,14 @@ def bm25_topk_dataframe(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats_df))
         .withColumn(
             "contrib",
-            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * F.col("tf") * (cfg.k1 + 1.0)
             / (F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / avgdl)),
         )
+        .drop("_n", "_avgdl")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("contrib").alias("score_raw"),
