@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from xml_to_es_spark.operators.query_engine import bm25_topk_dataframe
 from xml_to_es_spark.plans import (
     assert_broadcast_join,
+    assert_segment_attach_no_shuffle,
     assert_no_cartesian,
     assert_no_python,
     assert_pushed_filter,
@@ -66,7 +67,7 @@ def test_query_engine_scan_pruning(spark, tmp_path):
     g = eng.term_groups(["alpha"])["alpha"]
     assert f"group = {g}" in plan or f"group#" in plan
     assert "PushedFilters" in plan and "term" in plan
-    assert_broadcast_join(matched)
+    assert_segment_attach_no_shuffle(matched)
 
 
 def test_ann_paths_are_pure_jvm_and_bucketed(spark):
@@ -144,7 +145,7 @@ def test_merged_engine_plan_union_pruned_broadcast(spark, tmp_path):
     plan = explain_str(matched)
     assert "Union" in plan
     assert plan.count("PushedFilters") >= 2  # each dir's scan pruned
-    assert_broadcast_join(matched)
+    assert_segment_attach_no_shuffle(matched)
     assert_no_cartesian(matched)
 
 

@@ -50,6 +50,12 @@ CONTRIB_SCHEMA = "query_id long, term string, doc_id long, contrib double"
 TOPK_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 
+def _sql_str(s: str) -> str:
+    """A Python string as a safely-escaped Spark SQL string literal
+    (terms are analyzer tokens, but escape defensively anyway)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _dead_mask(doc_ids: np.ndarray, dead: np.ndarray | None) -> np.ndarray | None:
     """Boolean mask of tombstoned doc_ids (dead sorted ascending)."""
     if dead is None or not dead.size:
@@ -721,6 +727,9 @@ class QueryEngine:
             partials = self._wand_partials(
                 matched, k_local, n_ranges or 1, search_after
             )
+            est = len(queries) * max(n_ranges or 1, 1) * len(self.dirs) * k_local
+            if est <= self._LOCAL_MERGE_MAX:
+                return self._merge_partials_local(partials, k_local, from_)
             from pyspark.sql import Window as W
 
             w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -801,6 +810,34 @@ class QueryEngine:
 
         return run
 
+    # the ES-coordinator merge bound: partial top-k lists up to this
+    # many rows (k × ranges × dirs × queries — NEVER corpus-sized) are
+    # merged driver-side, replacing the rank-window shuffle stage with
+    # the coordinating-node reduce every distributed search engine
+    # performs; beyond it the distributed WindowGroupLimit merge runs
+    _LOCAL_MERGE_MAX = 50_000
+
+    def _merge_partials_local(
+        self, partials: DataFrame, k_local: int, from_: int
+    ) -> DataFrame:
+        """Global top-k from per-(query, dir, range) partial lists,
+        merged on the driver. Ranges partition doc_ids and a doc's
+        live contributions sit in one (dir, range) group, so the merge
+        is a pure k-way ordered selection — same (score desc, doc_id
+        asc) key, same rank filter, bit-identical rows to the window
+        merge it replaces (scores pass through untouched)."""
+        byq: dict[int, list[tuple[float, int]]] = {}
+        for r in partials.select("query_id", "doc_id", "score").collect():
+            byq.setdefault(r[0], []).append((r[2], r[1]))
+        rows = []
+        for qid in sorted(byq):
+            lst = byq[qid]
+            lst.sort(key=lambda sd: (-sd[0], sd[1]))
+            for rank in range(from_ + 1, min(k_local, len(lst)) + 1):
+                s, d = lst[rank - 1]
+                rows.append((qid, rank, d, s))
+        return local_rows_df(self.spark, rows, schema=TOPK_SCHEMA)
+
     def _doc_ranges(self, n_ranges: int) -> list[tuple[int, int, int]]:
         """(range_id, lo, hi_exclusive) splits of [min_doc, max_doc] —
         disjoint and covering, any int64 id domain."""
@@ -814,17 +851,30 @@ class QueryEngine:
         ]
 
     def _ranged(self, matched: DataFrame, n_ranges: int) -> DataFrame:
-        """Join matched segments to the broadcast doc-range table on
-        segment-span overlap, so a segment's bytes only reach the
-        ranges its docs can fall in."""
-        ranges = local_rows_df(self.spark, 
-            self._doc_ranges(n_ranges), schema="range_id int, range_lo long, range_hi long"
+        """Attach each overlapping doc-range to the matched segments,
+        so a segment's bytes only reach the ranges its docs can fall
+        in. The range table is a pure function of (min_doc, max_doc,
+        n_ranges), all driver-known — it is generated IN-PLAN with one
+        sequence/filter/explode expression instead of a broadcast
+        nested-loop join (no broadcast exchange, no build job; guide
+        §2.4). Range edges replicate :meth:`_doc_ranges` exactly
+        (floor division of non-negative operands), and empty ranges
+        are excluded by the span guard as before."""
+        lo, hi = self.min_doc, self.max_doc + 1
+        span = hi - lo
+        r = (
+            f"explode(filter(transform(sequence(0, {n_ranges - 1}), r -> "
+            f"named_struct("
+            f"'range_id', r, "
+            f"'range_lo', {lo}L + ({span}L * cast(r as long)) div {n_ranges}, "
+            f"'range_hi', {lo}L + ({span}L * (cast(r as long) + 1)) div {n_ranges})), "
+            f"s -> s.range_hi > s.range_lo"
+            f" AND first_doc < s.range_hi"
+            f" AND element_at(block_last_doc, -1) >= s.range_lo))"
         )
-        seg_last = F.element_at("block_last_doc", -1)
-        return matched.join(
-            F.broadcast(ranges),
-            (F.col("first_doc") < F.col("range_hi")) & (seg_last >= F.col("range_lo")),
-        )
+        return matched.withColumn("_r", F.expr(r)).select(
+            "*", "_r.range_id", "_r.range_lo", "_r.range_hi"
+        ).drop("_r")
 
     def _wand_partials(
         self,
@@ -1019,10 +1069,46 @@ class QueryEngine:
             )
             if syn is None:
                 return local_rows_df(self.spark, [], schema=TOPK_SCHEMA)
+            ranged = (n_ranges and n_ranges > 1) or len(self.dirs) > 1
+            est = (
+                len(queries) * nf * max(n_ranges or 1, 1)
+                * len(self.dirs) * k_local
+            )
+            if est <= self._LOCAL_MERGE_MAX:
+                # ES-coordinator merge: the per-(field, dir, range)
+                # top-k_local partial lists are k-sized pages — merge
+                # them driver-side (truncate per field, dis_max per
+                # doc, re-rank), replacing three post-kernel shuffle
+                # stages with the coordinating-node reduce
+                if ranged:
+                    src = self._wand_partials(syn, k_local, n_ranges or 1, None)
+                else:
+                    src = syn.groupBy("query_id", "ord").applyInPandas(
+                        self._wand_group_kernel(k_local), schema=TOPK_SCHEMA
+                    )
+                bysyn: dict[int, list[tuple[float, int]]] = {}
+                for r in src.select("query_id", "doc_id", "score").collect():
+                    bysyn.setdefault(r[0], []).append((r[2], r[1]))
+                best_of: dict[int, dict[int, float]] = {}
+                for sq, lst in bysyn.items():
+                    lst.sort(key=lambda sd: (-sd[0], sd[1]))
+                    qd = best_of.setdefault(sq // nf, {})
+                    for s, d in lst[:k_local]:
+                        if d not in qd or s > qd[d]:
+                            qd[d] = s
+                rows = []
+                for qid in sorted(best_of):
+                    hits = sorted(
+                        best_of[qid].items(), key=lambda ds: (-ds[1], ds[0])
+                    )
+                    for rank in range(from_ + 1, min(k_local, len(hits)) + 1):
+                        d, s = hits[rank - 1]
+                        rows.append((qid, rank, d, s))
+                return local_rows_df(self.spark, rows, schema=TOPK_SCHEMA)
             wsyn = W.partitionBy("query_id").orderBy(
                 F.desc("score"), F.asc("doc_id")
             )
-            if (n_ranges and n_ranges > 1) or len(self.dirs) > 1:
+            if ranged:
                 page = (
                     self._wand_partials(syn, k_local, n_ranges or 1, None)
                     .withColumn("rank", F.row_number().over(wsyn))
@@ -1578,20 +1664,40 @@ class QueryEngine:
             cur = scan.get((qid, t))
             scan[(qid, t)] = (max(idf, cur[0]) if cur else idf, avg)
             role_rows.append((qid, t, role))
-        sdf = local_rows_df(self.spark, 
+        matched = self._attach_query_terms(
+            self._pruned_postings(meta),
             [(q, t, i, a) for (q, t), (i, a) in scan.items()],
-            schema="query_id long, term string, idf double, avgdl double",
         )
-        matched = self._pruned_postings(meta).join(F.broadcast(sdf), "term")
         contribs = matched.mapInPandas(
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
-        roles = local_rows_df(self.spark, 
-            role_rows, schema="query_id long, term string, role string"
-        )
+        # per-role fan-out: (query_id, term) → [role…] is driver-known
+        # and tiny — one literal map expression, no broadcast join
+        # (same inner semantics; a token in several roles fans out to
+        # one row per role, exactly like the join it replaces)
+        if len(role_rows) > self._LITERAL_ATTACH_MAX:
+            roles = local_rows_df(
+                self.spark, role_rows,
+                schema="query_id long, term string, role string",
+            )
+            fanned = contribs.join(F.broadcast(roles), ["query_id", "term"])
+        else:
+            by_key: dict[tuple[int, str], list[str]] = {}
+            for q, t, role in role_rows:
+                by_key.setdefault((q, t), []).append(role)
+            entries = [
+                f"{_sql_str(f'{q}|{t}')}, "
+                f"array({', '.join(_sql_str(r) for r in rs)})"
+                for (q, t), rs in by_key.items()
+            ]
+            lookup = (
+                f"element_at(map({', '.join(entries)}), "
+                f"concat(cast(query_id as string), '|', term))"
+            )
+            fanned = contribs.withColumn("role", F.expr(f"explode({lookup})"))
         return (
-            contribs.join(F.broadcast(roles), ["query_id", "term"])
+            fanned
             .groupBy("query_id", "doc_id")
             .agg(
                 F.sum(
@@ -2275,7 +2381,8 @@ class QueryEngine:
         }
         pre = None  # unified (query_id, doc_id, cid, wc) clause rows
         if present:
-            sdf = local_rows_df(self.spark, 
+            matched = self._attach_query_terms(
+                self._pruned_postings(meta),
                 [
                     (
                         qid,
@@ -2285,23 +2392,18 @@ class QueryEngine:
                     )
                     for (qid, t), r in present.items()
                 ],
-                schema="query_id long, term string, idf double, avgdl double",
             )
-            cdf = local_rows_df(self.spark, 
-                [r for r in clause_rows if (r[0], r[1]) in present],
-                schema="query_id long, term string, cid int, w double",
-            )
-            matched = self._pruned_postings(meta).join(F.broadcast(sdf), "term")
             contribs = matched.mapInPandas(
                 _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
                 schema=CONTRIB_SCHEMA,
             )
-            pre = (
-                contribs.join(F.broadcast(cdf), ["query_id", "term"])
-                .select(
-                    "query_id", "doc_id", "cid",
-                    (F.col("contrib") * F.col("w")).alias("wc"),
-                )
+            # clause fan-out: (query_id, term) → [(cid, w)…] is
+            # driver-known and tiny — inlined as one literal map
+            # expression on a composite key instead of a second
+            # broadcast join (same inner-join semantics: absent keys
+            # yield NULL and explode drops them)
+            pre = self._attach_clause_rows(
+                contribs, [r for r in clause_rows if (r[0], r[1]) in present]
             )
         # phrase leaves: the positional kernel over the FULL match set
         # (no k-cut — the phrase itself bounds the set), keyed by
@@ -2459,6 +2561,9 @@ class QueryEngine:
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
+        est = len(queries) * max(n_ranges or 1, 1) * len(self.dirs) * k_local
+        if est <= self._LOCAL_MERGE_MAX:
+            return self._merge_partials_local(partials, k_local, from_)
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partials.withColumn("rank", F.row_number().over(w))
@@ -2489,6 +2594,9 @@ class QueryEngine:
         partials = ranged.groupBy("query_id", "ord", "range_id").applyInPandas(
             run, schema=TOPK_SCHEMA + ", range_id int"
         )
+        est = len(scan_queries) * len(self.dirs) * k_local
+        if est <= self._LOCAL_MERGE_MAX:
+            return self._merge_partials_local(partials, k_local, from_)
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partials.withColumn("rank", F.row_number().over(w))
@@ -3666,10 +3774,87 @@ class QueryEngine:
         ]
         if not present:
             return None
-        qdf = local_rows_df(self.spark, 
-            present, schema="query_id long, term string, idf double, avgdl double"
+        return self._attach_query_terms(self._pruned_postings(meta), present)
+
+    # segments × query-terms attach: above this many (query, term)
+    # rows the literal map expression stops being worth parsing and
+    # the broadcast-join path takes over (huge MLT/fuzzy expansions)
+    _LITERAL_ATTACH_MAX = 4096
+
+    def _attach_query_terms(
+        self, pruned: DataFrame, present: list[tuple]
+    ) -> DataFrame:
+        """Attach (query_id, idf, avgdl) to each matched postings
+        segment. The query-term table is driver-known and tiny, so it
+        is inlined as ONE literal map expression —
+        ``explode(element_at(map(term → array<struct>), term))`` — no
+        broadcast exchange, no build job, no join: the postings scan
+        flows straight into the scoring kernel in a single codegen
+        stage (guide §2.4 remove shuffles outright; §1 fewer jobs).
+        Inner-join semantics are preserved (element_at yields NULL for
+        absent keys and explode drops NULL arrays). Falls back to the
+        broadcast hash join for very large expansions."""
+        if len(present) > self._LITERAL_ATTACH_MAX:
+            qdf = local_rows_df(
+                self.spark, present,
+                schema="query_id long, term string, idf double, avgdl double",
+            )
+            return pruned.join(F.broadcast(qdf), "term")
+        by_term: dict[str, list[tuple]] = {}
+        for qid, t, idf_v, avg in present:
+            by_term.setdefault(t, []).append((qid, idf_v, avg))
+        entries = []
+        for t, lst in by_term.items():
+            arr = ", ".join(
+                f"named_struct('query_id', {int(q)}L, 'idf', {float(i)!r}D,"
+                f" 'avgdl', {float(a)!r}D)"
+                for q, i, a in lst
+            )
+            entries.append(f"{_sql_str(t)}, array({arr})")
+        lookup = f"element_at(map({', '.join(entries)}), term)"
+        return pruned.withColumn(
+            "_q", F.expr(f"explode({lookup})")
+        ).select("*", "_q.query_id", "_q.idf", "_q.avgdl").drop("_q")
+
+    def _attach_clause_rows(
+        self, contribs: DataFrame, crows: list[tuple]
+    ) -> DataFrame:
+        """(query_id, doc_id, contrib) rows → per-clause
+        (query_id, doc_id, cid, wc) rows via the driver-known
+        (query_id, term) → [(clause_id, weight)…] fan-out, inlined as
+        a literal map on a composite key (no broadcast exchange, no
+        join — the bool-tree fan-out rides the scoring kernel's
+        codegen stage). Broadcast-join fallback above the literal
+        bound."""
+        if len(crows) > self._LITERAL_ATTACH_MAX:
+            cdf = local_rows_df(
+                self.spark, crows,
+                schema="query_id long, term string, cid int, w double",
+            )
+            return contribs.join(F.broadcast(cdf), ["query_id", "term"]).select(
+                "query_id", "doc_id", "cid",
+                (F.col("contrib") * F.col("w")).alias("wc"),
+            )
+        by_key: dict[tuple[int, str], list[tuple]] = {}
+        for qid, t, cid, w in crows:
+            by_key.setdefault((qid, t), []).append((cid, w))
+        entries = []
+        for (qid, t), lst in by_key.items():
+            arr = ", ".join(
+                f"named_struct('cid', {int(cid)}, 'w', {float(w)!r}D)"
+                for cid, w in lst
+            )
+            entries.append(f"{_sql_str(f'{qid}|{t}')}, array({arr})")
+        lookup = (
+            f"element_at(map({', '.join(entries)}), "
+            f"concat(cast(query_id as string), '|', term))"
         )
-        return self._pruned_postings(meta).join(F.broadcast(qdf), "term")
+        return contribs.withColumn(
+            "_e", F.expr(f"explode({lookup})")
+        ).select(
+            "query_id", "doc_id", F.col("_e.cid").alias("cid"),
+            (F.col("contrib") * F.col("_e.w")).alias("wc"),
+        )
 
     # -- document fetch (the ES GET/_source surface) -------------------------
 

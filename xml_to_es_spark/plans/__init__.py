@@ -29,6 +29,22 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def assert_segment_attach_no_shuffle(df: DataFrame) -> None:
+    """The query-term attach must never shuffle the postings side:
+    either the literal-map Generate (r7 — query terms inlined as one
+    expression, no join at all) or a broadcast join (the large-
+    expansion fallback). A hash/sort-merge join or any Exchange below
+    the attach would mean postings bytes moved — fail."""
+    plan = explain_str(df, "simple")
+    attach_ok = (
+        "Generate explode(element_at(map(" in plan
+        or "BroadcastHashJoin" in plan
+        or "BroadcastNestedLoopJoin" in plan
+    )
+    assert attach_ok, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
