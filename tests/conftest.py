@@ -6,6 +6,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
+# tests exercise every path hundreds of times — session warm-start
+# priming would only re-run what the suite runs anyway
+os.environ.setdefault("SPARK_GRAFT_WARM_START", "0")
 
 
 @pytest.fixture(scope="session")
