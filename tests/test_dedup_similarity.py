@@ -221,3 +221,22 @@ def test_lsh_buckets_deterministic(spark):
     M = np.stack(pdf["embedding"])
     expect = ((M @ planes.T) > 0) @ (1 << np.arange(4))
     assert [a[i] for i in range(20)] == expect.tolist()
+
+
+def test_minhash_signatures_match_multiset_twin(spark, docs):
+    """The r7 distinct-shingle signature pass must be bit-identical
+    to the multiset (non-distinct) exploded form it replaced —
+    MinHash of a multiset equals MinHash of its distinct set."""
+    n_perm, k = 8, 3
+    sig = dedup.minhash_signatures(docs, n_perm=n_perm, shingle_k=k)
+    got = sig.toPandas().sort_values("doc_id").reset_index(drop=True)
+    sh = dedup._exploded_shingles(docs, "text", "doc_id", k)
+    want = (
+        sh.groupBy("doc_id")
+        .agg(*[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(n_perm)
+        ])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -110,8 +110,18 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(doc_id, h0..h{n_perm-1}): string-min MinHash over md5-salted
-    shingles. One explode + one groupBy (map-side partial min)."""
-    sh = _exploded_shingles(docs, text_col, key_col, shingle_k)
+    shingles.
+
+    One explode + one groupBy (map-side partial min). The explode is
+    over DISTINCT shingles per doc — MinHash of a multiset equals
+    MinHash of its distinct set (min is idempotent over duplicates) —
+    so repeated shingles never reach the md5 evaluations or the
+    exchange (guide §2.3 shuffle fewer bytes). The fully per-row
+    form (array_min over transform, zero shuffles) was measured
+    SLOWER: higher-order functions evaluate interpreted, while the
+    exploded aggregation keeps the md5/min pairs inside whole-stage
+    codegen with map-side partial aggregation."""
+    sh = _exploded_shingles(docs, text_col, key_col, shingle_k, distinct=True)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(n_perm)
@@ -192,11 +202,14 @@ def ngram_jaccard(
     ).withColumnRenamed("shingle", "sh")
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.withColumnRenamed(key_col, "a_id")
-    b_sh = sh.withColumnRenamed(key_col, "b_id").withColumnRenamed("sh", "sh_b")
+    b_sh = sh.withColumnRenamed(key_col, "b_id")
+    # the b-side joins on (b_id, sh) — the shingle equality is a JOIN
+    # key, not a post-join filter, so the intermediate holds only the
+    # intersection rows instead of |A|x|B| rows per pair (guide §3:
+    # avoid exploding joins)
     inter = (
         pairs.join(a_sh, "a_id")
-        .join(b_sh, "b_id")
-        .filter(F.col("sh") == F.col("sh_b"))
+        .join(b_sh, ["b_id", "sh"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -4172,19 +4172,21 @@ class QueryEngine:
         # it feeds both the semi-join broadcast and the left side below,
         # and as a lazy plan the whole first-pass ranking would execute
         # twice (guide §7.2 duplicated-subtree check)
+        page_rows = [
+            (int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+            for r in first.select("query_id", "doc_id", "score").collect()
+        ]
         page = local_rows_df(
-            self.spark,
-            [
-                (int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
-                for r in first.select(
-                    "query_id", "doc_id", "score"
-                ).collect()
-            ],
-            "query_id long, doc_id long, score double",
+            self.spark, page_rows, "query_id long, doc_id long, score double"
         )
-        if rs is None:
-            joined = page.withColumn("rescore_score", F.lit(None).cast("double"))
-        else:
+        # the rescore match set is corpus-shaped, so the semi-join down
+        # to the window stays distributed; everything AFTER it operates
+        # on ≤ window_size·|queries| rows — combine weights and re-rank
+        # driver-side (the ES-coordinator merge), replacing the left
+        # join + rank-window stages. Python floats are IEEE doubles and
+        # the arithmetic order is unchanged, so scores are bit-equal.
+        rs_scores: dict[tuple[int, int], float] = {}
+        if rs is not None:
             rs_w = rs.select(
                 "query_id", "doc_id", F.col("score").alias("rescore_score")
             ).join(
@@ -4192,21 +4194,24 @@ class QueryEngine:
                 ["query_id", "doc_id"],
                 "left_semi",
             )
-            joined = page.join(
-                F.broadcast(rs_w), ["query_id", "doc_id"], "left"
+            for r in rs_w.collect():
+                rs_scores[(int(r["query_id"]), int(r["doc_id"]))] = float(
+                    r["rescore_score"]
+                )
+        byq: dict[int, list[tuple[float, int]]] = {}
+        qw, rw = float(query_weight), float(rescore_query_weight)
+        for qid, doc, s in page_rows:
+            byq.setdefault(qid, []).append(
+                (qw * s + rw * rs_scores.get((qid, doc), 0.0), doc)
             )
-        combined = joined.withColumn(
-            "score",
-            F.lit(float(query_weight)) * F.col("score")
-            + F.lit(float(rescore_query_weight))
-            * F.coalesce(F.col("rescore_score"), F.lit(0.0)),
-        )
-        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            combined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(k))
-            .select("query_id", "rank", "doc_id", "score")
-        )
+        rows = []
+        for qid in sorted(byq):
+            hits = sorted(byq[qid], key=lambda sd: (-sd[0], sd[1]))[: int(k)]
+            rows += [
+                (qid, rank, d, s)
+                for rank, (s, d) in enumerate(hits, 1)
+            ]
+        return local_rows_df(self.spark, rows, schema=TOPK_SCHEMA)
 
     # ES field_value_factor modifiers (log* are log10-based, the ES
     # definitions; ln* are natural-log)
@@ -5958,16 +5963,39 @@ def bm25_topk_dataframe(
             .distinct()
         )
 
-    tf = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .join(F.broadcast(qdf.select("term").distinct()), "term")  # prune early
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    exploded = toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+    if fuzziness:
+        pruned = exploded.join(
+            F.broadcast(qdf.select("term").distinct()), "term"
+        )
+    else:
+        # query terms are driver-known literals: prune with an isin
+        # filter and fan out (query_id, term) with one literal map
+        # expression — three broadcast-build jobs fewer per call
+        # (guide §2.4; same inner-join semantics)
+        pruned = exploded.filter(
+            F.col("term").isin(sorted({t for _, t in qrows}))
+        )
+    tf = pruned.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    withq = tf.join(F.broadcast(dfreq), "term")
+    if fuzziness:
+        withq = withq.join(F.broadcast(qdf), "term")
+    else:
+        by_term: dict[str, list[int]] = {}
+        for qid, t in qrows:
+            by_term.setdefault(t, []).append(qid)
+        entries = ", ".join(
+            f"{_sql_str(t)}, array({', '.join(f'{q}L' for q in qs)})"
+            for t, qs in by_term.items()
+        )
+        withq = withq.withColumn(
+            "query_id", F.expr(f"explode(element_at(map({entries}), term))")
+        )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qdf), "term")
+        withq
         .join(F.broadcast(stats_df))
         .withColumn(
             "contrib",
