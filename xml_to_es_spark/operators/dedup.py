@@ -161,15 +161,18 @@ def minhash_lsh_pairs(
             )
         )
     all_bands = sig.select(F.col(key_col), F.inline(F.array(*band_structs)))
-    # the self-join's two sides share this subplan; materialize it
-    # once so the signature aggregation does not run twice, then
-    # release the cache — at cluster scale you would write sig to a
-    # table instead
+    # the self-join's two sides share this subplan: checkpoint the
+    # EXPENSIVE part (the signature aggregation feeding the band rows)
+    # once, and leave the cheap bucket join lazy — one-shot callers
+    # pay one materialization instead of cache + checkpoint + release
+    # (measured 3.6s -> 2.8s at sf0.1), multi-pass consumers (verify +
+    # cluster + survivors) re-run only the small join per pass. At
+    # cluster scale you would write the signatures to a table instead.
     if materialize:
-        all_bands = all_bands.persist()
+        all_bands = all_bands.localCheckpoint(eager=True)
     a = all_bands.alias("a")
     bb = all_bands.alias("b")
-    pairs = (
+    return (
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
@@ -181,10 +184,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    if materialize:
-        pairs = pairs.localCheckpoint(eager=True)
-        all_bands.unpersist()
-    return pairs
 
 
 def ngram_jaccard(

@@ -1186,6 +1186,61 @@ class QueryEngine:
         )
 
     @staticmethod
+    def _sql_lit(v) -> str | None:
+        """A Python literal as Spark SQL text, typed exactly like
+        ``F.lit`` would type it (L/D suffixes; repr round-trips
+        doubles). None = not expressible, caller falls back to the
+        Column path."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return f"{float(v)!r}D"
+        if isinstance(v, str):
+            return _sql_str(v)
+        return None
+
+    @staticmethod
+    def _sql_ident(c) -> str:
+        return "`" + str(c).replace("`", "``") + "`"
+
+    @classmethod
+    def _structured_pred_sql(cls, clause: dict) -> str | None:
+        """:meth:`_structured_pred` as SQL text when the clause is
+        text-expressible (term/terms/range/exists over plain
+        literals); None routes the caller to the Column path (nested
+        clauses, exotic values, validation errors). Semantics are
+        identical: the SQL parser builds the same comparison with the
+        same analyzer coercions as the Column DSL."""
+        (kind, spec), = clause.items()
+        if kind == "term":
+            (c, v), = spec.items()
+            lv = cls._sql_lit(v)
+            return None if lv is None else f"({cls._sql_ident(c)} = {lv})"
+        if kind == "terms":
+            (c, vs), = spec.items()
+            lits = [cls._sql_lit(v) for v in vs]
+            if not lits or any(lv is None for lv in lits):
+                return None
+            return f"({cls._sql_ident(c)} IN ({', '.join(lits)}))"
+        if kind == "range":
+            (c, bounds), = spec.items()
+            ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+            if not bounds or set(bounds) - set(ops):
+                return None
+            parts = []
+            for b, v in bounds.items():
+                lv = cls._sql_lit(v)
+                if lv is None:
+                    return None
+                parts.append(f"{cls._sql_ident(c)} {ops[b]} {lv}")
+            return "(" + " AND ".join(parts) + ")"
+        if kind == "exists":
+            return f"({cls._sql_ident(spec['field'])} IS NOT NULL)"
+        return None
+
+    @staticmethod
     def _nested_elem_pred(path: str, spec: dict):
         """Inner query of a ``nested`` clause → an element-level
         predicate builder (Column → Column) for the higher-order
@@ -2122,17 +2177,47 @@ class QueryEngine:
             return forced < need
         return False
 
-    def _bool_tree_cols(
-        self, node: _BoolNode
-    ) -> tuple[F.Column, F.Column, list]:
-        """(matched, score, names) Column expressions for one query's tree
+    def _bool_tree_cols(self, node: _BoolNode) -> tuple:
+        """(matched, score, names) expressions for one query's tree
         over the per-clause aggregation columns ``_c<cid>`` (distinct
         matched-term count) and ``_s<cid>`` (boosted contribution sum)
         plus the joined doc-value columns for structured predicates.
         Score = Σ over matched must/should children of the child's
         score (ES sum-of-clauses; a nested bool contributes its own
-        sum × its boost), evaluated as a pure JVM expression."""
-        def matched(ch) -> F.Column:
+        sum × its boost), evaluated as a pure JVM expression.
+
+        Expressions are composed as SQL TEXT wherever possible (one
+        F.expr parse instead of hundreds of py4j round trips — the
+        Column DSL costs one JVM call per operator and dominated
+        driver time on rich trees); a clause only the Column DSL can
+        express (nested element predicates, exotic literals) flips
+        that subtree to Columns via the same hybrid combinators, so
+        semantics are identical either way. Callers accept
+        str | Column for all three slots."""
+        def C(x):
+            return F.expr(x) if isinstance(x, str) else x
+
+        def AND(a, b):
+            if a is None:
+                return b
+            if isinstance(a, str) and isinstance(b, str):
+                return f"({a} AND {b})"
+            return C(a) & C(b)
+
+        def NOT(a):
+            return f"(NOT {a})" if isinstance(a, str) else ~a
+
+        def ADD(a, b):
+            if isinstance(a, str) and isinstance(b, str):
+                return f"({a} + {b})"
+            return C(a) + C(b)
+
+        def IF(c, t, e):
+            if all(isinstance(x, str) for x in (c, t, e)):
+                return f"if({c}, {t}, {e})"
+            return F.when(C(c), C(t)).otherwise(C(e))
+
+        def matched(ch):
             if isinstance(ch, _BoolNode):
                 return matched_node(ch)
             if isinstance(ch, (_BoolLeaf, _BoolPhrase)):
@@ -2141,14 +2226,17 @@ class QueryEngine:
                     if isinstance(ch, _BoolLeaf) and ch.op_and
                     else 1
                 )
-                return F.coalesce(F.col(f"_c{ch.cid}"), F.lit(0)) >= need
+                return f"(coalesce(_c{ch.cid}, 0) >= {need})"
+            sql = self._structured_pred_sql(ch.clause)
+            if sql is not None:
+                return f"coalesce({sql}, false)"
             return F.coalesce(self._structured_pred(ch.clause), F.lit(False))
 
-        def score(ch) -> F.Column:
+        def score(ch):
             if isinstance(ch, _BoolNode):
                 return score_node(ch)
             if isinstance(ch, (_BoolLeaf, _BoolPhrase)) and ch.scoring:
-                return F.coalesce(F.col(f"_s{ch.cid}"), F.lit(0.0))
+                return f"coalesce(_s{ch.cid}, 0.0D)"
             if isinstance(ch, _BoolNested) and ch.scoring:
                 # constant-per-object contract (see _BoolNested):
                 # sum → matching-object count × boost; avg/max → the
@@ -2167,74 +2255,94 @@ class QueryEngine:
                     return n.cast("double") * F.lit(ch.boost)
                 return F.lit(ch.boost)
             if isinstance(ch, _BoolRankFeature) and ch.scoring:
-                x = F.col(ch.column).cast("double")
+                x = f"cast({self._sql_ident(ch.column)} as double)"
                 if ch.fn == "saturation":
-                    v = x / (x + F.lit(ch.params["pivot"]))
+                    v = f"({x} / ({x} + {float(ch.params['pivot'])!r}D))"
                 elif ch.fn == "log":
-                    v = F.log(F.lit(ch.params["scaling_factor"]) + x)
+                    v = f"ln({float(ch.params['scaling_factor'])!r}D + {x})"
                 else:  # sigmoid
                     e = ch.params["exponent"]
-                    v = F.pow(x, F.lit(e)) / (
-                        F.pow(x, F.lit(e))
-                        + F.lit(float(ch.params["pivot"]) ** e)
+                    v = (
+                        f"(power({x}, {float(e)!r}D) / (power({x}, "
+                        f"{float(e)!r}D) + "
+                        f"{float(ch.params['pivot']) ** e!r}D))"
                     )
-                return F.coalesce(v * F.lit(ch.boost), F.lit(0.0))
-            return F.lit(0.0)
+                return f"coalesce(({v} * {float(ch.boost)!r}D), 0.0D)"
+            return "0.0D"
 
-        def matched_node(n: _BoolNode) -> F.Column:
+        def matched_node(n: _BoolNode):
             out = None
             for c in n.must + n.filter:
-                p = matched(c)
-                out = p if out is None else (out & p)
+                out = AND(out, matched(c))
             for c in n.must_not:
-                p = ~matched(c)
-                out = p if out is None else (out & p)
+                out = AND(out, NOT(matched(c)))
             need = n.need_should()
             if need > 0:
                 cnt = None
                 for c in n.should:
-                    x = matched(c).cast("int")
-                    cnt = x if cnt is None else (cnt + x)
-                p = cnt >= need
-                out = p if out is None else (out & p)
-            return out if out is not None else F.lit(True)
+                    m = matched(c)
+                    x = (
+                        f"cast({m} as int)"
+                        if isinstance(m, str)
+                        else m.cast("int")
+                    )
+                    cnt = x if cnt is None else ADD(cnt, x)
+                p = (
+                    f"({cnt} >= {need})"
+                    if isinstance(cnt, str)
+                    else (cnt >= need)
+                )
+                out = AND(out, p)
+            return out if out is not None else "true"
 
-        def score_node(n: _BoolNode) -> F.Column:
+        def score_node(n: _BoolNode):
             if n.kind == "dis_max":
                 # ES dis_max: max matching clause + tie_breaker·Σrest
-                per = [
-                    F.when(matched(c), score(c)).otherwise(F.lit(0.0))
-                    for c in n.should
-                ]
+                per = [IF(matched(c), score(c), "0.0D") for c in n.should]
                 total = per[0]
                 for p in per[1:]:
-                    total = total + p
-                mx = F.greatest(*per) if len(per) > 1 else per[0]
-                s = (
-                    mx + F.lit(n.tie_breaker) * (total - mx)
-                    if n.tie_breaker
-                    else mx
-                )
+                    total = ADD(total, p)
+                if len(per) > 1:
+                    mx = (
+                        f"greatest({', '.join(per)})"
+                        if all(isinstance(p, str) for p in per)
+                        else F.greatest(*[C(p) for p in per])
+                    )
+                else:
+                    mx = per[0]
+                if n.tie_breaker:
+                    tb = float(n.tie_breaker)
+                    if isinstance(mx, str) and isinstance(total, str):
+                        s = f"({mx} + {tb!r}D * ({total} - {mx}))"
+                    else:
+                        s = C(mx) + F.lit(tb) * (C(total) - C(mx))
+                else:
+                    s = mx
             elif n.kind == "boosting":
                 pos = n.must[0]
-                s = F.when(matched(pos), score(pos)).otherwise(F.lit(0.0))
+                s = IF(matched(pos), score(pos), "0.0D")
                 neg = matched(n.negative[0])
-                s = F.when(neg, s * F.lit(n.negative_boost)).otherwise(s)
+                nb = float(n.negative_boost)
+                if isinstance(neg, str) and isinstance(s, str):
+                    s = f"if({neg}, ({s} * {nb!r}D), {s})"
+                else:
+                    s = F.when(C(neg), C(s) * F.lit(nb)).otherwise(C(s))
             elif n.kind == "constant_score":
                 # matched gating happens in the caller's CASE; the
                 # node's own contribution is the constant (0 when the
                 # node sits in filter/must_not context)
-                return F.lit(n.boost if n.scoring else 0.0)
+                return f"{float(n.boost if n.scoring else 0.0)!r}D"
             else:
-                s = F.lit(0.0)
+                s = "0.0D"
                 for c in n.must + n.should:
-                    s = s + F.when(matched(c), score(c)).otherwise(F.lit(0.0))
+                    s = ADD(s, IF(matched(c), score(c), "0.0D"))
             if n.boost != 1.0:
-                s = s * F.lit(n.boost)
+                b = float(n.boost)
+                s = f"({s} * {b!r}D)" if isinstance(s, str) else s * F.lit(b)
             return s
 
         def names_of(n: _BoolNode) -> list:
-            """(name, matched Column) per named element, ES named
+            """(name, matched str|Column) per named element, ES named
             queries — DFS order; callers pin lexicographic order."""
             out: list = []
 
@@ -2412,19 +2520,19 @@ class QueryEngine:
             pre = prows if pre is None else pre.unionByName(prows)
         agg = None
         if pre is not None:
+            # per-clause conditional aggregates as SQL text — one
+            # parse per column instead of five py4j calls each
             aggs = []
             for leaf in leaves:
                 if isinstance(leaf, _BoolStruct):
                     continue
-                c = F.col("cid") == leaf.cid
-                aggs.append(
-                    F.sum(F.when(c, 1).otherwise(0)).alias(f"_c{leaf.cid}")
-                )
+                aggs.append(F.expr(
+                    f"sum(if(cid = {leaf.cid}, 1, 0)) AS _c{leaf.cid}"
+                ))
                 if leaf.scoring:
-                    aggs.append(
-                        F.sum(F.when(c, F.col("wc")).otherwise(F.lit(0.0)))
-                        .alias(f"_s{leaf.cid}")
-                    )
+                    aggs.append(F.expr(
+                        f"sum(if(cid = {leaf.cid}, wc, 0.0D)) AS _s{leaf.cid}"
+                    ))
             agg = pre.groupBy("query_id", "doc_id").agg(*aggs)
         # ---- structured side: pushed doc-values candidates ----------
         cands = agg
@@ -2471,35 +2579,61 @@ class QueryEngine:
             return None
         if dvf is not None:
             cands = cands.join(dvf, "doc_id", "left")
-        m_case, s_case, mq_case = None, None, None
+        per_query: list[tuple[int, object, object, object]] = []
         any_names = False
         for qid, tree in trees.items():
             m, s, names = self._bool_tree_cols(tree)
-            q = F.col("query_id") == qid
-            m_case = F.when(q, m) if m_case is None else m_case.when(q, m)
-            s_case = F.when(q, s) if s_case is None else s_case.when(q, s)
             # ES named queries: the names of matched _name clauses,
             # pinned lexicographic order (per-clause matched columns
             # come free from the same hash-agg — no extra pass)
             if names:
                 any_names = True
-                mq = F.array(*[
-                    F.when(mc, F.lit(nm))
-                    for nm, mc in sorted(names, key=lambda x: x[0])
-                ])
-                mq = F.filter(mq, lambda x: x.isNotNull())
+                snames = sorted(names, key=lambda x: x[0])
+                if all(isinstance(mc, str) for _, mc in snames):
+                    arr = ", ".join(
+                        f"if({mc}, {_sql_str(nm)}, cast(null as string))"
+                        for nm, mc in snames
+                    )
+                    mq = f"filter(array({arr}), x -> x IS NOT NULL)"
+                else:
+                    mqa = F.array(*[
+                        F.when(
+                            F.expr(mc) if isinstance(mc, str) else mc,
+                            F.lit(nm),
+                        )
+                        for nm, mc in snames
+                    ])
+                    mq = F.filter(mqa, lambda x: x.isNotNull())
             else:
-                mq = F.array().cast("array<string>")
-            mq_case = (F.when(q, mq) if mq_case is None
-                       else mq_case.when(q, mq))
-        cols = ["query_id", "doc_id",
-                s_case.otherwise(F.lit(0.0)).alias("score")]
+                mq = "cast(array() as array<string>)"
+            per_query.append((qid, m, s, mq))
+
+        def case_of(pieces: list[tuple[int, object]], default: str):
+            """query_id-dispatched CASE — one SQL parse when every
+            branch is text, the Column chain otherwise."""
+            if all(isinstance(x, str) for _, x in pieces):
+                whens = " ".join(
+                    f"WHEN (query_id = {qid}L) THEN ({x})"
+                    for qid, x in pieces
+                )
+                return F.expr(f"CASE {whens} ELSE {default} END")
+            out = None
+            for qid, x in pieces:
+                q = F.col("query_id") == qid
+                xc = F.expr(x) if isinstance(x, str) else x
+                out = F.when(q, xc) if out is None else out.when(q, xc)
+            return out.otherwise(F.expr(default))
+
+        m_case = case_of([(q, m) for q, m, _, _ in per_query], "false")
+        s_case = case_of([(q, s) for q, _, s, _ in per_query], "0.0D")
+        cols = ["query_id", "doc_id", s_case.alias("score")]
         if any_names:
-            cols.append(
-                mq_case.otherwise(F.array().cast("array<string>"))
-                .alias("matched_queries")
+            mq_case = case_of(
+                [(q, mq) for q, _, _, mq in per_query],
+                "cast(array() as array<string>)",
             )
-        return cands.filter(m_case.otherwise(F.lit(False))).select(*cols)
+            cols.append(mq_case.alias("matched_queries"))
+        return cands.filter(m_case).select(*cols)
 
     # -- phrase queries (ES match_phrase over the positional sidecar) --------
 

@@ -29,6 +29,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce small shuffles to the advisory size instead of
+        # fanning out for parallelism: query-side shuffles carry k-ish
+        # rows and pay per-task overhead, and at scale the advisory
+        # size (not the local core count) is the right driver
+        # (guide §2.2 fewer, larger reduce partitions)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §9); broadcast joins
+        # are unaffected
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
