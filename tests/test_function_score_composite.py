@@ -429,9 +429,13 @@ def test_script_score(spark, idx):
     want_inv = sorted(((d, 1.0 / s) for d, s in zip(base.doc_id, base.score)),
                       key=lambda x: (-x[1], x[0]))
     assert list(inv.doc_id) == [d for d, _ in want_inv]
-    # rejection matrix
+    # rejection matrix (Math.log10 pinned by round-6 ADVICE: it must
+    # fail the whitelist with the documented ValueError, not slip
+    # through as ln10 and die at analysis)
     for bad in ["doc['n_chars'].value; import os", "_score ** 2",
-                "System.exit(0)", "params.zzz + 1"]:
+                "System.exit(0)", "params.zzz + 1",
+                "Math.log10(doc['n_chars'].value)",
+                "Math.sqrt2 * _score"]:
         with pytest.raises(ValueError):
             es_search(e, {"query": {"script_score": {
                 "query": {"match": {"text": "alpha"}},

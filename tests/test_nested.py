@@ -180,6 +180,14 @@ def test_nested_count_sort_and_bare_subfield(eng):
         "path": "places", "query": inner}},
         "sort": [{"n_chars": {"order": "desc"}}], "size": 5}).toPandas()
     assert list(srt.doc_id) == sorted(want, reverse=True)[:5]
+    # score-only keys (score_mode/boost/_name) are legal beside sort —
+    # scores are unused there, so they strip instead of raising
+    # 'nested takes path + query' (round-6 ADVICE)
+    srt2 = es_search(e, {"query": {"nested": {
+        "path": "places", "query": inner, "score_mode": "sum",
+        "boost": 2.0, "_name": "nq"}},
+        "sort": [{"n_chars": {"order": "desc"}}], "size": 5}).toPandas()
+    assert list(srt2.doc_id) == list(srt.doc_id)
 
 
 def test_nested_validation(eng):

@@ -277,10 +277,16 @@ def _compile_script_score(source: str, params: dict) -> tuple[str, list]:
         return f"({float(params[name])!r})"
 
     expr = _re2.sub(r"params\.(\w+)", sub_param, expr)
-    expr = expr.replace("Math.log", "ln").replace("Math.sqrt", "sqrt")
+    # whole function tokens only: Math.log10 must NOT rewrite to ln10
+    # and then slip through the leftover strip (round-6 ADVICE) — it
+    # stays Math.log10 and fails the whitelist below with the
+    # documented ValueError instead of an opaque AnalysisException
+    expr = _re2.sub(r"\bMath\.log\(", "ln(", expr)
+    expr = _re2.sub(r"\bMath\.sqrt\(", "sqrt(", expr)
     expr = _re2.sub(r"\b_score\b", "(cast(`_score` as double))", expr)
     leftover = _re2.sub(
-        r"\(cast\(`\w+` as double\)\)|ln|sqrt|[\s0-9.+\-*/()]", "", expr
+        r"\(cast\(`\w+` as double\)\)|\bln\(|\bsqrt\(|[\s0-9.+\-*/()]",
+        "", expr,
     )
     if leftover or "**" in expr or "//" in expr:
         raise ValueError(
@@ -684,6 +690,16 @@ class EsRequest:
                     by=specs, k=k, from_=from_, search_after=after,
                 )
             elif kind in _STRUCTURED or kind == "nested":
+                if kind == "nested":
+                    # scores are unused under sort-by-field: strip the
+                    # score-only keys (score_mode/boost/_name) so the
+                    # path+query filter form is what reaches
+                    # _structured_pred (round-6 ADVICE: the full spec
+                    # used to raise a misleading 'path + query' error)
+                    spec = {
+                        k2: v for k2, v in spec.items()
+                        if k2 not in ("score_mode", "boost", "_name")
+                    }
                 out = eng.bool_sort_topk(
                     [(0, {"filter": [{kind: spec}]})], by=specs, k=k,
                     from_=from_, search_after=after,
