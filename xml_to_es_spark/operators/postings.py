@@ -127,11 +127,19 @@ def encode_segment(
     if positions is not None:
         if len(positions) != n:
             raise ValueError("positions must hold one array per doc")
-        pos_deltas = np.concatenate(
-            [np.diff(np.asarray(p, dtype=np.int64), prepend=0) for p in positions]
-        ).astype(np.uint64)
-        if pos_deltas.size != int(tfs.sum()):
+        # one flat delta pass with per-doc resets instead of a Python
+        # loop allocating diff arrays per doc (guide §4.2: vectorize
+        # whole batches — this loop dominated the positional encode)
+        flat = np.concatenate(positions).astype(np.int64) if n else np.zeros(0, np.int64)
+        if flat.size != int(tfs.sum()):
             raise ValueError("per-doc position counts must equal tfs")
+        deltas_p = np.empty(flat.size, dtype=np.int64)
+        if flat.size:
+            deltas_p[0] = flat[0]
+            deltas_p[1:] = flat[1:] - flat[:-1]
+            doc_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+            deltas_p[doc_starts] = flat[doc_starts]  # absolute per doc
+        pos_deltas = deltas_p.astype(np.uint64)
         pos_bin = varbyte_encode(pos_deltas)
         # byte offset of each block's first doc's position stream
         vlen = varbyte_lengths(pos_deltas)
@@ -184,15 +192,21 @@ def decode_segment(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def decode_positions(pos_bin: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Positional sidecar → one ascending position array per doc (the
-    tf stream is the per-doc count directory)."""
-    total = int(np.asarray(tfs).sum())
+    tf stream is the per-doc count directory). One flat cumsum with
+    per-doc base subtraction instead of a cumsum per doc — the
+    per-doc Python loop dominated positional decode on segments with
+    many docs (guide §4.2)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if tfs.size == 0:
+        return []
+    total = int(tfs.sum())
     deltas = varbyte_decode(pos_bin, total).astype(np.int64)
-    out = []
-    start = 0
-    for tf in np.asarray(tfs, dtype=np.int64):
-        out.append(np.cumsum(deltas[start : start + tf]))
-        start += int(tf)
-    return out
+    cum = np.cumsum(deltas)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    shift = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+    flat = cum - np.repeat(shift, tfs)
+    return np.split(flat, ends[:-1])
 
 
 def block_score_upper_bounds(
