@@ -135,4 +135,17 @@ for name, mk in QUERIES.items():
         print("ok", name)
     except Exception as e:
         print("FAIL", name, repr(e)[:200])
+# The r7 driver-merge paths return LocalRelations, so their "after"
+# plans collapse to LocalTableScan; dump the distributed PARTIALS plan
+# (scan -> attach -> kernel) separately so the kernel shape stays
+# auditable against the before files.
+if SUFFIX == "after":
+    import pyspark.sql.functions as FF
+    m = eng._matched_segments(entry.BM25_QUERIES)
+    parts = eng._wand_partials(m, 10, 8, None)
+    with open(os.path.join(OUT, "bm25_wand_topk_partials_after.txt"), "w") as f:
+        f.write(parts._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    print("ok bm25_wand_topk_partials")
+
 spark.stop()
