@@ -5821,10 +5821,12 @@ class QueryEngine:
             _score_segments(self.cfg.k1, self.cfg.b, self._dead_by_ord),
             schema=CONTRIB_SCHEMA,
         )
-        scored = contribs.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score"),
-            F.count_distinct("term").alias("n_matched"),
-        )
+        # n_matched exists only for the min_match filter — the common
+        # path skips the distinct-aggregate layer entirely
+        aggs = [F.sum("contrib").alias("score")]
+        if min_match is not None:
+            aggs.append(F.count_distinct("term").alias("n_matched"))
+        scored = contribs.groupBy("query_id", "doc_id").agg(*aggs)
         if min_match is not None:
             need = {
                 qid: _min_match_count(min_match, len(set(self._tokenize(text))))
