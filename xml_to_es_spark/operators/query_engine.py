@@ -56,6 +56,23 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _stats_row_local(path: str) -> dict | None:
+    """The 1-row stats table read driver-side (local filesystems
+    only); None routes the caller to the Spark read."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    p = path[len("file:"):] if path.startswith("file:") else path
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        if t.num_rows < 1:
+            return None
+        return {c: t.column(c)[0].as_py() for c in t.column_names}
+    except Exception:
+        return None
+
+
 def _dead_mask(doc_ids: np.ndarray, dead: np.ndarray | None) -> np.ndarray | None:
     """Boolean mask of tombstoned doc_ids (dead sorted ascending)."""
     if dead is None or not dead.size:
@@ -370,10 +387,16 @@ class QueryEngine:
         self.dir = index_dir
         self.cfg = cfg or BM25Config()
         self.dirs = index_dirs(index_dir)  # [(ord, path)]
-        # per-dir stats (block_size may differ per delta build config)
+        # per-dir stats (block_size may differ per delta build config).
+        # The stats table is one row per dir at ANY scale — read it on
+        # the driver (pyarrow) instead of running a Spark job per dir;
+        # non-local paths fall back to the distributed read.
         self._dir_stats: dict[int, dict] = {}
         for o, p in self.dirs:
-            self._dir_stats[o] = spark.read.parquet(f"{p}/stats").first().asDict()
+            row = _stats_row_local(f"{p}/stats")
+            if row is None:
+                row = spark.read.parquet(f"{p}/stats").first().asDict()
+            self._dir_stats[o] = row
         d = self._dir_stats[0]
         self.block_size = int(d.get("block_size") or 128)
         self.n_groups = int(d.get("n_groups") or 0)
@@ -478,6 +501,11 @@ class QueryEngine:
         # same DataFrame handle is reused for every query — repeated
         # queries never re-list the index (guide §6 file-listing cost)
         self._scan_cache: dict[str, DataFrame] = {}
+        # coordinator-side dictionary lookup state (see
+        # :meth:`_dict_rows_local`): size check memoized, one pyarrow
+        # dataset handle per dir
+        self._dict_local_ok: bool | None = None
+        self._dict_ds: dict[int, object] = {}
 
     def _parquet(self, path: str) -> DataFrame:
         df = self._scan_cache.get(path)
@@ -499,25 +527,31 @@ class QueryEngine:
             return {}
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
-            scans = []
-            for o, p in self.dirs:
-                scans.append(
-                    self._parquet(f"{p}/terms")
-                    .filter(F.col("term").isin(missing))
-                    .select("term", "df", "group")
-                    .withColumn("ord", F.lit(o))
-                )
-            allt = scans[0]
-            for sc in scans[1:]:
-                allt = allt.unionByName(sc)
+            rows = self._dict_rows_local(missing)
+            if rows is None:
+                scans = []
+                for o, p in self.dirs:
+                    scans.append(
+                        self._parquet(f"{p}/terms")
+                        .filter(F.col("term").isin(missing))
+                        .select("term", "df", "group")
+                        .withColumn("ord", F.lit(o))
+                    )
+                allt = scans[0]
+                for sc in scans[1:]:
+                    allt = allt.unionByName(sc)
+                # ONE job over the unioned term-pruned scans (not one
+                # per dir — per-query driver latency stays flat as
+                # deltas accumulate); absent terms cached as None
+                rows = [
+                    (r["term"], int(r["df"]), int(r["group"]), int(r["ord"]))
+                    for r in allt.collect()
+                ]
             fetched: dict[str, dict] = {}
-            # ONE job over the unioned term-pruned scans (not one per
-            # dir — per-query driver latency stays flat as deltas
-            # accumulate); absent terms cached as None
-            for r in allt.collect():
-                m = fetched.setdefault(r["term"], {"df": 0, "groups": {}})
-                m["df"] += int(r["df"])
-                m["groups"][int(r["ord"])] = int(r["group"])
+            for term, dfv, grp, ordv in rows:
+                m = fetched.setdefault(term, {"df": 0, "groups": {}})
+                m["df"] += dfv
+                m["groups"][ordv] = grp
             # tombstone df-correction happens HERE, once per term, so
             # cached entries already hold the live df
             if self._dead_by_ord and fetched:
@@ -526,6 +560,67 @@ class QueryEngine:
             for t in missing:
                 self._term_cache[t] = fetched.get(t)
         return {t: self._term_cache[t] for t in terms if self._term_cache[t]}
+
+    # coordinator-side dictionary read: below this many bytes of terms
+    # files (per engine, all dirs) the per-query dictionary lookup runs
+    # as a pyarrow row-group-pruned read on the driver — the FST-style
+    # coordinator lookup every search engine does — instead of a Spark
+    # job. Above it (cluster-scale dictionaries) the pruned distributed
+    # scan is the right tool and the behaviour is unchanged.
+    _LOCAL_DICT_MAX_BYTES = 256 * 1024 * 1024
+
+    def _dict_rows_local(self, missing: list[str]):
+        """(term, df, group, ord) rows for ``missing`` via a driver-
+        side pyarrow read of each dir's terms dataset (hive-partitioned
+        by group; parquet min/max stats prune row groups exactly like
+        the pushed filter in the Spark scan). Returns None to route to
+        the distributed scan (dictionary too large, non-local paths,
+        or any read problem)."""
+        if self._dict_local_ok is None:
+            import os as _os
+
+            total = 0
+            ok = True
+            for _o, p in self.dirs:
+                d = p[len("file:"):] if p.startswith("file:") else p
+                if "://" in d:
+                    ok = False
+                    break
+                for root, _dirs, files in _os.walk(f"{d}/terms"):
+                    total += sum(
+                        _os.path.getsize(_os.path.join(root, f))
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
+            self._dict_local_ok = ok and total <= self._LOCAL_DICT_MAX_BYTES
+        if not self._dict_local_ok:
+            return None
+        try:
+            import pyarrow.dataset as pads
+
+            rows: list[tuple] = []
+            for o, p in self.dirs:
+                d = p[len("file:"):] if p.startswith("file:") else p
+                dset = self._dict_ds.get(o)
+                if dset is None:
+                    dset = self._dict_ds[o] = pads.dataset(
+                        f"{d}/terms", format="parquet", partitioning="hive"
+                    )
+                t = dset.to_table(
+                    columns=["term", "df", "group"],
+                    filter=pads.field("term").isin(missing),
+                )
+                terms_a = t.column("term").to_pylist()
+                dfs_a = t.column("df").to_pylist()
+                grp_a = t.column("group").to_pylist()
+                rows += [
+                    (tm, int(dv), int(g), o)
+                    for tm, dv, g in zip(terms_a, dfs_a, grp_a)
+                ]
+            return rows
+        except Exception:
+            self._dict_local_ok = False
+            return None
 
     def _killed_counts(self, meta: dict[str, dict]) -> dict[str, int]:
         """Per term, the number of stored postings whose doc version
