@@ -1291,7 +1291,8 @@ class QueryEngine:
         if isinstance(v, int):
             return f"{v}L"
         if isinstance(v, float):
-            return f"{float(v)!r}D"
+            # non-finite floats have no SQL literal — Column fallback
+            return f"{float(v)!r}D" if math.isfinite(v) else None
         if isinstance(v, str):
             return _sql_str(v)
         return None
